@@ -1,0 +1,305 @@
+'''Configuration: reference-compatible CLI flags and derived fields.
+
+Mirrors the reference's argparse surface and Config derivations
+(reference: main.py:20-184, utilities/config_constructor.py:5-142) while
+adding TPU-specific knobs (mesh shape, compute dtype, bucketing). The Config
+object is a plain attribute bag — checkpoints store it as a plain dict
+(JSON-serializable) rather than a Python pickle, but the torch-pickle Config
+objects embedded in reference checkpoints can be adapted via
+``Config.from_dict``.
+'''
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from time import localtime, strftime
+
+
+class Config:
+    '''Flat attribute-bag config (reference: config_constructor.py:5-142).'''
+
+    def __init__(self, args=None, **kwargs):
+        if args is None and kwargs:
+            args = argparse.Namespace(**kwargs)
+        if args is None:
+            return
+        self.curr_time = strftime('%y%m%d%H%M%S', localtime())
+
+        self.procedure = args.procedure
+        # dataset
+        self.train_meta_path = args.train_meta_path
+        self.val_1_meta_path = args.val_1_meta_path
+        self.val_2_meta_path = args.val_2_meta_path
+        self.modality = args.modality
+        self.video_feature_name = args.video_feature_name
+        self.audio_feature_name = args.audio_feature_name
+        self.video_features_path = args.video_features_path
+        self.audio_features_path = args.audio_features_path
+        self.d_vid = args.d_vid
+        self.d_aud = args.d_aud
+        self.start_token = args.start_token
+        self.end_token = args.end_token
+        self.pad_token = args.pad_token
+        self.max_len = args.max_len
+        self.min_freq_caps = args.min_freq_caps
+
+        if args.procedure == 'train_cap':
+            self.word_emb_caps = args.word_emb_caps
+            self.unfreeze_word_emb = args.unfreeze_word_emb
+            self.model = args.model
+            self.pretrained_prop_model_path = args.pretrained_prop_model_path
+            self.finetune_prop_encoder = args.finetune_prop_encoder
+        elif args.procedure == 'train_prop':
+            self.word_emb_caps = args.word_emb_caps
+            self.pretrained_cap_model_path = args.pretrained_cap_model_path
+            self.finetune_cap_encoder = args.finetune_cap_encoder
+            self.layer_norm = args.layer_norm
+            self.anchors_num_audio = args.anchors_num_audio
+            self.anchors_num_video = args.anchors_num_video
+            self.noobj_coeff = args.noobj_coeff
+            self.obj_coeff = args.obj_coeff
+            self.train_json_path = args.train_json_path
+            self.nms_tiou_thresh = args.nms_tiou_thresh
+            self.strides = {}
+            self.pad_feats_up_to = {}
+            self.kernel_sizes = {}
+            if 'audio' in self.modality:
+                self.strides['audio'] = args.audio_feature_timespan
+                self.pad_feats_up_to['audio'] = args.pad_audio_feats_up_to
+                self.conv_layers_audio = args.conv_layers_audio
+                self.kernel_sizes['audio'] = args.kernel_sizes_audio
+            if 'video' in self.modality:
+                self.feature_timespan_in_fps = args.feature_timespan_in_fps
+                self.fps_at_extraction = args.fps_at_extraction
+                self.strides['video'] = (
+                    args.feature_timespan_in_fps / args.fps_at_extraction)
+                self.pad_feats_up_to['video'] = args.pad_video_feats_up_to
+                self.conv_layers_video = args.conv_layers_video
+                self.kernel_sizes['video'] = args.kernel_sizes_video
+        elif args.procedure == 'evaluate':
+            self.pretrained_cap_model_path = args.pretrained_cap_model_path
+        else:
+            raise NotImplementedError(args.procedure)
+
+        self.dout_p = args.dout_p
+        self.N = args.N
+        self.use_linear_embedder = args.use_linear_embedder
+        if args.use_linear_embedder:
+            self.d_model_video = args.d_model_video
+            self.d_model_audio = args.d_model_audio
+        else:
+            self.d_model_video = self.d_vid
+            self.d_model_audio = self.d_aud
+        self.H = args.H
+        self.d_model = args.d_model
+        self.d_model_caps = args.d_model_caps
+        if 'video' in self.modality:
+            self.d_ff_video = (4 * self.d_model_video
+                               if args.d_ff_video is None else args.d_ff_video)
+        if 'audio' in self.modality:
+            self.d_ff_audio = (4 * self.d_model_audio
+                               if args.d_ff_audio is None else args.d_ff_audio)
+        self.d_ff_caps = (4 * self.d_model_caps
+                          if args.d_ff_caps is None else args.d_ff_caps)
+
+        # training — 'device_ids' maps to data-parallel mesh size on TPU
+        self.device_ids = args.device_ids
+        self.device = 'tpu'
+        self.dp_devices = getattr(args, 'dp_devices', None) or len(args.device_ids)
+        self.train_batch_size = args.B * self.dp_devices
+        self.inference_batch_size = args.inf_B_coeff * self.train_batch_size
+        self.epoch_num = args.epoch_num
+        self.one_by_one_starts_at = args.one_by_one_starts_at
+        self.early_stop_after = args.early_stop_after
+        self.smoothing = args.smoothing
+        self.grad_clip = args.grad_clip
+
+        self.optimizer = args.optimizer
+        if self.optimizer == 'adam':
+            self.beta1, self.beta2 = args.betas
+            self.eps = args.eps
+            self.weight_decay = args.weight_decay
+        elif self.optimizer == 'sgd':
+            self.momentum = args.momentum
+            self.weight_decay = args.weight_decay
+        else:
+            raise ValueError(self.optimizer)
+
+        self.scheduler = args.scheduler
+        self.lr = args.lr
+        if self.scheduler == 'reduce_on_plateau':
+            self.lr_reduce_factor = args.lr_reduce_factor
+            self.lr_patience = args.lr_patience
+
+        # evaluation
+        self.reference_paths = args.reference_paths
+        self.tIoUs = args.tIoUs
+        self.max_prop_per_vid = args.max_prop_per_vid
+        self.prop_pred_path = args.prop_pred_path
+        self.avail_mp4_path = args.avail_mp4_path
+        self.val_prop_meta_path = getattr(args, 'val_prop_meta_path', None)
+
+        # TPU-specific
+        self.compute_dtype = getattr(args, 'compute_dtype', 'bfloat16')
+        self.attention_impl = getattr(args, 'attention_impl', 'xla')
+        self.max_events_per_video = getattr(args, 'max_events_per_video', 32)
+        self.glove_path = getattr(args, 'glove_path', None)
+        self.vocab_path = getattr(args, 'vocab_path', None)
+
+        # logging
+        self.to_log = args.to_log
+        if args.to_log:
+            self.log_dir = os.path.join(args.log_dir, args.procedure)
+            self.checkpoint_dir = self.log_dir
+            exper_name = self.curr_time[2:]
+            self.log_path = os.path.join(self.log_dir, exper_name)
+            self.model_checkpoint_path = os.path.join(self.checkpoint_dir,
+                                                      exper_name)
+        else:
+            self.log_dir = None
+            self.log_path = None
+
+    # -- serialization -----------------------------------------------------
+    def to_dict(self) -> dict:
+        return {k: v for k, v in self.__dict__.items()
+                if not k.startswith('_')}
+
+    @classmethod
+    def from_dict(cls, d: dict) -> 'Config':
+        cfg = cls()
+        cfg.__dict__.update(d)
+        return cfg
+
+    def save_json(self, path: str):
+        with open(path, 'w') as f:
+            json.dump(self.to_dict(), f, indent=1, default=str)
+
+    @classmethod
+    def load_json(cls, path: str) -> 'Config':
+        with open(path) as f:
+            return cls.from_dict(json.load(f))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    '''Reference-compatible CLI (reference: main.py:20-172) plus TPU knobs.'''
+    parser = argparse.ArgumentParser(description='Run experiment (bmt_tpu)')
+
+    # DATA
+    parser.add_argument('--train_meta_path', type=str, default='./data/train.csv')
+    parser.add_argument('--val_1_meta_path', type=str, default='./data/val_1.csv')
+    parser.add_argument('--val_2_meta_path', type=str, default='./data/val_2.csv')
+    parser.add_argument('--modality', type=str, default='audio_video',
+                        choices=['audio', 'video', 'audio_video'])
+    parser.add_argument('--video_feature_name', type=str, default='i3d')
+    parser.add_argument('--audio_feature_name', type=str, default='vggish')
+    parser.add_argument('--video_features_path', type=str,
+                        default='./data/i3d_25fps_stack64step64_2stream_npy/')
+    parser.add_argument('--audio_features_path', type=str,
+                        default='./data/vggish_npy/')
+    parser.add_argument('--d_vid', type=int, default=1024)
+    parser.add_argument('--d_aud', type=int, default=128)
+    parser.add_argument('--word_emb_caps', default='glove.840B.300d', type=str)
+    parser.add_argument('--unfreeze_word_emb', action='store_true', default=False)
+    parser.add_argument('--feature_timespan_in_fps', type=int, default=64)
+    parser.add_argument('--fps_at_extraction', type=int, default=25)
+    parser.add_argument('--audio_feature_timespan', type=float, default=0.96)
+    parser.add_argument('--train_json_path', type=str, default='./data/train.json')
+
+    # TRAINING
+    parser.add_argument('--procedure', type=str, required=True,
+                        choices=['train_cap', 'train_prop', 'evaluate'])
+    parser.add_argument('--device_ids', type=int, nargs='+', default=[0])
+    parser.add_argument('--dp_devices', type=int, default=None,
+                        help='data-parallel mesh size (defaults to all local devices)')
+    parser.add_argument('--start_token', type=str, default='<s>')
+    parser.add_argument('--end_token', type=str, default='</s>')
+    parser.add_argument('--pad_token', type=str, default='<blank>')
+    parser.add_argument('--max_len', type=int, default=30)
+    parser.add_argument('--min_freq_caps', type=int, default=1)
+    parser.add_argument('--optimizer', type=str, default='adam',
+                        choices=['adam', 'sgd'])
+    parser.add_argument('--betas', type=float, nargs=2, default=[0.9, 0.999])
+    parser.add_argument('--eps', type=float, default=1e-8)
+    parser.add_argument('--momentum', type=float, default=0.0)
+    parser.add_argument('--scheduler', type=str, default='constant',
+                        choices=['constant', 'reduce_on_plateau'])
+    parser.add_argument('--lr', type=float, default=5e-5)
+    parser.add_argument('--weight_decay', type=float, default=0)
+    parser.add_argument('--lr_patience', type=int)
+    parser.add_argument('--lr_reduce_factor', type=float)
+    parser.add_argument('--B', type=int, default=32)
+    parser.add_argument('--inf_B_coeff', type=int, default=2)
+    parser.add_argument('--epoch_num', type=int, default=100)
+    parser.add_argument('--one_by_one_starts_at', type=int, default=1)
+    parser.add_argument('--early_stop_after', type=int, default=30)
+    parser.add_argument('--smoothing', type=float, default=0.7)
+    parser.add_argument('--grad_clip', type=float)
+    parser.add_argument('--pretrained_prop_model_path', type=str)
+    parser.add_argument('--finetune_prop_encoder', action='store_true',
+                        default=False)
+    parser.add_argument('--pretrained_cap_model_path', type=str)
+    parser.add_argument('--finetune_cap_encoder', action='store_true',
+                        default=False)
+    parser.add_argument('--obj_coeff', type=float, default=1)
+    parser.add_argument('--noobj_coeff', type=float, default=100)
+    parser.add_argument('--pad_audio_feats_up_to', type=int, default=800)
+    parser.add_argument('--pad_video_feats_up_to', type=int, default=300)
+    parser.add_argument('--nms_tiou_thresh', type=float)
+    parser.add_argument('--log_dir', type=str, default='./log/')
+
+    # EVALUATION
+    parser.add_argument('--prop_pred_path', type=str)
+    parser.add_argument('--avail_mp4_path', type=str,
+                        default='./data/available_mp4.txt')
+    parser.add_argument('--reference_paths', type=str, nargs='+',
+                        default=['./data/val_1_no_missings.json',
+                                 './data/val_2_no_missings.json'])
+    parser.add_argument('--tIoUs', type=float, default=[0.3, 0.5, 0.7, 0.9],
+                        nargs='+')
+    parser.add_argument('--max_prop_per_vid', type=int, default=100)
+    parser.add_argument('--val_prop_meta_path', type=str)
+
+    # MODEL
+    parser.add_argument('--model', type=str, default='av_transformer',
+                        choices=['transformer', 'av_transformer'])
+    parser.add_argument('--dout_p', type=float, default=0.1)
+    parser.add_argument('--N', type=int, default=2)
+    parser.add_argument('--d_model', type=int, default=1024)
+    parser.add_argument('--d_model_video', type=int)
+    parser.add_argument('--d_model_audio', type=int)
+    parser.add_argument('--d_model_caps', type=int, default=300)
+    parser.add_argument('--use_linear_embedder', action='store_true',
+                        default=False)
+    parser.add_argument('--H', type=int, default=4)
+    parser.add_argument('--d_ff_video', type=int)
+    parser.add_argument('--d_ff_audio', type=int)
+    parser.add_argument('--d_ff_caps', type=int)
+    parser.add_argument('--anchors_num_video', type=int, default=128)
+    parser.add_argument('--anchors_num_audio', type=int, default=48)
+    parser.add_argument('--kernel_sizes_audio', type=int, nargs='+',
+                        default=[5, 13, 23, 35, 51, 69, 91, 121, 161, 211])
+    parser.add_argument('--kernel_sizes_video', type=int, nargs='+',
+                        default=[1, 5, 9, 13, 19, 25, 35, 45, 61, 79])
+    parser.add_argument('--conv_layers_audio', type=int, nargs='*',
+                        default=[512, 512])
+    parser.add_argument('--conv_layers_video', type=int, nargs='*',
+                        default=[512, 512])
+    parser.add_argument('--layer_norm', action='store_true', default=False)
+
+    # TPU
+    parser.add_argument('--compute_dtype', type=str, default='bfloat16',
+                        choices=['bfloat16', 'float32'])
+    parser.add_argument('--attention_impl', type=str, default='xla',
+                        choices=['xla', 'pallas'])
+    parser.add_argument('--max_events_per_video', type=int, default=32)
+    parser.add_argument('--glove_path', type=str, default=None,
+                        help='path to glove .txt vectors (optional)')
+    parser.add_argument('--vocab_path', type=str, default=None,
+                        help='load a fixed vocabulary instead of building one')
+
+    # DEBUGGING
+    parser.add_argument('--debug', action='store_true', default=False)
+    parser.add_argument('--dont_log', dest='to_log', action='store_false')
+    parser.set_defaults(to_log=True)
+    return parser

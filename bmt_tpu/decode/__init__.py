@@ -1,0 +1,3 @@
+from bmt_tpu.decode.greedy import (greedy_decode_bimodal,
+                                   greedy_decode_uncached,
+                                   make_bimodal_greedy_fn)

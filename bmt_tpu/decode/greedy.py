@@ -1,0 +1,109 @@
+'''Greedy caption decoding.
+
+The reference decodes greedily by re-running the *entire* encoder + decoder
+on the growing prefix at every step with no KV cache
+(reference: epoch_loops/captioning_epoch_loops.py:39-65) — O(L^2) model
+invocations per caption. Here the decode is re-cast TPU-natively:
+
+- the encoder runs ONCE per segment; cross-attention K/V are precomputed,
+- the decoder advances one token at a time through a KV cache,
+- the whole loop is a single jit-compiled ``lax.while_loop`` with static
+  shapes and early exit once every sequence in the batch emitted ``</s>``.
+
+Token-for-token parity with the reference loop: pre-norm LayerNorm is
+per-token, causal masking restricts self-attention to the cached prefix, and
+``jnp.argmax`` matches torch ``max(dim)`` first-max tie-breaking.
+An uncached parity decoder is kept for cross-validation in tests.
+'''
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from bmt_tpu.models.captioning import (CapModelDims, bimodal_decode_init,
+                                       bimodal_decode_step, bimodal_encode,
+                                       bimodal_transformer_forward)
+from bmt_tpu.ops.masks import make_masks
+
+
+@partial(jax.jit, static_argnames=('dims', 'max_len', 'start_idx', 'end_idx',
+                                   'pad_idx', 'attention_impl'))
+def greedy_decode_bimodal(params, dims: CapModelDims, feature_stacks: dict,
+                          max_len: int, start_idx: int, end_idx: int,
+                          pad_idx: int, attention_impl: str = 'xla'):
+    '''Batched KV-cached greedy decode.
+
+    feature_stacks: {'rgb','flow','audio'} (B, S, D) padded segments.
+    Returns tokens (B, max_len + 1) int32, row = [<s>, w1, ..., </s>, ...];
+    positions after a batch-wide early stop hold ``end_idx`` (stripped by the
+    string conversion anyway, matching reference semantics).
+    '''
+    masks = make_masks(feature_stacks, None, 'audio_video', pad_idx)
+    A_mask, V_mask = masks['A_mask'], masks['V_mask']
+
+    Av, Va = bimodal_encode(params, dims, feature_stacks, masks,
+                            deterministic=True, attention_impl=attention_impl)
+    state = bimodal_decode_init(params, dims, Av, Va, max_len)
+
+    B = Av.shape[0]
+    tokens = jnp.full((B, max_len + 1), end_idx, jnp.int32)
+    tokens = tokens.at[:, 0].set(start_idx)
+    done = jnp.zeros((B,), bool)
+
+    def cond(carry):
+        step, _, done, _ = carry
+        return jnp.logical_and(step < max_len, jnp.logical_not(done.all()))
+
+    def body(carry):
+        step, tokens, done, state = carry
+        cur = jax.lax.dynamic_slice_in_dim(tokens, step, 1, axis=1)  # (B, 1)
+        log_probs, state = bimodal_decode_step(params, dims, state, cur, step,
+                                               A_mask, V_mask)
+        nxt = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)       # (B,)
+        tokens = jax.lax.dynamic_update_slice_in_dim(
+            tokens, nxt[:, None], step + 1, axis=1)
+        done = jnp.logical_or(done, nxt == end_idx)
+        return step + 1, tokens, done, state
+
+    _, tokens, _, _ = jax.lax.while_loop(cond, body, (0, tokens, done, state))
+    return tokens
+
+
+def make_bimodal_greedy_fn(dims: CapModelDims, max_len: int, start_idx: int,
+                           end_idx: int, pad_idx: int,
+                           attention_impl: str = 'xla'):
+    '''Bind the static arguments once; returns fn(params, feature_stacks).'''
+    def fn(params, feature_stacks):
+        return greedy_decode_bimodal(params, dims, feature_stacks, max_len,
+                                     start_idx, end_idx, pad_idx,
+                                     attention_impl)
+    return fn
+
+
+def greedy_decode_uncached(forward_fn, feature_stacks: dict, max_len: int,
+                           start_idx: int, end_idx: int, pad_idx: int,
+                           modality: str):
+    '''Parity port of the reference greedy loop (reference:
+    captioning_epoch_loops.py:39-65): re-runs the full forward on the whole
+    prefix at every step. Host-side Python loop — for tests and as a decode
+    path for model variants without a cached step implementation.
+
+    forward_fn(src, trg, masks) -> (B, St, V) log-probs.
+    '''
+    if 'audio' in modality:
+        B = feature_stacks['audio'].shape[0]
+    else:
+        B = feature_stacks['rgb'].shape[0]
+
+    done = jnp.zeros((B, 1), bool)
+    trg = jnp.full((B, 1), start_idx, jnp.int32)
+
+    while trg.shape[-1] <= max_len and not bool(done.all()):
+        masks = make_masks(feature_stacks, trg, modality, pad_idx)
+        preds = forward_fn(feature_stacks, trg, masks)
+        next_word = jnp.argmax(preds[:, -1], axis=-1).astype(jnp.int32)[:, None]
+        trg = jnp.concatenate([trg, next_word], axis=-1)
+        done = done | (next_word == end_idx)
+    return trg

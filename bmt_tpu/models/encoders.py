@@ -1,0 +1,145 @@
+'''Uni-modal and bi-modal transformer encoders (functional).
+
+Reference behaviour: model/encoders.py:9-128. Each bi-modal layer runs
+self-attention per modality, then cross-attention in both directions
+("audio-attended-video" Av and "video-attended-audio" Va), then per-modality
+feed-forward — all with pre-norm residual connections.
+
+TPU notes: the two modalities are independent until the cross step; XLA
+schedules their matmuls back-to-back on the MXU. The per-layer Python loop
+unrolls at trace time (N=2 by default) — no dynamic control flow under jit.
+'''
+from __future__ import annotations
+
+import jax
+
+from bmt_tpu.ops.attention import init_mha, multi_head_attention
+from bmt_tpu.ops.layers import (feed_forward, init_ffn, init_layer_norm,
+                                residual)
+
+
+# ---------------------------------------------------------------------------
+# uni-modal encoder (reference: model/encoders.py:9-33, 90-105)
+# ---------------------------------------------------------------------------
+
+def init_encoder_layer(key, d_model: int, d_ff: int, dtype=None) -> dict:
+    k_att, k_ff = jax.random.split(key)
+    return {
+        'self_att': init_mha(k_att, d_model, d_model, d_model, d_model),
+        'ff': init_ffn(k_ff, d_model, d_ff),
+        'res': [init_layer_norm(d_model) for _ in range(2)],
+    }
+
+
+def init_encoder(key, d_model: int, d_ff: int, N: int) -> dict:
+    keys = jax.random.split(key, N)
+    return {'layers': [init_encoder_layer(k, d_model, d_ff) for k in keys]}
+
+
+def encoder_layer_forward(p, x, src_mask, H, dout_p=0.0, rngs=None,
+                          deterministic=True, attention_impl='xla'):
+    '''Note the reference quirk: the uni-modal EncoderLayer builds its MHA
+    with default dout_p=0 and its FFN with dout_p=0 — only the residual
+    dropout is active (reference: encoders.py:14-15).'''
+    def sublayer_att(y):
+        return multi_head_attention(p['self_att'], y, y, y, src_mask, H,
+                                    0.0, None, True, attention_impl)
+    x = residual(p['res'][0], x, sublayer_att, dout_p,
+                 next(rngs) if rngs else None, deterministic)
+    x = residual(p['res'][1], x, lambda y: feed_forward(p['ff'], y, 0.0),
+                 dout_p, next(rngs) if rngs else None, deterministic)
+    return x
+
+
+def encoder_forward(params, x, src_mask, H, dout_p=0.0, rngs=None,
+                    deterministic=True, attention_impl='xla'):
+    for p in params['layers']:
+        x = encoder_layer_forward(p, x, src_mask, H, dout_p, rngs,
+                                  deterministic, attention_impl)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# bi-modal encoder (reference: model/encoders.py:36-87, 108-128)
+# ---------------------------------------------------------------------------
+
+def init_bimodal_encoder_layer(key, d_model_M1: int, d_model_M2: int,
+                               d_model: int, d_ff_M1: int, d_ff_M2: int) -> dict:
+    ks = jax.random.split(key, 6)
+    return {
+        'self_att_M1': init_mha(ks[0], d_model_M1, d_model_M1, d_model_M1, d_model),
+        'self_att_M2': init_mha(ks[1], d_model_M2, d_model_M2, d_model_M2, d_model),
+        'cross_att_M1': init_mha(ks[2], d_model_M1, d_model_M2, d_model_M2, d_model),
+        'cross_att_M2': init_mha(ks[3], d_model_M2, d_model_M1, d_model_M1, d_model),
+        'ff_M1': init_ffn(ks[4], d_model_M1, d_ff_M1),
+        'ff_M2': init_ffn(ks[5], d_model_M2, d_ff_M2),
+        'res_M1': [init_layer_norm(d_model_M1) for _ in range(3)],
+        'res_M2': [init_layer_norm(d_model_M2) for _ in range(3)],
+    }
+
+
+def init_bimodal_encoder(key, d_model_A: int, d_model_V: int, d_model: int,
+                         d_ff_A: int, d_ff_V: int, N: int) -> dict:
+    '''M1 = audio, M2 = video (reference: encoders.py:110-113 constructs the
+    layer with (d_model_A, d_model_V) and forwards x=(A, V)).'''
+    keys = jax.random.split(key, N)
+    return {'layers': [
+        init_bimodal_encoder_layer(k, d_model_A, d_model_V, d_model, d_ff_A, d_ff_V)
+        for k in keys]}
+
+
+def bimodal_encoder_layer_forward(p, M1, M2, M1_mask, M2_mask, H,
+                                  dout_p=0.0, rngs=None, deterministic=True,
+                                  attention_impl='xla'):
+    '''Self-att per modality -> cross-att both directions -> per-modality FFN,
+    pre-norm residuals throughout (reference: encoders.py:49-87). Here the
+    bi-modal MHAs and FFNs *do* carry internal dropout (dout_p), unlike the
+    uni-modal layer.'''
+    def nrng():
+        return next(rngs) if rngs else None
+
+    # 1. self-attention
+    M1 = residual(p['res_M1'][0], M1,
+                  lambda y: multi_head_attention(p['self_att_M1'], y, y, y,
+                                                 M1_mask, H, dout_p, nrng(),
+                                                 deterministic, attention_impl),
+                  dout_p, nrng(), deterministic)
+    M2 = residual(p['res_M2'][0], M2,
+                  lambda y: multi_head_attention(p['self_att_M2'], y, y, y,
+                                                 M2_mask, H, dout_p, nrng(),
+                                                 deterministic, attention_impl),
+                  dout_p, nrng(), deterministic)
+
+    # 2. cross-attention: target modality queries the other modality
+    M1m2 = residual(p['res_M1'][1], M1,
+                    lambda y: multi_head_attention(p['cross_att_M1'], y, M2, M2,
+                                                   M2_mask, H, dout_p, nrng(),
+                                                   deterministic, attention_impl),
+                    dout_p, nrng(), deterministic)
+    M2m1 = residual(p['res_M2'][1], M2,
+                    lambda y: multi_head_attention(p['cross_att_M2'], y, M1, M1,
+                                                   M1_mask, H, dout_p, nrng(),
+                                                   deterministic, attention_impl),
+                    dout_p, nrng(), deterministic)
+
+    # 3. feed-forward
+    M1m2 = residual(p['res_M1'][2], M1m2,
+                    lambda y: feed_forward(p['ff_M1'], y, dout_p, nrng(), deterministic),
+                    dout_p, nrng(), deterministic)
+    M2m1 = residual(p['res_M2'][2], M2m1,
+                    lambda y: feed_forward(p['ff_M2'], y, dout_p, nrng(), deterministic),
+                    dout_p, nrng(), deterministic)
+    return M1m2, M2m1
+
+
+def bimodal_encoder_forward(params, A, V, A_mask, V_mask, H, dout_p=0.0,
+                            rngs=None, deterministic=True,
+                            attention_impl='xla'):
+    '''Returns (Av, Va): audio-attended-video and video-attended-audio
+    memories (reference: encoders.py:115-128).'''
+    M1, M2 = A, V
+    for p in params['layers']:
+        M1, M2 = bimodal_encoder_layer_forward(
+            p, M1, M2, A_mask, V_mask, H, dout_p, rngs, deterministic,
+            attention_impl)
+    return M1, M2  # (Av, Va)

@@ -1,0 +1,152 @@
+'''Multi-head attention with heterogeneous Q/K/V model dims.
+
+This is the bi-modal cross-attention workhorse (reference:
+model/multihead_attention.py:29-86): queries, keys and values may live in
+*different* model dims (e.g. audio 128-d attending video 1024-d); all are
+projected into a shared ``d_model`` (default 1024, H=4 heads, d_k=256), and
+the output is projected back to the query's dim.
+
+Faithful behavioural details:
+- softmax over masked logits with additive -inf masking
+  (reference: multihead_attention.py:16-19),
+- dropout applied to the attention *output* (softmax @ V), not to the
+  attention weights (reference: multihead_attention.py:22-23).
+
+TPU notes: the core computation is two batched matmuls (MXU-bound) with an
+elementwise softmax between them — XLA fuses mask+softmax into the matmuls.
+``precision``/dtype are inherited from inputs; pass bf16 activations for MXU
+throughput, params may stay fp32. A fused Pallas flash-attention kernel is
+available behind the same signature in ``bmt_tpu.ops.pallas_attention`` and is
+dispatched via ``attention_impl='pallas'``.
+'''
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from bmt_tpu.ops.layers import dropout, init_linear, linear
+
+_NEG_INF = float('-inf')
+
+
+def init_mha(key, d_model_Q: int, d_model_K: int, d_model_V: int,
+             d_model: int | None = None, dtype=jnp.float32) -> dict:
+    '''Parameters for hetero-dim MHA. ``d_model`` defaults to ``d_model_Q``
+    (reference: multihead_attention.py:40-42).'''
+    if d_model is None:
+        d_model = d_model_Q
+    kq, kk, kv, ko = jax.random.split(key, 4)
+    return {
+        'q2d': init_linear(kq, d_model_Q, d_model, dtype),
+        'k2d': init_linear(kk, d_model_K, d_model, dtype),
+        'v2d': init_linear(kv, d_model_V, d_model, dtype),
+        'd2q': init_linear(ko, d_model, d_model_Q, dtype),
+    }
+
+
+def scaled_dot_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                         mask: jnp.ndarray | None) -> jnp.ndarray:
+    '''softmax(QK^T / sqrt(d_k)) @ V with boolean masking.
+
+    q: (B, H, Sq, d_k), k/v: (B, H, Sk, d_k), mask: broadcastable to
+    (B, 1|H, Sq|1, Sk) boolean (True = attend). Returns (B, H, Sq, d_k).
+    Reference: multihead_attention.py:8-26.
+    '''
+    d_k = q.shape[-1]
+    logits = jnp.einsum('bhqd,bhkd->bhqk', q, k,
+                        preferred_element_type=jnp.float32)
+    logits = logits / math.sqrt(d_k)
+    if mask is not None:
+        logits = jnp.where(mask, logits, _NEG_INF)
+    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum('bhqk,bhkd->bhqd', weights, v)
+
+
+def _split_heads(x: jnp.ndarray, H: int) -> jnp.ndarray:
+    B, S, D = x.shape
+    return x.reshape(B, S, H, D // H).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    B, H, S, d_k = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(B, S, H * d_k)
+
+
+def multi_head_attention(params: dict, q: jnp.ndarray, k: jnp.ndarray,
+                         v: jnp.ndarray, mask: jnp.ndarray | None, H: int,
+                         dout_p: float = 0.0, rng=None,
+                         deterministic: bool = True,
+                         attention_impl: str = 'xla') -> jnp.ndarray:
+    '''Full hetero-dim MHA forward (reference: multihead_attention.py:55-86).
+
+    q: (B, Sq, Dq), k: (B, Sk, Dk), v: (B, Sk, Dv); mask: (B, 1, Sk) padding
+    or (B, Sq, Sk) causal+padding, or None. Returns (B, Sq, Dq).
+    '''
+    qp = _split_heads(linear(params['q2d'], q), H)
+    kp = _split_heads(linear(params['k2d'], k), H)
+    vp = _split_heads(linear(params['v2d'], v), H)
+
+    if mask is not None:
+        mask = mask[:, None, :, :]  # same mask for all heads -> (B, 1, *, Sk)
+
+    if attention_impl == 'pallas':
+        from bmt_tpu.ops.pallas_attention import flash_attention
+        out = flash_attention(qp, kp, vp, mask)
+    else:
+        out = scaled_dot_attention(qp, kp, vp, mask)
+
+    out = dropout(out, dout_p, rng, deterministic)
+    return linear(params['d2q'], _merge_heads(out))
+
+
+# ---------------------------------------------------------------------------
+# KV-cache variants for autoregressive decoding
+# ---------------------------------------------------------------------------
+
+def precompute_kv(params: dict, memory: jnp.ndarray, H: int):
+    '''Project encoder memory into per-head K/V once per segment; reused at
+    every decode step (replaces the reference's full re-encode per token,
+    reference: captioning_epoch_loops.py:58-63).'''
+    k = _split_heads(linear(params['k2d'], memory), H)
+    v = _split_heads(linear(params['v2d'], memory), H)
+    return k, v
+
+
+def cross_attention_step(params: dict, q: jnp.ndarray, kv, mask, H: int) -> jnp.ndarray:
+    '''Attention of the current token(s) over precomputed memory K/V.
+
+    q: (B, 1, Dq); kv: (k, v) each (B, H, Sk, d_k); mask: (B, 1, Sk) or None.
+    '''
+    k, v = kv
+    qp = _split_heads(linear(params['q2d'], q), H)
+    if mask is not None:
+        mask = mask[:, None, :, :]
+    out = scaled_dot_attention(qp, k, v, mask)
+    return linear(params['d2q'], _merge_heads(out))
+
+
+def self_attention_step(params: dict, q: jnp.ndarray, cache_k: jnp.ndarray,
+                        cache_v: jnp.ndarray, step: jnp.ndarray, H: int):
+    '''One causal self-attention step with a KV cache.
+
+    q: (B, 1, Dq) — the newest token. cache_k/cache_v: (B, H, T_max, d_k)
+    ring buffers holding projections of tokens [0, step]. The new token's
+    K/V are written at ``step`` and attention runs over positions <= step.
+
+    Returns (out (B, 1, Dq), new_cache_k, new_cache_v).
+    '''
+    qp = _split_heads(linear(params['q2d'], q), H)    # (B, H, 1, d_k)
+    kp = _split_heads(linear(params['k2d'], q), H)
+    vp = _split_heads(linear(params['v2d'], q), H)
+
+    cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, kp, step, axis=2)
+    cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, vp, step, axis=2)
+
+    T_max = cache_k.shape[2]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, T_max), 3)
+    valid = pos <= step                                # (1, 1, 1, T_max)
+
+    out = scaled_dot_attention(qp, cache_k, cache_v, valid)
+    return linear(params['d2q'], _merge_heads(out)), cache_k, cache_v

@@ -1,0 +1,120 @@
+'''Optimizers and LR scheduling (optax).
+
+Matches torch semantics used by the reference trainers
+(reference: scripts/train_captioning_module.py:46-58):
+- Adam with L2-into-gradient weight decay (torch style, not AdamW),
+- global-norm gradient clipping applied to raw gradients
+  (reference: captioning_epoch_loops.py:138-139),
+- constant LR or ReduceLROnPlateau (host-side metric-driven).
+
+Parameter freezing (GloVe embeddings unless --unfreeze_word_emb; pretrained
+encoders unless --finetune_*_encoder) is expressed as an optax multi_transform
+mask — frozen leaves get zero updates.
+'''
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import optax
+
+
+def build_optimizer(cfg, frozen_mask=None) -> optax.GradientTransformation:
+    '''cfg needs: optimizer, lr, grad_clip, weight_decay and (adam) beta1/2,
+    eps or (sgd) momentum. ``frozen_mask``: pytree of bools matching params
+    (True = frozen).'''
+    chain = []
+    if getattr(cfg, 'grad_clip', None) is not None:
+        chain.append(optax.clip_by_global_norm(cfg.grad_clip))
+    wd = getattr(cfg, 'weight_decay', 0.0) or 0.0
+    if wd:
+        chain.append(optax.add_decayed_weights(wd))
+
+    if cfg.optimizer == 'adam':
+        chain.append(optax.scale_by_adam(b1=getattr(cfg, 'beta1', 0.9),
+                                         b2=getattr(cfg, 'beta2', 0.999),
+                                         eps=getattr(cfg, 'eps', 1e-8)))
+    elif cfg.optimizer == 'sgd':
+        mom = getattr(cfg, 'momentum', 0.0)
+        if mom:
+            chain.append(optax.trace(decay=mom))
+    else:
+        raise ValueError(cfg.optimizer)
+
+    chain.append(optax.scale(-1.0))
+    tx = optax.inject_hyperparams(
+        lambda learning_rate: optax.chain(*chain, optax.scale(learning_rate))
+    )(learning_rate=cfg.lr)
+
+    if frozen_mask is not None:
+        tx = optax.chain(tx, optax.masked(
+            optax.set_to_zero(),
+            jax.tree.map(lambda frozen: frozen, frozen_mask)))
+    return tx
+
+
+def set_learning_rate(opt_state, lr: float):
+    '''Update the injected learning rate in an optimizer state in place.'''
+    def find(state):
+        if hasattr(state, 'hyperparams') and 'learning_rate' in state.hyperparams:
+            state.hyperparams['learning_rate'] = jax.numpy.asarray(lr)
+            return True
+        if isinstance(state, tuple):
+            return any(find(s) for s in state)
+        return False
+    assert find(opt_state), 'no injected learning_rate found'
+    return opt_state
+
+
+def get_learning_rate(opt_state) -> Optional[float]:
+    def find(state):
+        if hasattr(state, 'hyperparams') and 'learning_rate' in state.hyperparams:
+            return float(state.hyperparams['learning_rate'])
+        if isinstance(state, tuple):
+            for s in state:
+                r = find(s)
+                if r is not None:
+                    return r
+        return None
+    return find(opt_state)
+
+
+class ReduceLROnPlateau:
+    '''Host-side metric-driven LR scheduler (torch semantics: mode 'min',
+    multiply LR by factor after `patience` epochs without improvement).'''
+
+    def __init__(self, init_lr: float, factor: float, patience: int,
+                 mode: str = 'min'):
+        self.lr = init_lr
+        self.factor = factor
+        self.patience = patience if patience is not None else 10
+        self.mode = mode
+        self.best = None
+        self.bad_epochs = 0
+
+    def step(self, metric: float) -> float:
+        improved = (self.best is None
+                    or (self.mode == 'min' and metric < self.best)
+                    or (self.mode == 'max' and metric > self.best))
+        if improved:
+            self.best = metric
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs > self.patience:
+                self.lr *= self.factor
+                self.bad_epochs = 0
+        return self.lr
+
+
+def freeze_mask(params, predicate: Callable[[tuple], bool]):
+    '''Build a boolean mask pytree: predicate(path_tuple) -> frozen?'''
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def is_frozen(path):
+        keys = tuple(getattr(k, 'key', getattr(k, 'idx', None)) for k in path)
+        return predicate(keys)
+
+    mask_flat = [is_frozen(path) for path, _ in flat]
+    treedef = jax.tree_util.tree_structure(params)
+    return jax.tree_util.tree_unflatten(treedef, mask_flat)

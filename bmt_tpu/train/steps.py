@@ -1,0 +1,155 @@
+'''jit-compiled training / validation step functions.
+
+Each step is a pure (state, batch) -> (state, metrics) function with static
+shapes, built once per (dims, hyperparams) and jitted with data-parallel
+shardings by ``bmt_tpu.parallel.DataParallel``. Masks are constructed on
+device inside the step (they are cheap elementwise ops XLA fuses away).
+
+Reference loops being replaced: epoch_loops/captioning_epoch_loops.py:122-172
+(teacher-forced train + next-word validation) and
+epoch_loops/proposal_epoch_loops.py:27-97.
+'''
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from bmt_tpu.models.captioning import (CapModelDims,
+                                       bimodal_transformer_forward,
+                                       unimodal_transformer_forward)
+from bmt_tpu.models.proposal import (PropModelDims,
+                                     multimodal_proposal_forward,
+                                     unimodal_proposal_forward)
+from bmt_tpu.ops.masks import make_masks
+from bmt_tpu.train.losses import label_smoothing_kl
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: tuple
+    rng: jax.Array
+    step: jax.Array
+
+
+def init_train_state(params, optimizer, seed: int = 0) -> TrainState:
+    return TrainState(params=params,
+                      opt_state=optimizer.init(params),
+                      rng=jax.random.PRNGKey(seed),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def _cap_forward(dims: CapModelDims):
+    if dims.modality == 'audio_video':
+        return bimodal_transformer_forward
+    return unimodal_transformer_forward
+
+
+def make_cap_train_step(dims: CapModelDims, optimizer, smoothing: float,
+                        pad_idx: int, attention_impl: str = 'xla',
+                        compute_dtype=jnp.float32):
+    '''Teacher-forced captioning train step
+    (reference: captioning_epoch_loops.py:122-149).'''
+    fwd = _cap_forward(dims)
+
+    def step(state: TrainState, batch):
+        rng = jax.random.fold_in(state.rng, state.step)
+        caption = batch['caption']
+        cap_x, cap_y = caption[:, :-1], caption[:, 1:]
+        src = jax.tree.map(lambda x: x.astype(compute_dtype), batch['src'])
+        masks = make_masks(batch['src'], cap_x, dims.modality, pad_idx)
+        n_tokens = jnp.maximum(jnp.sum(cap_y != pad_idx), 1)
+
+        def loss_fn(p):
+            log_probs = fwd(p, dims, src, cap_x, masks, rng=rng,
+                            deterministic=False, attention_impl=attention_impl)
+            return label_smoothing_kl(log_probs, cap_y, smoothing,
+                                      pad_idx) / n_tokens
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params, opt_state, state.rng, state.step + 1)
+        return new_state, {'loss': loss,
+                           'grad_norm': optax.global_norm(grads)}
+    return step
+
+
+def make_cap_val_step(dims: CapModelDims, smoothing: float, pad_idx: int,
+                      attention_impl: str = 'xla',
+                      compute_dtype=jnp.float32):
+    '''Next-word validation loss
+    (reference: captioning_epoch_loops.py:152-172).'''
+    fwd = _cap_forward(dims)
+
+    def step(params, batch):
+        caption = batch['caption']
+        cap_x, cap_y = caption[:, :-1], caption[:, 1:]
+        src = jax.tree.map(lambda x: x.astype(compute_dtype), batch['src'])
+        masks = make_masks(batch['src'], cap_x, dims.modality, pad_idx)
+        n_tokens = jnp.maximum(jnp.sum(cap_y != pad_idx), 1)
+        log_probs = fwd(params, dims, src, cap_x, masks, deterministic=True,
+                        attention_impl=attention_impl)
+        return label_smoothing_kl(log_probs, cap_y, smoothing,
+                                  pad_idx) / n_tokens
+    return step
+
+
+def _prop_forward(dims: PropModelDims):
+    if dims.modality == 'audio_video':
+        return multimodal_proposal_forward
+    return unimodal_proposal_forward
+
+
+def make_prop_train_step(dims: PropModelDims, optimizer, pad_idx: int,
+                         attention_impl: str = 'xla',
+                         compute_dtype=jnp.float32):
+    '''Proposal-generator train step
+    (reference: proposal_epoch_loops.py:27-63).'''
+    fwd = _prop_forward(dims)
+
+    def step(state: TrainState, batch):
+        rng = jax.random.fold_in(state.rng, state.step)
+        src = jax.tree.map(lambda x: x.astype(compute_dtype), batch['src'])
+        masks = make_masks(batch['src'], None, dims.modality, pad_idx)
+        targets = (batch['centers'], batch['lengths'], batch['valid'])
+
+        def loss_fn(p):
+            out = fwd(p, dims, src, targets, masks, rng=rng,
+                      deterministic=False, attention_impl=attention_impl)
+            if dims.modality == 'audio_video':
+                _, loss, losses_A, losses_V = out
+                return loss, (losses_A, losses_V)
+            _, loss, losses = out
+            return loss, (losses, {})
+
+        (loss, (lA, lV)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params, opt_state, state.rng, state.step + 1)
+        metrics = {'loss': loss}
+        metrics.update({f'{k}_A': v for k, v in lA.items()})
+        metrics.update({f'{k}_V': v for k, v in lV.items()})
+        return new_state, metrics
+    return step
+
+
+def make_prop_inference_step(dims: PropModelDims, pad_idx: int,
+                             attention_impl: str = 'xla',
+                             compute_dtype=jnp.float32):
+    '''Forward-only proposal predictions (B, AS_total, 3)
+    (reference: proposal_epoch_loops.py:99-110).'''
+    fwd = _prop_forward(dims)
+
+    def step(params, batch):
+        src = jax.tree.map(lambda x: x.astype(compute_dtype), batch['src'])
+        masks = make_masks(batch['src'], None, dims.modality, pad_idx)
+        out = fwd(params, dims, src, None, masks, deterministic=True,
+                  attention_impl=attention_impl)
+        return out[0].astype(jnp.float32)
+    return step

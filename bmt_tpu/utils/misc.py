@@ -1,0 +1,94 @@
+'''Misc host utilities (reference: utilities/captioning_utils.py).'''
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import re
+import sys
+from functools import partial
+from time import localtime, mktime, strptime
+
+
+def average_metrics_in_two_dicts(val_1_metrics: dict, val_2_metrics: dict) -> dict:
+    '''Average two metric dicts with the same nested keys
+    (reference: captioning_utils.py:12-26).'''
+    avg = {}
+    for key in val_1_metrics:
+        avg[key] = {}
+        for name in val_1_metrics[key]:
+            avg[key][name] = (val_1_metrics[key][name]
+                              + val_2_metrics[key][name]) / 2
+    return avg
+
+
+def timer(timer_started_at: str) -> float:
+    '''Hours elapsed since a %y%m%d%H%M%S timestamp
+    (reference: captioning_utils.py:33-42).'''
+    started = mktime(strptime(timer_started_at, '%y%m%d%H%M%S'))
+    return round((mktime(localtime()) - started) / 3600, 2)
+
+
+def md5sum(filename: str) -> str:
+    with open(filename, 'rb') as f:
+        d = hashlib.md5()
+        for buf in iter(partial(f.read, 128), b''):
+            d.update(buf)
+    return d.hexdigest()
+
+
+AVAILABLE_MP4_FILE_HASH = 'bd38fb7d72b5d3ebff7d201e2938616a'
+
+
+def make_metafile(available_mp4s_path: str, json_path: str,
+                  save_meta_path: str):
+    '''ActivityNet JSON -> tab-separated meta with caption cleanup, filtered
+    to available videos; gated on the md5 of available_mp4.txt
+    (reference: captioning_utils.py:54-124).'''
+    if md5sum(available_mp4s_path) != AVAILABLE_MP4_FILE_HASH:
+        raise Exception('available_mp4.txt hash does not match the expected')
+    with open(available_mp4s_path) as f:
+        available = {line.strip() for line in f}
+
+    with open(json_path) as f:
+        data = json.load(f)
+
+    replace_patterns = [
+        ('’', "'"),
+        (r'\.(?!\d)', ''),
+        (r'\n', ' '),
+        (r'\s{2,}', ' '),
+    ]
+
+    phase = os.path.split(json_path)[1].replace('.json', '')
+    rows = []
+    idx = 0
+    for video_id, info in data.items():
+        if video_id not in available:
+            continue
+        duration = info['duration']
+        for caption, (start, end) in zip(info['sentences'],
+                                         info['timestamps']):
+            for pat, val in replace_patterns:
+                caption = re.sub(pat, val, caption)
+            caption = caption.strip()
+            rows.append((video_id, caption, start, end, duration, phase, idx))
+            idx += 1
+
+    with open(save_meta_path, 'w') as f:
+        f.write('video_id\tcaption\tstart\tend\tduration\tphase\tidx\n')
+        for r in rows:
+            f.write('\t'.join(str(x) for x in r) + '\n')
+
+
+class HiddenPrints:
+    '''Suppress stdout inside a with-block
+    (reference: captioning_utils.py:127-138).'''
+
+    def __enter__(self):
+        self._original_stdout = sys.stdout
+        sys.stdout = open(os.devnull, 'w')
+
+    def __exit__(self, exc_type, exc_val, exc_tb):
+        sys.stdout.close()
+        sys.stdout = self._original_stdout

@@ -1,0 +1,119 @@
+'''Parity tests: full bimodal forward vs torch mirror; cached vs uncached
+greedy decode; label-smoothing loss vs torch.'''
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from bmt_tpu.models import (CapModelDims, init_bimodal_transformer,
+                            bimodal_transformer_forward)
+from bmt_tpu.decode import greedy_decode_bimodal, greedy_decode_uncached
+from bmt_tpu.ops.masks import make_masks
+from bmt_tpu.train import label_smoothing_kl
+from tests.torch_ref import t_bimodal_transformer, t_label_smoothing
+
+SMALL = CapModelDims(voc_size=23, d_model_A=8, d_model_V=12, d_model_C=10,
+                     d_model=16, H=2, N=2, d_ff_A=16, d_ff_V=24, d_ff_C=20,
+                     dout_p=0.1)
+PAD, START, END = 1, 2, 3
+
+# jit once per process — eager per-op compiles are pathologically slow here
+_jit_fwd = jax.jit(partial(bimodal_transformer_forward, dims=SMALL,
+                           deterministic=True))
+_jit_fwd_train = jax.jit(partial(bimodal_transformer_forward, dims=SMALL,
+                                 deterministic=False))
+
+
+def _small_batch(rng, B=2, Sa=7, Sv=5, Sc=4):
+    src = {
+        'rgb': rng.normal(size=(B, Sv, SMALL.d_model_V)).astype(np.float32),
+        'flow': rng.normal(size=(B, Sv, SMALL.d_model_V)).astype(np.float32),
+        'audio': rng.normal(size=(B, Sa, SMALL.d_model_A)).astype(np.float32),
+    }
+    # simulate feature padding: last rows padded with pad_idx in rgb/audio
+    src['rgb'][1, -2:] = PAD
+    src['flow'][1, -2:] = 0.0
+    src['audio'][1, -3:] = PAD
+    trg = rng.integers(4, SMALL.voc_size, size=(B, Sc)).astype(np.int32)
+    trg[:, 0] = START
+    trg[1, -1] = PAD
+    return {k: jnp.asarray(v) for k, v in src.items()}, jnp.asarray(trg)
+
+
+def test_bimodal_forward_matches_torch(rng):
+    params = init_bimodal_transformer(jax.random.PRNGKey(0), SMALL)
+    src, trg = _small_batch(rng)
+    masks = make_masks(src, trg, 'audio_video', PAD)
+
+    ours = np.asarray(_jit_fwd(params, src=src, trg=trg, masks=masks))
+    theirs = t_bimodal_transformer(
+        params, SMALL, {k: np.asarray(v) for k, v in src.items()},
+        np.asarray(trg), {k: np.asarray(v) for k, v in masks.items()}).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=2e-4)
+
+
+def test_cached_decode_matches_uncached(rng):
+    '''The KV-cached while_loop decoder must produce the same tokens as the
+    reference-style full-prefix re-computation.'''
+    params = init_bimodal_transformer(jax.random.PRNGKey(1), SMALL)
+    src, _ = _small_batch(rng, B=3)
+    max_len = 4  # each prefix length is a separate XLA compile for `slow`
+
+    def fwd(stacks, trg, masks):
+        return _jit_fwd(params, src=stacks, trg=trg, masks=masks)
+
+    slow = np.asarray(greedy_decode_uncached(fwd, src, max_len, START, END,
+                                             PAD, 'audio_video'))
+    fast = np.asarray(greedy_decode_bimodal(params, SMALL, src, max_len,
+                                            START, END, PAD))
+    # compare up to the slow decoder's (possibly early-stopped) length;
+    # positions after a row's first END are garbage by design in both
+    T = slow.shape[1]
+    for b in range(slow.shape[0]):
+        row_slow = slow[b].tolist()
+        row_fast = fast[b, :T].tolist()
+        end_pos = row_slow.index(END) if END in row_slow else len(row_slow)
+        assert row_slow[:end_pos + 1] == row_fast[:end_pos + 1], (
+            b, row_slow, row_fast)
+
+
+def test_label_smoothing_matches_torch(rng):
+    B, S, V = 2, 5, 11
+    logits = rng.normal(size=(B, S, V)).astype(np.float32)
+    log_probs = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
+    target = rng.integers(0, V, size=(B, S))
+    target[0, -1] = PAD
+    target[1, -2:] = PAD
+
+    ours = float(label_smoothing_kl(jnp.asarray(log_probs),
+                                    jnp.asarray(target), 0.7, PAD))
+    theirs = float(t_label_smoothing(log_probs, target, 0.7, PAD))
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5)
+
+
+def test_label_smoothing_zero_smoothing_is_ce(rng):
+    '''smoothing=0 reduces to NLL of the target (plus zero prior).'''
+    B, S, V = 1, 3, 7
+    logits = rng.normal(size=(B, S, V)).astype(np.float32)
+    log_probs = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), axis=-1))
+    target = rng.integers(2, V, size=(B, S))
+    ours = float(label_smoothing_kl(jnp.asarray(log_probs),
+                                    jnp.asarray(target), 0.0, PAD))
+    nll = -sum(log_probs[b, s, target[b, s]]
+               for b in range(B) for s in range(S))
+    np.testing.assert_allclose(ours, nll, rtol=1e-5)
+
+
+def test_dropout_changes_only_in_training(rng):
+    params = init_bimodal_transformer(jax.random.PRNGKey(2), SMALL)
+    src, trg = _small_batch(rng)
+    masks = make_masks(src, trg, 'audio_video', PAD)
+
+    d1 = _jit_fwd(params, src=src, trg=trg, masks=masks)
+    d2 = _jit_fwd(params, src=src, trg=trg, masks=masks)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+    r1 = _jit_fwd_train(params, src=src, trg=trg, masks=masks,
+                        rng=jax.random.PRNGKey(3))
+    assert not np.allclose(np.asarray(d1), np.asarray(r1))
