@@ -1,0 +1,90 @@
+'''Benchmark: greedy caption decode throughput (captions/sec/chip).
+
+Headline metric per BASELINE.json: batched KV-cached greedy decode vs the
+reference's un-cached algorithm. The reference publishes no captions/sec
+(BASELINE.md), so ``vs_baseline`` is the measured speedup over the
+reference's decode *algorithm* (full prefix re-encode per token,
+reference: captioning_epoch_loops.py:39-65) run on the SAME chip with the
+same model/shapes — an apples-to-apples algorithmic baseline.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+'''
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    jax.config.update('jax_compilation_cache_dir',
+                      os.path.join(os.path.dirname(__file__), '.jax_cache'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+
+    from bmt_tpu.decode import greedy_decode_bimodal, greedy_decode_uncached
+    from bmt_tpu.models import (CapModelDims, bimodal_transformer_forward,
+                                init_bimodal_transformer)
+
+    # flagship architecture, inference batch like the reference's val loop
+    # (inference_batch_size = 64 at B=32); realistic val segment lengths
+    VOC = 10172
+    B, Sa, Sv, MAX_LEN = 64, 256, 96, 30
+    dims = CapModelDims(voc_size=VOC)
+    params = init_bimodal_transformer(jax.random.PRNGKey(0), dims)
+
+    # cast params to bfloat16 for MXU throughput (decode is inference-only)
+    bf16 = jnp.bfloat16
+    params_bf16 = jax.tree.map(
+        lambda x: x.astype(bf16) if x.dtype == jnp.float32 else x, params)
+
+    rng = np.random.default_rng(0)
+    stacks = {
+        'rgb': jnp.asarray(rng.normal(size=(B, Sv, 1024)), bf16),
+        'flow': jnp.asarray(rng.normal(size=(B, Sv, 1024)), bf16),
+        'audio': jnp.asarray(rng.normal(size=(B, Sa, 128)), bf16),
+    }
+
+    def cached_decode():
+        return greedy_decode_bimodal(params_bf16, dims, stacks, MAX_LEN,
+                                     2, 3, 1)
+
+    # warmup/compile
+    cached_decode().block_until_ready()
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = cached_decode()
+    out.block_until_ready()
+    cached_sec = (time.perf_counter() - t0) / iters
+    captions_per_sec = B / cached_sec
+
+    # reference algorithm on the same chip: full re-encode per step, no cache
+    fwd = jax.jit(lambda p, s, t, m: bimodal_transformer_forward(
+        p, dims, s, t, m, deterministic=True))
+
+    def uncached_decode():
+        return greedy_decode_uncached(
+            lambda s, t, m: fwd(params_bf16, s, t, m), stacks, MAX_LEN,
+            2, 3, 1, 'audio_video')
+
+    uncached_decode()  # warmup (compiles every prefix length)
+    t0 = time.perf_counter()
+    uncached_decode()
+    uncached_sec = time.perf_counter() - t0
+    baseline_caps_per_sec = B / uncached_sec
+
+    result = {
+        'metric': 'greedy_decode_captions_per_sec_per_chip',
+        'value': round(captions_per_sec, 2),
+        'unit': 'captions/sec',
+        'vs_baseline': round(captions_per_sec / baseline_caps_per_sec, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,195 @@
+'''Captioning dataset: host-side batcher producing fixed-shape device feeds.
+
+TPU re-design of the reference's torchtext pipeline (reference:
+datasets/captioning_dataset.py): instead of a GPU-side BucketIterator with
+per-batch dynamic padding, batches are padded to a small set of static bucket
+lengths so XLA compiles a handful of shapes once, and a background prefetch
+thread overlaps host IO with device compute.
+
+Semantics preserved from the reference:
+- vocab from train.csv with specials [<unk>, <blank>, <s>, </s>] -> pad=1,
+- captions wrapped with <s>/<​s> and padded with pad_idx,
+- rgb/audio feature padding value = pad_idx (~1.0), flow = 0.0
+  (captioning_dataset.py:255-258 — rgb+flow are summed downstream),
+- missing feature files -> zero (1, D) stacks,
+- per-epoch reshuffle (seeded, deterministic).
+'''
+from __future__ import annotations
+
+import queue
+import threading
+from bisect import bisect_left
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from bmt_tpu.data.features import (fill_missing_features,
+                                   load_features_from_npy, pad_stack_batch)
+from bmt_tpu.data.tokenizer import tokenize_en
+from bmt_tpu.data.vocab import Vocab, build_vocab_from_meta, read_meta_csv
+
+# static pad buckets: few enough for a small compile count, tight enough to
+# bound padding waste (sequence dims needn't be multiples of 128 — the model
+# dims provide the MXU lane alignment)
+VIDEO_BUCKETS = (16, 32, 64, 96, 128, 192, 256, 384, 512)
+AUDIO_BUCKETS = (16, 32, 64, 128, 256, 384, 512, 640, 800, 1024, 1536)
+CAPTION_BUCKETS = (16, 24, 32, 48, 64, 96, 128)
+
+
+def bucket_len(n: int, buckets) -> int:
+    i = bisect_left(buckets, n)
+    return buckets[min(i, len(buckets) - 1)]
+
+
+class CaptioningDataset:
+    '''One instance per phase (train / val_1 / val_2 / learned_props).
+
+    Replaces ActivityNetCaptionsDataset (reference:
+    captioning_dataset.py:281-354). Vocabulary always comes from the train
+    meta file regardless of phase.
+    '''
+
+    def __init__(self, cfg, phase: str, vocab: Optional[Vocab] = None):
+        self.cfg = cfg
+        self.phase = phase
+        meta_by_phase = {
+            'train': cfg.train_meta_path,
+            'val_1': cfg.val_1_meta_path,
+            'val_2': cfg.val_2_meta_path,
+            'learned_props': getattr(cfg, 'val_prop_meta_path', None),
+        }
+        self.meta_path = meta_by_phase[phase]
+        if self.meta_path is None:
+            raise ValueError(f'no meta path for phase {phase}')
+        self.rows = read_meta_csv(self.meta_path)
+
+        self.batch_size = (cfg.train_batch_size if phase == 'train'
+                           else cfg.inference_batch_size)
+
+        if vocab is None:
+            if getattr(cfg, 'vocab_path', None):
+                vocab = Vocab.load(cfg.vocab_path)
+            else:
+                vocab = build_vocab_from_meta(
+                    cfg.train_meta_path, cfg.start_token, cfg.end_token,
+                    cfg.pad_token, cfg.min_freq_caps)
+        self.train_vocab = vocab
+        self.trg_voc_size = len(vocab)
+        self.pad_idx = vocab[cfg.pad_token]
+        self.start_idx = vocab[cfg.start_token]
+        self.end_idx = vocab[cfg.end_token]
+
+        self.feature_names_list = []
+        if 'video' in cfg.modality:
+            self.feature_names_list.append(f'{cfg.video_feature_name}_features')
+        if 'audio' in cfg.modality:
+            self.feature_names_list.append(f'{cfg.audio_feature_name}_features')
+
+        # pre-tokenize all captions once (host-side, cached per dataset)
+        self._encoded = [self._encode_caption(r['caption']) for r in self.rows]
+
+    def _encode_caption(self, caption: str) -> List[int]:
+        toks = [t.lower() for t in tokenize_en(caption)]
+        return ([self.start_idx] + self.train_vocab.encode(toks)
+                + [self.end_idx])
+
+    def __len__(self):
+        return (len(self.rows) + self.batch_size - 1) // self.batch_size
+
+    def num_rows(self):
+        return len(self.rows)
+
+    # -- batch assembly ----------------------------------------------------
+
+    def _load_row_features(self, row):
+        stacks = load_features_from_npy(
+            self.cfg, self.feature_names_list, row['video_id'], row['start'],
+            row['end'], row['duration'], self.pad_idx, get_full_feat=False)
+        out = {}
+        if 'video' in self.cfg.modality:
+            rgb, flow = stacks['rgb'], stacks['flow']
+            assert (rgb is None) == (flow is None)
+            if rgb is None:
+                rgb = fill_missing_features('zero', self.cfg.d_vid)
+                flow = fill_missing_features('zero', self.cfg.d_vid)
+            out['rgb'], out['flow'] = rgb, flow
+        if 'audio' in self.cfg.modality:
+            audio = stacks['audio']
+            if audio is None:
+                audio = fill_missing_features('zero', self.cfg.d_aud)
+            out['audio'] = audio
+        return out
+
+    def make_batch(self, indices: List[int]) -> dict:
+        rows = [self.rows[i] for i in indices]
+        feats = [self._load_row_features(r) for r in rows]
+        captions = [self._encoded[i] for i in indices]
+
+        Sc = bucket_len(max(len(c) for c in captions), CAPTION_BUCKETS)
+        cap = np.full((len(rows), Sc), self.pad_idx, np.int32)
+        for i, c in enumerate(captions):
+            c = c[:Sc]
+            cap[i, :len(c)] = c
+
+        src = {}
+        if 'video' in self.cfg.modality:
+            Sv = bucket_len(max(f['rgb'].shape[0] for f in feats),
+                            VIDEO_BUCKETS)
+            src['rgb'] = pad_stack_batch([f['rgb'] for f in feats],
+                                         self.pad_idx, Sv)
+            src['flow'] = pad_stack_batch([f['flow'] for f in feats], 0.0, Sv)
+        if 'audio' in self.cfg.modality:
+            Sa = bucket_len(max(f['audio'].shape[0] for f in feats),
+                            AUDIO_BUCKETS)
+            src['audio'] = pad_stack_batch([f['audio'] for f in feats],
+                                           self.pad_idx, Sa)
+
+        return {
+            'src': src,
+            'caption': cap,
+            'video_ids': [r['video_id'] for r in rows],
+            'starts': np.asarray([r['start'] for r in rows], np.float32),
+            'ends': np.asarray([r['end'] for r in rows], np.float32),
+        }
+
+    def batches(self, epoch: int = 0, shuffle: Optional[bool] = None,
+                seed: int = 0, prefetch: int = 2) -> Iterator[dict]:
+        '''Yield batches for one epoch; deterministic per (seed, epoch).'''
+        if shuffle is None:
+            shuffle = self.phase == 'train'
+        order = np.arange(len(self.rows))
+        if shuffle:
+            np.random.default_rng(seed + epoch).shuffle(order)
+        index_batches = [order[i:i + self.batch_size].tolist()
+                         for i in range(0, len(order), self.batch_size)]
+        yield from _prefetched(self.make_batch, index_batches, prefetch)
+
+
+def _prefetched(make_batch, index_batches, depth: int):
+    '''Background-thread prefetch: overlap feature IO with device compute.'''
+    if depth <= 0:
+        for idx in index_batches:
+            yield make_batch(idx)
+        return
+
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    _SENTINEL = object()
+
+    def worker():
+        try:
+            for idx in index_batches:
+                q.put(make_batch(idx))
+        except BaseException as e:  # surface worker errors to the consumer
+            q.put(e)
+        q.put(_SENTINEL)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _SENTINEL:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+    t.join()

@@ -1,0 +1,148 @@
+'''Proposal-generation dataset: one item per video, full padded features and
+dense static-shape YOLO targets.
+
+Replaces ProposalGenerationDataset (reference: datasets/proposal_dataset.py):
+- features are the full stacks padded to fixed lengths (audio 800, video 300
+  by default) — already static shapes, ideal for XLA,
+- per-video ground-truth events become dense (E_max,) center/length arrays
+  with a validity mask (instead of the reference's ragged
+  [batch_slot, center, length, meta_idx] rows),
+- videos with missing features or non-positive segments are filtered, with
+  the filter list cached on disk (reference: proposal_dataset.py:105-131).
+'''
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from bmt_tpu.data.features import load_features_from_npy
+from bmt_tpu.data.vocab import read_meta_csv
+
+
+class ProposalDataset:
+
+    def __init__(self, cfg, phase: str, pad_idx: int = 1,
+                 cache_dir: str = './tmp'):
+        self.cfg = cfg
+        self.phase = phase
+        self.pad_idx = pad_idx
+        self.modality = cfg.modality
+        meta_by_phase = {'train': cfg.train_meta_path,
+                         'val_1': cfg.val_1_meta_path,
+                         'val_2': cfg.val_2_meta_path}
+        self.meta_path = meta_by_phase[phase]
+        self.rows = read_meta_csv(self.meta_path)
+
+        self.feature_names_list = []
+        if 'video' in self.modality:
+            self.feature_names_list.append(f'{cfg.video_feature_name}_features')
+        if 'audio' in self.modality:
+            self.feature_names_list.append(f'{cfg.audio_feature_name}_features')
+
+        # group rows by video
+        self.by_video: dict = {}
+        for r in self.rows:
+            self.by_video.setdefault(r['video_id'], []).append(r)
+        video_ids = list(self.by_video.keys())
+
+        print(f'Dataset size (before filtering, {phase}): {len(video_ids)}')
+        self.cache_dir = cache_dir
+        self.video_ids = self._filter(video_ids)
+        print(f'Dataset size (after filtering, {phase}): {len(self.video_ids)}')
+
+        self.max_events = getattr(cfg, 'max_events_per_video', 32)
+        observed = max((len(v) for v in self.by_video.values()), default=1)
+        self.max_events = max(self.max_events, observed)
+
+        self.batch_size = (cfg.train_batch_size if phase == 'train'
+                           else cfg.inference_batch_size)
+
+    # -- filtering (cached) --------------------------------------------------
+    def _filter(self, video_ids: List[str]) -> List[str]:
+        bad = set()
+        for vid, rows in self.by_video.items():
+            if any(r['end'] - r['start'] <= 0 for r in rows):
+                bad.add(vid)
+
+        cache = os.path.join(
+            self.cache_dir,
+            f'filtered_ids_from_{self.phase}_for{self.modality}.json')
+        if os.path.exists(cache):
+            with open(cache) as f:
+                bad.update(json.load(f))
+            print(f'Loading filtered examples from: {cache}')
+        else:
+            missing = []
+            for vid in video_ids:
+                stacks = self._load_stacks(vid)
+                if any(v is None for k, v in stacks.items()
+                       if k != 'orig_feat_length'):
+                    missing.append(vid)
+            os.makedirs(self.cache_dir, exist_ok=True)
+            with open(cache, 'w') as f:
+                json.dump(missing, f)
+            bad.update(missing)
+        return [v for v in video_ids if v not in bad]
+
+    def _load_stacks(self, video_id: str) -> dict:
+        return load_features_from_npy(
+            self.cfg, self.feature_names_list, video_id, start=None,
+            end=None, duration=None, pad_idx=self.pad_idx, get_full_feat=True)
+
+    # -- batching ------------------------------------------------------------
+    def __len__(self):
+        if self.phase == 'train':
+            return len(self.video_ids) // self.batch_size  # drop_last
+        return (len(self.video_ids) + self.batch_size - 1) // self.batch_size
+
+    def make_batch(self, video_ids: List[str]) -> dict:
+        B = len(video_ids)
+        src = {}
+        stacks = [self._load_stacks(v) for v in video_ids]
+        if 'video' in self.modality:
+            src['rgb'] = np.stack([s['rgb'] for s in stacks])
+            src['flow'] = np.stack([s['flow'] for s in stacks])
+        if 'audio' in self.modality:
+            src['audio'] = np.stack([s['audio'] for s in stacks])
+
+        E = self.max_events
+        centers = np.zeros((B, E), np.float32)
+        lengths = np.zeros((B, E), np.float32)
+        valid = np.zeros((B, E), bool)
+        durations = []
+        for b, vid in enumerate(video_ids):
+            rows = self.by_video[vid]
+            durations.append(rows[0]['duration'])
+            for e, r in enumerate(rows[:E]):
+                centers[b, e] = r['start'] + (r['end'] - r['start']) / 2
+                lengths[b, e] = r['end'] - r['start']
+                valid[b, e] = True
+
+        return {
+            'src': src,
+            'centers': centers,
+            'lengths': lengths,
+            'valid': valid,
+            'video_ids': list(video_ids),
+            'duration_in_secs': durations,
+        }
+
+    def batches(self, epoch: int = 0, shuffle: Optional[bool] = None,
+                seed: int = 0, prefetch: int = 2,
+                pad_last: bool = False) -> Iterator[dict]:
+        from bmt_tpu.data.captioning import _prefetched
+        if shuffle is None:
+            shuffle = self.phase == 'train'
+        ids = list(self.video_ids)
+        if shuffle:
+            rng = np.random.default_rng(seed + epoch)
+            rng.shuffle(ids)
+        B = self.batch_size
+        if self.phase == 'train':
+            groups = [ids[i:i + B] for i in range(0, len(ids) - B + 1, B)]
+        else:
+            groups = [ids[i:i + B] for i in range(0, len(ids), B)]
+        yield from _prefetched(self.make_batch, groups, prefetch)

@@ -1,0 +1,137 @@
+'''Caption learned proposals and score them — the paper's headline pipeline
+(reference: scripts/eval_on_learned_props.py:14-135).
+
+Flow: proposals JSON -> tsv meta (filtering unavailable videos) ->
+'learned_props' captioning dataset (features re-cropped per proposal) ->
+batched KV-cached greedy decode -> submission JSON -> densevid scoring vs
+both val refs at tIoUs [0.3, 0.5, 0.7, 0.9].
+'''
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+
+from bmt_tpu.config import Config
+from bmt_tpu.data.captioning import CaptioningDataset
+from bmt_tpu.decode import make_bimodal_greedy_fn
+from bmt_tpu.models import CapModelDims
+from bmt_tpu.train.checkpoint import (import_cap_model, load_checkpoint,
+                                      load_pytree_npz, load_torch_checkpoint)
+from bmt_tpu.train.loops import validation_1by1
+
+
+def convert_props_in_json_to_csv(prop_pred_path: str, val_1_json_path: str,
+                                 avail_mp4_path: str) -> str:
+    '''Proposal predictions JSON -> tab-separated meta file
+    (reference: eval_on_learned_props.py:14-72).'''
+    assert 'val_1' in val_1_json_path, f'Is it the val_1 json: {val_1_json_path}'
+    pred_csv_path = prop_pred_path.replace('.json', '.csv')
+    if os.path.exists(pred_csv_path):
+        print(f'File {pred_csv_path} already exists. I will use it.')
+        return pred_csv_path
+
+    with open(prop_pred_path) as f:
+        pred_json = json.load(f)['results']
+    with open(val_1_json_path) as f:
+        vid2duration = {vid: v['duration']
+                        for vid, v in json.load(f).items()}
+    with open(avail_mp4_path) as f:
+        avail = {line.strip().replace('.mp4', '') for line in f}
+
+    rows = []
+    idx = 0
+    for video_id, props in pred_json.items():
+        if video_id not in avail or video_id not in vid2duration:
+            continue
+        for prop in props:
+            start, end = prop['timestamp']
+            rows.append((video_id, 'PLACEHOLDER', start, end,
+                         vid2duration[video_id], 'val_1', idx))
+            idx += 1
+
+    with open(pred_csv_path, 'w') as f:
+        f.write('video_id\tcaption_pred\tstart\tend\tduration\tphase\tidx\n')
+        for r in rows:
+            f.write('\t'.join(str(x) for x in r) + '\n')
+    return pred_csv_path
+
+
+def load_cap_checkpoint_any(path: str, params_like=None):
+    '''Load a captioning checkpoint: reference .pt or native npz dir.
+    Returns (params, cfg_dict, meta).'''
+    if path.endswith('.pt'):
+        cpt = load_torch_checkpoint(path)
+        params, cfg_dict = import_cap_model(cpt)
+        meta = {k: v for k, v in cpt.items()
+                if k not in ('model_state_dict', 'optimizer_state_dict')}
+        meta['config'] = cfg_dict
+        return params, cfg_dict, meta
+    # native: path is a dir containing best_cap_model.*
+    with open(os.path.join(path, 'best_cap_model.meta.json')) as f:
+        meta = json.load(f)
+    cfg_dict = meta['config']
+    assert params_like is not None, 'native load needs a params template'
+    params = load_pytree_npz(
+        os.path.join(path, 'best_cap_model.params.npz'), params_like)
+    return params, cfg_dict, meta
+
+
+def eval_on_learned_props(args_cfg: Config):
+    '''reference: eval_on_learned_props.py:85-135. args_cfg carries the CLI
+    args; the model config comes from the checkpoint.'''
+    path = args_cfg.pretrained_cap_model_path
+
+    if path.endswith('.pt'):
+        cpt = load_torch_checkpoint(path)
+        params, cfg_dict = import_cap_model(cpt)
+        epoch = cpt.get('epoch', 0)
+    else:
+        with open(os.path.join(path, 'best_cap_model.meta.json')) as f:
+            meta = json.load(f)
+        cfg_dict, epoch = meta['config'], meta.get('epoch', 0)
+        params = None  # loaded below once the template exists
+
+    cfg = Config.from_dict({**cfg_dict})
+    # CLI overrides (reference: eval_on_learned_props.py:88-95)
+    cfg.max_prop_per_vid = args_cfg.max_prop_per_vid
+    cfg.log_path = os.path.split(path)[0] if path.endswith('.pt') else path
+    cfg.train_meta_path = args_cfg.train_meta_path
+    cfg.val_1_meta_path = args_cfg.val_1_meta_path
+    cfg.val_2_meta_path = args_cfg.val_2_meta_path
+    cfg.reference_paths = args_cfg.reference_paths
+    cfg.tIoUs = args_cfg.tIoUs
+    cfg.avail_mp4_path = args_cfg.avail_mp4_path
+    if 'audio' in cfg.modality:
+        cfg.audio_features_path = args_cfg.audio_features_path
+        assert os.path.exists(cfg.audio_features_path)
+    if 'video' in cfg.modality:
+        cfg.video_features_path = args_cfg.video_features_path
+        assert os.path.exists(cfg.video_features_path)
+
+    cfg.val_prop_meta_path = convert_props_in_json_to_csv(
+        args_cfg.prop_pred_path, cfg.reference_paths[0].replace(
+            '_no_missings', ''), cfg.avail_mp4_path)
+    print(cfg.log_path)
+
+    train_ds = CaptioningDataset(cfg, 'train')
+    pred_prop_ds = CaptioningDataset(cfg, 'learned_props',
+                                     vocab=train_ds.train_vocab)
+    print(f'Loader will use: {pred_prop_ds.meta_path}')
+
+    dims = CapModelDims.from_config(cfg, train_ds.trg_voc_size)
+    if params is None:
+        from bmt_tpu.models import init_bimodal_transformer
+        template = init_bimodal_transformer(jax.random.PRNGKey(0), dims)
+        params = load_pytree_npz(
+            os.path.join(path, 'best_cap_model.params.npz'), template)
+
+    greedy_fn = make_bimodal_greedy_fn(
+        dims, cfg.max_len, train_ds.start_idx, train_ds.end_idx,
+        train_ds.pad_idx, getattr(cfg, 'attention_impl', 'xla'))
+
+    metrics = validation_1by1(cfg, params, greedy_fn, pred_prop_ds, epoch,
+                              logger=None, phase='learned_props')
+    print(metrics)
+    return metrics

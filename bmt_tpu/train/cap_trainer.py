@@ -1,0 +1,200 @@
+'''Captioning-module training driver (reference:
+scripts/train_captioning_module.py:18-135).
+
+Differences by design:
+- nn.DataParallel -> jit over a jax.sharding Mesh (grad all-reduce over ICI),
+- torchtext/GloVe -> host vocab + aligned GloVe matrix (optional on disk),
+- checkpoints are native npz+JSON with full resume; metadata mirrors the
+  reference checkpoint fields (epoch, val losses/metrics, trg_voc_size,
+  config).
+'''
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bmt_tpu.config import Config
+from bmt_tpu.data.captioning import CaptioningDataset
+from bmt_tpu.data.vocab import load_glove
+from bmt_tpu.decode import make_bimodal_greedy_fn
+from bmt_tpu.models import (CapModelDims, init_bimodal_transformer,
+                            init_unimodal_transformer)
+from bmt_tpu.parallel import DataParallel
+from bmt_tpu.train.checkpoint import (import_prop_model, load_checkpoint,
+                                      load_torch_checkpoint, save_checkpoint)
+from bmt_tpu.train.loops import (train_epoch_cap, validate_next_word,
+                                 validation_1by1)
+from bmt_tpu.train.optim import (ReduceLROnPlateau, build_optimizer,
+                                 freeze_mask, set_learning_rate)
+from bmt_tpu.train.steps import (init_train_state, make_cap_train_step,
+                                 make_cap_val_step)
+from bmt_tpu.utils.logging import MetricsLogger, NullLogger
+from bmt_tpu.utils.misc import average_metrics_in_two_dicts, timer
+
+
+def _load_pretrained_encoder(params, cfg):
+    '''Optionally seed the encoder from a proposal checkpoint (ablation;
+    reference: captioning_module.py:147-162). Accepts native npz dirs or
+    reference .pt files.'''
+    path = getattr(cfg, 'pretrained_prop_model_path', None)
+    if not path:
+        return params, None
+    print(f'Pretrained prop path: \n {path}')
+    if path.endswith('.pt'):
+        cpt = load_torch_checkpoint(path)
+        prop_params, _ = import_prop_model(cpt)
+        params['encoder'] = prop_params['encoder']
+    else:
+        raise NotImplementedError('native prop checkpoint encoder load: '
+                                  'pass the .pt or extend here')
+    frozen = not getattr(cfg, 'finetune_prop_encoder', False)
+    return params, ('encoder' if frozen else None)
+
+
+def train_cap(cfg: Config):
+    seed = 0
+    np.random.seed(seed)
+
+    train_ds = CaptioningDataset(cfg, 'train')
+    val_1_ds = CaptioningDataset(cfg, 'val_1', vocab=train_ds.train_vocab)
+    val_2_ds = CaptioningDataset(cfg, 'val_2', vocab=train_ds.train_vocab)
+
+    dims = CapModelDims.from_config(cfg, train_ds.trg_voc_size)
+
+    glove = None
+    if getattr(cfg, 'glove_path', None):
+        glove = load_glove(cfg.glove_path, train_ds.train_vocab,
+                           dim=min(cfg.d_model_caps, 300),
+                           cache_dir='./tmp')
+
+    key = jax.random.PRNGKey(seed)
+    if cfg.modality == 'audio_video':
+        params = init_bimodal_transformer(key, dims, glove=glove)
+        emb_key = 'emb_C'
+    else:
+        params = init_unimodal_transformer(key, dims, glove=glove)
+        emb_key = 'trg_emb'
+
+    params, frozen_module = _load_pretrained_encoder(params, cfg)
+
+    # frozen leaves: GloVe table unless --unfreeze_word_emb; imported encoder
+    freeze_emb = (glove is not None
+                  and not getattr(cfg, 'unfreeze_word_emb', False))
+
+    def is_frozen(path_keys):
+        if freeze_emb and path_keys[:2] == (emb_key, 'table'):
+            return True
+        if frozen_module is not None and path_keys[0] == frozen_module:
+            return True
+        return False
+
+    mask = freeze_mask(params, is_frozen)
+    optimizer = build_optimizer(cfg, frozen_mask=mask)
+
+    dp = DataParallel(getattr(cfg, 'dp_devices', None))
+    compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == 'bfloat16'
+                     else jnp.float32)
+    train_step = dp.jit_step(make_cap_train_step(
+        dims, optimizer, cfg.smoothing, train_ds.pad_idx,
+        cfg.attention_impl, compute_dtype))
+    val_step = jax.jit(make_cap_val_step(
+        dims, cfg.smoothing, train_ds.pad_idx, cfg.attention_impl,
+        compute_dtype))
+    greedy_fn = make_bimodal_greedy_fn(
+        dims, cfg.max_len, train_ds.start_idx, train_ds.end_idx,
+        train_ds.pad_idx, cfg.attention_impl)
+
+    state = init_train_state(params, optimizer, seed)
+    state = state._replace(params=dp.replicate_tree(state.params),
+                           opt_state=dp.replicate_tree(state.opt_state))
+
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params)
+                   if hasattr(p, 'shape'))
+    print(f'Total Number of Trainable Parameters: {n_params / 1e6} Mil.')
+
+    logger = MetricsLogger(cfg.log_path) if cfg.to_log else NullLogger()
+    logger.add_scalar('debug/param_number', n_params, 0)
+
+    scheduler = None
+    if cfg.scheduler == 'reduce_on_plateau':
+        scheduler = ReduceLROnPlateau(cfg.lr, cfg.lr_reduce_factor,
+                                      cfg.lr_patience)
+
+    best_metric = 0.0
+    unchanged = 0
+    start_epoch = 0
+
+    # resume if a checkpoint exists in the log dir
+    ckpt_dir = cfg.model_checkpoint_path if cfg.to_log else None
+    if ckpt_dir and os.path.exists(
+            os.path.join(ckpt_dir, 'last_cap_model.params.npz')):
+        p, meta, opt = load_checkpoint(ckpt_dir, state.params,
+                                       state.opt_state, 'last_cap_model')
+        state = state._replace(params=p, opt_state=opt or state.opt_state)
+        start_epoch = meta.get('epoch', -1) + 1
+        best_metric = meta.get('best_metric', 0.0)
+        print(f'Resumed from epoch {start_epoch}')
+
+    for epoch in range(start_epoch, cfg.epoch_num):
+        print(f'The best metric was unchanged for {unchanged} epochs.')
+        print(f'Started @ {cfg.curr_time}; '
+              f'Current timer: {timer(cfg.curr_time)}')
+        if unchanged == cfg.early_stop_after:
+            break
+
+        state, train_loss = train_epoch_cap(train_step, state, train_ds,
+                                            epoch, logger, dp, seed)
+        val_1_loss = validate_next_word(val_step, state.params, val_1_ds,
+                                        epoch)
+        val_2_loss = validate_next_word(val_step, state.params, val_2_ds,
+                                        epoch)
+        val_avg = (val_1_loss + val_2_loss) / 2
+        logger.add_scalar('debug/val_loss_avg', val_avg, epoch)
+
+        if scheduler is not None:
+            set_learning_rate(state.opt_state, scheduler.step(val_avg))
+
+        if epoch >= cfg.one_by_one_starts_at:
+            val_1_metrics = validation_1by1(cfg, state.params, greedy_fn,
+                                            val_1_ds, epoch, logger)
+            val_2_metrics = validation_1by1(cfg, state.params, greedy_fn,
+                                            val_2_ds, epoch, logger)
+            if cfg.to_log and val_1_metrics is not None:
+                avg = average_metrics_in_two_dicts(
+                    val_1_metrics, val_2_metrics)['Average across tIoUs']
+                for name, tag in (('METEOR', 'meteor'), ('Bleu_4', 'bleu4'),
+                                  ('Bleu_3', 'bleu3'),
+                                  ('Precision', 'precision'),
+                                  ('Recall', 'recall')):
+                    logger.add_scalar(f'metrics/{tag}', avg[name] * 100,
+                                      epoch)
+
+                meta = {
+                    'config': cfg.to_dict(),
+                    'epoch': epoch,
+                    'val_1_loss': val_1_loss, 'val_2_loss': val_2_loss,
+                    'val_1_metrics': val_1_metrics,
+                    'val_2_metrics': val_2_metrics,
+                    'trg_voc_size': train_ds.trg_voc_size,
+                    'vocab_itos': train_ds.train_vocab.itos,
+                    'best_metric': best_metric,
+                }
+                # always save the rolling checkpoint for resume
+                save_checkpoint(ckpt_dir, state.params, meta,
+                                state.opt_state, 'last_cap_model')
+                if best_metric < avg['METEOR']:
+                    best_metric = avg['METEOR']
+                    meta['best_metric'] = best_metric
+                    save_checkpoint(ckpt_dir, state.params, meta,
+                                    state.opt_state, 'best_cap_model')
+                    unchanged = 0
+                else:
+                    unchanged += 1
+
+    print(f'{cfg.curr_time}')
+    print(f'best_metric: {best_metric}')
+    logger.close()
+    return best_metric

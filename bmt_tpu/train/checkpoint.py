@@ -1,0 +1,405 @@
+'''Checkpointing: native save/resume + reference PyTorch .pt import.
+
+Native format: a directory with ``params.npz`` / ``opt_state.npz`` (flattened
+pytrees), ``meta.json`` (config dict, epoch, metrics, vocab itos) — full
+training resume, unlike the reference which can only save
+(reference: captioning_epoch_loops.py:68-88 saves, nothing loads for resume).
+
+Reference import: reads ``best_cap_model.pt`` / ``best_prop_model.pt``
+(PyTorch zip pickles containing a pickled Config object and a DataParallel
+state_dict with ``module.`` prefixes — reference:
+scripts/eval_on_learned_props.py:80-95, sample/single_video_prediction.py:95)
+and converts them into this framework's parameter pytrees. torch (CPU) is
+used for deserialization only.
+'''
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import types
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+
+SEP = '/'
+
+
+# ---------------------------------------------------------------------------
+# native npz checkpoints with resume
+# ---------------------------------------------------------------------------
+
+def _flatten(tree, prefix=''):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f'{prefix}{k}{SEP}'))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f'{prefix}{i}{SEP}'))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def save_pytree_npz(path: str, tree):
+    np.savez(path, **_flatten(tree))
+
+
+def load_pytree_npz(path: str, like):
+    '''Restore arrays into the structure of ``like`` (same treedef).'''
+    data = dict(np.load(path, allow_pickle=False))
+
+    def rebuild(t, prefix=''):
+        if isinstance(t, dict):
+            return {k: rebuild(v, f'{prefix}{k}{SEP}') for k, v in t.items()}
+        if isinstance(t, (list, tuple)):
+            seq = [rebuild(v, f'{prefix}{i}{SEP}') for i, v in enumerate(t)]
+            if hasattr(t, '_fields'):  # NamedTuple (e.g. optax states)
+                return type(t)(*seq)
+            return tuple(seq) if isinstance(t, tuple) else seq
+        return data[prefix[:-1]]
+
+    return rebuild(like)
+
+
+def save_checkpoint(ckpt_dir: str, params, meta: dict, opt_state=None,
+                    name: str = 'best_cap_model'):
+    '''meta: JSON-serializable dict (config, epoch, metrics, vocab itos...).'''
+    os.makedirs(ckpt_dir, exist_ok=True)
+    save_pytree_npz(os.path.join(ckpt_dir, f'{name}.params.npz'), params)
+    if opt_state is not None:
+        save_pytree_npz(os.path.join(ckpt_dir, f'{name}.opt.npz'), opt_state)
+    with open(os.path.join(ckpt_dir, f'{name}.meta.json'), 'w') as f:
+        json.dump(meta, f, default=str)
+
+
+def load_checkpoint(ckpt_dir: str, params_like, opt_state_like=None,
+                    name: str = 'best_cap_model'):
+    params = load_pytree_npz(os.path.join(ckpt_dir, f'{name}.params.npz'),
+                             params_like)
+    with open(os.path.join(ckpt_dir, f'{name}.meta.json')) as f:
+        meta = json.load(f)
+    opt_state = None
+    opt_path = os.path.join(ckpt_dir, f'{name}.opt.npz')
+    if opt_state_like is not None and os.path.exists(opt_path):
+        opt_state = load_pytree_npz(opt_path, opt_state_like)
+    return params, meta, opt_state
+
+
+# ---------------------------------------------------------------------------
+# reference torch .pt import
+# ---------------------------------------------------------------------------
+
+class _ConfigShim:
+    '''Stands in for the reference's pickled Config object
+    (reference: eval_on_learned_props.py:80-83).'''
+
+    def __init__(self, *a, **k):
+        pass
+
+
+def _install_config_shims():
+    '''Unpickling reference checkpoints needs
+    utilities.config_constructor.Config importable.'''
+    for mod_name in ('utilities', 'utilities.config_constructor'):
+        if mod_name not in sys.modules:
+            sys.modules[mod_name] = types.ModuleType(mod_name)
+    sys.modules['utilities.config_constructor'].Config = _ConfigShim
+
+
+def load_torch_checkpoint(path: str) -> dict:
+    '''Load a reference .pt checkpoint; tensors -> numpy, pickled Config ->
+    plain attribute dict.'''
+    _install_config_shims()
+    import torch
+    cpt = torch.load(path, map_location='cpu', weights_only=False)
+    out = {}
+    for k, v in cpt.items():
+        if k == 'model_state_dict':
+            out[k] = {name: t.detach().cpu().numpy()
+                      for name, t in v.items()}
+        elif k == 'config':
+            out[k] = dict(getattr(v, '__dict__', {}))
+        elif k == 'optimizer_state_dict' or k == 'scheduler_state_dict':
+            out[k] = v  # opaque; not imported
+        else:
+            out[k] = v
+    return out
+
+
+def _strip_module(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    '''DataParallel wrap leaves a 'module.' key prefix
+    (reference consequence of train_captioning_module.py:61).'''
+    return {re.sub(r'^module\.', '', k): v for k, v in sd.items()}
+
+
+def _lin(sd, base) -> dict:
+    '''torch Linear (out,in) -> ours (in,out).'''
+    return {'w': np.ascontiguousarray(sd[f'{base}.weight'].T),
+            'b': sd[f'{base}.bias']}
+
+
+def _ln(sd, base) -> dict:
+    return {'scale': sd[f'{base}.weight'], 'bias': sd[f'{base}.bias']}
+
+
+def _mha(sd, base) -> dict:
+    return {'q2d': _lin(sd, f'{base}.linear_Q2d'),
+            'k2d': _lin(sd, f'{base}.linear_K2d'),
+            'v2d': _lin(sd, f'{base}.linear_V2d'),
+            'd2q': _lin(sd, f'{base}.linear_d2Q')}
+
+
+def _ffn(sd, base) -> dict:
+    return {'fc1': _lin(sd, f'{base}.fc1'), 'fc2': _lin(sd, f'{base}.fc2')}
+
+
+def _vocab_embedder(sd, base) -> dict:
+    '''Embedding table (plus optional adapter when GloVe width != d_model;
+    reference: model/blocks.py:53-63).'''
+    if f'{base}.embedder.weight' in sd:
+        return {'table': sd[f'{base}.embedder.weight']}
+    return {'table': sd[f'{base}.embedder.0.weight'],
+            'adapter': _lin(sd, f'{base}.embedder.1')}
+
+
+def _count_layers(sd, pattern: str) -> int:
+    rx = re.compile(pattern)
+    idxs = {int(m.group(1)) for k in sd if (m := rx.match(k))}
+    return max(idxs) + 1 if idxs else 0
+
+
+def _bimodal_encoder_from_sd(sd, prefix='encoder.encoder_AV.layers') -> dict:
+    N = _count_layers(sd, rf'{re.escape(prefix)}\.(\d+)\.')
+    layers = []
+    for i in range(N):
+        b = f'{prefix}.{i}'
+        layers.append({
+            'self_att_M1': _mha(sd, f'{b}.self_att_M1'),
+            'self_att_M2': _mha(sd, f'{b}.self_att_M2'),
+            'cross_att_M1': _mha(sd, f'{b}.bi_modal_att_M1'),
+            'cross_att_M2': _mha(sd, f'{b}.bi_modal_att_M2'),
+            'ff_M1': _ffn(sd, f'{b}.feed_forward_M1'),
+            'ff_M2': _ffn(sd, f'{b}.feed_forward_M2'),
+            'res_M1': [_ln(sd, f'{b}.res_layers_M1.{j}.norm') for j in range(3)],
+            'res_M2': [_ln(sd, f'{b}.res_layers_M2.{j}.norm') for j in range(3)],
+        })
+    return {'layers': layers}
+
+
+def _encoder_from_sd(sd, prefix='encoder.enc_layers') -> dict:
+    N = _count_layers(sd, rf'{re.escape(prefix)}\.(\d+)\.')
+    layers = []
+    for i in range(N):
+        b = f'{prefix}.{i}'
+        layers.append({
+            'self_att': _mha(sd, f'{b}.self_att'),
+            'ff': _ffn(sd, f'{b}.feed_forward'),
+            'res': [_ln(sd, f'{b}.res_layers.{j}.norm') for j in range(2)],
+        })
+    return {'layers': layers}
+
+
+def import_cap_model(cpt: dict) -> Tuple[dict, dict]:
+    '''Reference BiModalTransformer checkpoint -> (params pytree, config
+    dict). Key layout per model/captioning_module.py:101-187.'''
+    sd = _strip_module(cpt['model_state_dict'])
+    cfg = cpt.get('config', {})
+
+    params = {
+        'emb_C': _vocab_embedder(sd, 'emb_C'),
+        'encoder': _bimodal_encoder_from_sd(sd),
+        'generator': _lin(sd, 'generator.linear'),
+    }
+    if 'emb_A.embedder.weight' in sd:
+        params['emb_A'] = {'linear': _lin(sd, 'emb_A.embedder')}
+        params['emb_V'] = {'linear': _lin(sd, 'emb_V.embedder')}
+
+    # decoder: decoder.decoder.layers.{i}
+    N = _count_layers(sd, r'decoder\.decoder\.layers\.(\d+)\.')
+    layers = []
+    for i in range(N):
+        b = f'decoder.decoder.layers.{i}'
+        layers.append({
+            'self_att': _mha(sd, f'{b}.self_att'),
+            'enc_att_A': _mha(sd, f'{b}.enc_att_A'),
+            'enc_att_V': _mha(sd, f'{b}.enc_att_V'),
+            'bridge': {'norm': _ln(sd, f'{b}.bridge.norm'),
+                       'linear': _lin(sd, f'{b}.bridge.linear')},
+            'ff': _ffn(sd, f'{b}.feed_forward'),
+            'res_self': _ln(sd, f'{b}.res_layer_self_att.norm'),
+            'res_enc_A': _ln(sd, f'{b}.res_layer_enc_att_A.norm'),
+            'res_enc_V': _ln(sd, f'{b}.res_layer_enc_att_V.norm'),
+            'res_ff': _ln(sd, f'{b}.res_layer_ff.norm'),
+        })
+    params['decoder'] = {'layers': layers}
+    return params, cfg
+
+
+def _conv_head_from_sd(sd, base: str) -> dict:
+    '''Detection head Sequential: classify entries by tensor rank
+    (3-dim = Conv1d, pairs of 1-dim = LayerNorm).'''
+    rx = re.compile(rf'{re.escape(base)}\.conv_layers\.(\d+)\.(weight|bias)')
+    by_idx: Dict[int, dict] = {}
+    for k, v in sd.items():
+        m = rx.match(k)
+        if m:
+            by_idx.setdefault(int(m.group(1)), {})[m.group(2)] = v
+
+    convs, lns = [], []
+    for idx in sorted(by_idx):
+        entry = by_idx[idx]
+        w = entry['weight']
+        if w.ndim == 3:  # torch Conv1d (out, in, k) -> (k, in, out)
+            convs.append({'w': np.ascontiguousarray(w.transpose(2, 1, 0)),
+                          'b': entry['bias']})
+        else:            # LayerNorm
+            lns.append({'scale': w, 'bias': entry['bias']})
+    head = {'convs': convs}
+    if lns:
+        head['lns'] = lns
+    return head
+
+
+def import_prop_model(cpt: dict) -> Tuple[dict, dict]:
+    '''Reference MultimodalProposalGenerator checkpoint -> (params, config).
+    Key layout per model/proposal_generator.py:215-270. Anchors ride along
+    in params as 'anchors_A'/'anchors_V'.'''
+    sd = _strip_module(cpt['model_state_dict'])
+    cfg = cpt.get('config', {})
+
+    params = {'encoder': _bimodal_encoder_from_sd(sd)}
+    if 'emb_A.embedder.weight' in sd:
+        params['emb_A'] = {'linear': _lin(sd, 'emb_A.embedder')}
+        params['emb_V'] = {'linear': _lin(sd, 'emb_V.embedder')}
+
+    for mod, key in (('A', 'heads_A'), ('V', 'heads_V')):
+        n = _count_layers(sd, rf'detection_layers_{mod}\.(\d+)\.')
+        params[key] = [
+            _conv_head_from_sd(sd, f'detection_layers_{mod}.{i}')
+            for i in range(n)]
+
+    anchors = cpt.get('anchors', {})
+    if 'audio' in anchors:
+        params['anchors_A'] = np.asarray(anchors['audio'], np.float32)
+    if 'video' in anchors:
+        params['anchors_V'] = np.asarray(anchors['video'], np.float32)
+    return params, cfg
+
+
+def import_unimodal_prop_model(cpt: dict, modality: str) -> Tuple[dict, dict]:
+    '''Reference uni-modal ProposalGenerator checkpoint
+    (model/proposal_generator.py:50-120).'''
+    sd = _strip_module(cpt['model_state_dict'])
+    cfg = cpt.get('config', {})
+    params = {'encoder': _encoder_from_sd(sd)}
+    if 'emb.embedder.weight' in sd:
+        params['emb'] = {'linear': _lin(sd, 'emb.embedder')}
+    n = _count_layers(sd, r'detection_layers\.(\d+)\.')
+    params['heads'] = [_conv_head_from_sd(sd, f'detection_layers.{i}')
+                       for i in range(n)]
+    anchors = cpt.get('anchors', {})
+    if modality in anchors:
+        params['anchors'] = np.asarray(anchors[modality], np.float32)
+    return params, cfg
+
+
+def import_unimodal_cap_model(cpt: dict) -> Tuple[dict, dict]:
+    '''Reference uni-modal Transformer checkpoint
+    (model/captioning_module.py:16-98).'''
+    sd = _strip_module(cpt['model_state_dict'])
+    cfg = cpt.get('config', {})
+    params = {
+        'trg_emb': _vocab_embedder(sd, 'trg_emb'),
+        'encoder': _encoder_from_sd(sd, 'encoder.enc_layers'),
+        'generator': _lin(sd, 'generator.linear'),
+    }
+    if 'src_emb.embedder.weight' in sd:
+        params['src_emb'] = {'linear': _lin(sd, 'src_emb.embedder')}
+    N = _count_layers(sd, r'decoder\.dec_layers\.(\d+)\.')
+    layers = []
+    for i in range(N):
+        b = f'decoder.dec_layers.{i}'
+        layers.append({
+            'self_att': _mha(sd, f'{b}.self_att'),
+            'enc_att': _mha(sd, f'{b}.enc_att'),
+            'ff': _ffn(sd, f'{b}.feed_forward'),
+            'res': [_ln(sd, f'{b}.res_layers.{j}.norm') for j in range(3)],
+        })
+    params['decoder'] = {'layers': layers}
+    return params, cfg
+
+
+# ---------------------------------------------------------------------------
+# export: reference-compatible state_dict naming (for round-trip tests and
+# for users moving back to the torch implementation)
+# ---------------------------------------------------------------------------
+
+def export_cap_state_dict(params: dict, data_parallel: bool = True) -> dict:
+    '''Inverse of import_cap_model: produce a reference-keyed state_dict of
+    numpy arrays.'''
+    sd = {}
+
+    def put_lin(base, p):
+        sd[f'{base}.weight'] = np.ascontiguousarray(np.asarray(p['w']).T)
+        sd[f'{base}.bias'] = np.asarray(p['b'])
+
+    def put_ln(base, p):
+        sd[f'{base}.weight'] = np.asarray(p['scale'])
+        sd[f'{base}.bias'] = np.asarray(p['bias'])
+
+    def put_mha(base, p):
+        put_lin(f'{base}.linear_Q2d', p['q2d'])
+        put_lin(f'{base}.linear_K2d', p['k2d'])
+        put_lin(f'{base}.linear_V2d', p['v2d'])
+        put_lin(f'{base}.linear_d2Q', p['d2q'])
+
+    def put_ffn(base, p):
+        put_lin(f'{base}.fc1', p['fc1'])
+        put_lin(f'{base}.fc2', p['fc2'])
+
+    emb = params['emb_C']
+    if 'adapter' in emb:
+        sd['emb_C.embedder.0.weight'] = np.asarray(emb['table'])
+        put_lin('emb_C.embedder.1', emb['adapter'])
+    else:
+        sd['emb_C.embedder.weight'] = np.asarray(emb['table'])
+
+    if 'emb_A' in params:
+        put_lin('emb_A.embedder', params['emb_A']['linear'])
+        put_lin('emb_V.embedder', params['emb_V']['linear'])
+
+    for i, L in enumerate(params['encoder']['layers']):
+        b = f'encoder.encoder_AV.layers.{i}'
+        put_mha(f'{b}.self_att_M1', L['self_att_M1'])
+        put_mha(f'{b}.self_att_M2', L['self_att_M2'])
+        put_mha(f'{b}.bi_modal_att_M1', L['cross_att_M1'])
+        put_mha(f'{b}.bi_modal_att_M2', L['cross_att_M2'])
+        put_ffn(f'{b}.feed_forward_M1', L['ff_M1'])
+        put_ffn(f'{b}.feed_forward_M2', L['ff_M2'])
+        for j in range(3):
+            put_ln(f'{b}.res_layers_M1.{j}.norm', L['res_M1'][j])
+            put_ln(f'{b}.res_layers_M2.{j}.norm', L['res_M2'][j])
+
+    for i, L in enumerate(params['decoder']['layers']):
+        b = f'decoder.decoder.layers.{i}'
+        put_mha(f'{b}.self_att', L['self_att'])
+        put_mha(f'{b}.enc_att_A', L['enc_att_A'])
+        put_mha(f'{b}.enc_att_V', L['enc_att_V'])
+        put_ln(f'{b}.bridge.norm', L['bridge']['norm'])
+        put_lin(f'{b}.bridge.linear', L['bridge']['linear'])
+        put_ffn(f'{b}.feed_forward', L['ff'])
+        put_ln(f'{b}.res_layer_self_att.norm', L['res_self'])
+        put_ln(f'{b}.res_layer_enc_att_A.norm', L['res_enc_A'])
+        put_ln(f'{b}.res_layer_enc_att_V.norm', L['res_enc_V'])
+        put_ln(f'{b}.res_layer_ff.norm', L['res_ff'])
+
+    put_lin('generator.linear', params['generator'])
+
+    if data_parallel:
+        sd = {f'module.{k}': v for k, v in sd.items()}
+    return sd

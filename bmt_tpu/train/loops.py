@@ -1,0 +1,215 @@
+'''Epoch-level training / validation loops and the 1-by-1 greedy-decode
+validation producing ActivityNet submission JSONs.
+
+Functional re-design of the reference epoch loops
+(reference: epoch_loops/captioning_epoch_loops.py:122-292,
+epoch_loops/proposal_epoch_loops.py:27-140) around jitted step functions and
+a data-parallel mesh instead of nn.DataParallel.
+'''
+from __future__ import annotations
+
+import json
+import os
+from time import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from bmt_tpu.evaluation.metrics import calculate_metrics
+from bmt_tpu.utils.misc import HiddenPrints
+
+
+def _device_batch(batch: dict, keys) -> dict:
+    return {k: batch[k] for k in keys if k in batch}
+
+
+def _pad_batch_to(batch: dict, B: int) -> dict:
+    '''Repeat-pad array leaves along axis 0 to batch size B (decode batches
+    must hit a fixed compiled shape; extra rows are sliced off afterward).'''
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray) and v.shape and v.shape[0] < B:
+            reps = [v[-1:]] * (B - v.shape[0])
+            out[k] = np.concatenate([v] + reps, axis=0)
+        elif isinstance(v, dict):
+            out[k] = _pad_batch_to(v, B)
+        else:
+            out[k] = v
+    return out
+
+
+def train_epoch_cap(train_step, state, dataset, epoch: int, logger=None,
+                    dp=None, seed: int = 0):
+    '''Teacher-forced training epoch (reference:
+    captioning_epoch_loops.py:122-149). Returns (state, mean loss).'''
+    total, n = 0.0, 0
+    for batch in dataset.batches(epoch=epoch, seed=seed):
+        if len(batch['video_ids']) != dataset.batch_size:
+            continue  # keep shapes static / divisible over the dp mesh
+        dev = _device_batch(batch, ('src', 'caption'))
+        if dp is not None:
+            dev = dp.shard(dev)
+        state, metrics = train_step(state, dev)
+        total += float(metrics['loss'])
+        n += 1
+    mean = total / max(n, 1)
+    if logger is not None:
+        logger.add_scalar('debug/train_loss_epoch', mean, epoch)
+    return state, mean
+
+
+def validate_next_word(val_step, params, dataset, epoch: int,
+                       dp=None) -> float:
+    '''Next-word validation loss (reference:
+    captioning_epoch_loops.py:152-172).'''
+    total, n = 0.0, 0
+    for batch in dataset.batches(epoch=0, shuffle=False):
+        B = dataset.batch_size
+        batch = _pad_batch_to(batch, B)
+        dev = _device_batch(batch, ('src', 'caption'))
+        if dp is not None:
+            dev = dp.shard(dev)
+        total += float(val_step(params, dev))
+        n += 1
+    return total / max(n, 1)
+
+
+def ints_to_sentence(ints, vocab, end_token='</s>') -> str:
+    '''Token ids -> cleaned sentence (reference:
+    captioning_epoch_loops.py:217-240): drop <s>, cut at first </s>, join,
+    capitalize.'''
+    strings = [vocab.itos[int(i)] for i in ints][1:]
+    try:
+        strings = strings[:strings.index(end_token)]
+    except ValueError:
+        pass
+    return ' '.join(strings).capitalize()
+
+
+def validation_1by1(cfg, params, decoder_fn, dataset, epoch: int,
+                    logger=None, phase: Optional[str] = None):
+    '''Greedy-decode every validation segment, write the submission JSON and
+    score it (reference: captioning_epoch_loops.py:174-292).
+
+    decoder_fn(params, feature_stacks) -> (B, max_len+1) token ids.
+    '''
+    start_timer = time()
+    phase = phase or dataset.phase
+    predictions = {
+        'version': 'VERSION 1.0',
+        'external_data': {'used': True, 'details': ''},
+        'results': {},
+    }
+
+    if phase == 'val_1':
+        reference_paths = [cfg.reference_paths[0]]
+        tIoUs = [0.5]
+    elif phase == 'val_2':
+        reference_paths = [cfg.reference_paths[1]]
+        tIoUs = [0.5]
+    elif phase == 'learned_props':
+        reference_paths = cfg.reference_paths
+        tIoUs = cfg.tIoUs
+        assert len(tIoUs) == 4
+    else:
+        raise ValueError(phase)
+
+    for batch in dataset.batches(epoch=0, shuffle=False):
+        n_valid = len(batch['video_ids'])
+        padded = _pad_batch_to(batch, dataset.batch_size)
+        ints_stack = np.asarray(decoder_fn(params, padded['src']))[:n_valid]
+        for vid, start, end, ints in zip(batch['video_ids'], batch['starts'],
+                                         batch['ends'], ints_stack):
+            segment = {
+                'sentence': ints_to_sentence(ints, dataset.train_vocab,
+                                             cfg.end_token),
+                'timestamp': [float(start), float(end)],
+            }
+            predictions['results'].setdefault(vid, []).append(segment)
+
+    if cfg.log_path is None:
+        return None
+
+    os.makedirs(cfg.log_path, exist_ok=True)
+    submission_path = os.path.join(
+        cfg.log_path, f'captioning_results_{phase}_e{epoch}.json')
+    if os.path.exists(submission_path):
+        submission_path = submission_path.replace('.json', f'_{time()}.json')
+    with open(submission_path, 'w') as f:
+        json.dump(predictions, f)
+
+    with HiddenPrints():
+        val_metrics = calculate_metrics(reference_paths, submission_path,
+                                        tIoUs, cfg.max_prop_per_vid)
+    if phase == 'learned_props':
+        print(submission_path)
+
+    if logger is not None and phase != 'learned_props':
+        avg = val_metrics['Average across tIoUs']
+        logger.add_scalar(f'{phase}/meteor', avg['METEOR'] * 100, epoch)
+        logger.add_scalar(f'{phase}/bleu4', avg['Bleu_4'] * 100, epoch)
+        logger.add_scalar(f'{phase}/bleu3', avg['Bleu_3'] * 100, epoch)
+        logger.add_scalar(f'{phase}/precision', avg['Precision'] * 100, epoch)
+        logger.add_scalar(f'{phase}/recall', avg['Recall'] * 100, epoch)
+        logger.add_scalar(f'{phase}/duration_of_1by1',
+                          (time() - start_timer) / 60, epoch)
+    return val_metrics
+
+
+def train_epoch_prop(train_step, state, dataset, epoch: int, logger=None,
+                     dp=None, seed: int = 0):
+    '''Proposal-generator training epoch (reference:
+    proposal_epoch_loops.py:27-63).'''
+    total, n = 0.0, 0
+    acc: dict = {}
+    for batch in dataset.batches(epoch=epoch, seed=seed):
+        dev = _device_batch(batch, ('src', 'centers', 'lengths', 'valid'))
+        if dp is not None:
+            dev = dp.shard(dev)
+        state, metrics = train_step(state, dev)
+        total += float(metrics['loss'])
+        for k, v in metrics.items():
+            if k != 'loss':
+                acc[k] = acc.get(k, 0.0) + float(v)
+        n += 1
+    mean = total / max(n, 1)
+    if logger is not None:
+        logger.add_scalar('debug/loss_epoch', mean, epoch)
+        for k, v in acc.items():
+            logger.add_scalar(f'debug/train_{k}', v / max(n, 1), epoch)
+    else:
+        print(f'Train Loss @ {epoch} epoch: {mean}')
+    return state, mean
+
+
+def validate_prop(cfg, inference_step, params, dataset, epoch: int,
+                  logger=None):
+    '''Proposal validation -> AnetPredictions -> detection P/R/F1
+    (reference: proposal_epoch_loops.py:99-140). Returns avg F1.'''
+    from bmt_tpu.utils.proposal_utils import AnetPredictions, calculate_f1
+    anet = AnetPredictions(cfg, dataset.phase, epoch)
+    for batch in dataset.batches(epoch=0, shuffle=False):
+        n_valid = len(batch['video_ids'])
+        padded = _pad_batch_to(batch, dataset.batch_size)
+        preds = np.asarray(inference_step(
+            params, _device_batch(padded, ('src',))))[:n_valid]
+        anet.add_new_predictions(preds, batch)
+    anet.write_anet_predictions_to_json()
+    metrics = anet.evaluate_predictions()
+
+    if logger is not None:
+        for tiou in cfg.tIoUs:
+            p, r = metrics[tiou]['Precision'], metrics[tiou]['Recall']
+            logger.add_scalar(f'densevid_eval_k/precision_{tiou}', p, epoch)
+            logger.add_scalar(f'densevid_eval_k/recall_{tiou}', r, epoch)
+            logger.add_scalar(f'densevid_eval_k/F1_{tiou}',
+                              calculate_f1(r, p), epoch)
+    avg_p = metrics['Average across tIoUs']['Precision']
+    avg_r = metrics['Average across tIoUs']['Recall']
+    avg_f1 = calculate_f1(avg_r, avg_p)
+    if logger is not None:
+        logger.add_scalar('metrics/avg_precision_at_k', avg_p, epoch)
+        logger.add_scalar('metrics/avg_recall_at_k', avg_r, epoch)
+        logger.add_scalar('metrics/avg_F1_at_k', avg_f1, epoch)
+    return avg_f1, metrics

@@ -1,0 +1,150 @@
+'''Proposal-generator training driver (reference:
+scripts/train_proposal_generator.py:15-104): k-means anchors from the train
+JSON, bi-modal encoder optionally seeded from a pretrained captioning
+checkpoint (frozen unless --finetune_cap_encoder), best-by-avg-F1
+checkpointing.'''
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bmt_tpu.config import Config
+from bmt_tpu.data.captioning import CaptioningDataset
+from bmt_tpu.data.proposal_data import ProposalDataset
+from bmt_tpu.models import (PropModelDims,
+                            init_multimodal_proposal_generator,
+                            init_unimodal_proposal_generator)
+from bmt_tpu.parallel import DataParallel
+from bmt_tpu.train.checkpoint import (import_cap_model, load_checkpoint,
+                                      load_torch_checkpoint, save_checkpoint)
+from bmt_tpu.train.loops import train_epoch_prop, validate_prop
+from bmt_tpu.train.optim import (ReduceLROnPlateau, build_optimizer,
+                                 freeze_mask, set_learning_rate)
+from bmt_tpu.train.steps import (init_train_state, make_prop_inference_step,
+                                 make_prop_train_step)
+from bmt_tpu.utils.logging import MetricsLogger, NullLogger
+from bmt_tpu.utils.misc import timer
+from bmt_tpu.utils.proposal_utils import calc_anchors_using_kmeans
+
+
+def train_prop(cfg: Config):
+    seed = 0
+    np.random.seed(seed)
+
+    anchors = {}
+    if 'audio' in cfg.modality:
+        anchors['audio'] = calc_anchors_using_kmeans(cfg.train_json_path,
+                                                     cfg.anchors_num_audio)
+    if 'video' in cfg.modality:
+        anchors['video'] = calc_anchors_using_kmeans(cfg.train_json_path,
+                                                     cfg.anchors_num_video)
+
+    # captioning dataset used only to derive pad_idx (reference:
+    # train_proposal_generator.py:34-35)
+    cap_ds = CaptioningDataset(cfg, 'train')
+    pad_idx = cap_ds.pad_idx
+
+    train_ds = ProposalDataset(cfg, 'train', pad_idx)
+    valid_ds = ProposalDataset(cfg, 'val_1', pad_idx)
+
+    dims = PropModelDims.from_config(cfg)
+
+    key = jax.random.PRNGKey(seed)
+    if cfg.modality == 'audio_video':
+        params = init_multimodal_proposal_generator(key, dims)
+        params['anchors_A'] = jnp.asarray(anchors['audio'], jnp.float32)
+        params['anchors_V'] = jnp.asarray(anchors['video'], jnp.float32)
+    else:
+        params = init_unimodal_proposal_generator(key, dims)
+        params['anchors'] = jnp.asarray(anchors[cfg.modality], jnp.float32)
+
+    # pretrained captioning encoder (reference:
+    # proposal_generator.py:234-249)
+    frozen_module = None
+    path = getattr(cfg, 'pretrained_cap_model_path', None)
+    if path:
+        print(f'Pretrained caption path: \n {path}')
+        if path.endswith('.pt'):
+            cap_params, _ = import_cap_model(load_torch_checkpoint(path))
+        else:
+            from bmt_tpu.train.checkpoint import load_pytree_npz
+            cap_params = {'encoder': params['encoder']}
+            cap_params = load_pytree_npz(path, cap_params)
+        params['encoder'] = cap_params['encoder']
+        if not getattr(cfg, 'finetune_cap_encoder', False):
+            frozen_module = 'encoder'
+
+    def is_frozen(path_keys):
+        if path_keys[0] in ('anchors_A', 'anchors_V', 'anchors'):
+            return True
+        return frozen_module is not None and path_keys[0] == frozen_module
+
+    optimizer = build_optimizer(cfg, frozen_mask=freeze_mask(params,
+                                                             is_frozen))
+
+    dp = DataParallel(getattr(cfg, 'dp_devices', None))
+    compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == 'bfloat16'
+                     else jnp.float32)
+    train_step = dp.jit_step(make_prop_train_step(
+        dims, optimizer, pad_idx, cfg.attention_impl, compute_dtype))
+    inference_step = jax.jit(make_prop_inference_step(
+        dims, pad_idx, cfg.attention_impl, compute_dtype))
+
+    state = init_train_state(params, optimizer, seed)
+    state = state._replace(params=dp.replicate_tree(state.params),
+                           opt_state=dp.replicate_tree(state.opt_state))
+
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params)
+                   if hasattr(p, 'shape'))
+    print(f'Total Number of Trainable Parameters: {n_params / 1e6} Mil.')
+
+    logger = MetricsLogger(cfg.log_path) if cfg.to_log else NullLogger()
+    logger.add_scalar('debug/param_number', n_params, 0)
+
+    scheduler = None
+    if cfg.scheduler == 'reduce_on_plateau':
+        scheduler = ReduceLROnPlateau(cfg.lr, cfg.lr_reduce_factor,
+                                      cfg.lr_patience, mode='max')
+
+    best_metric = -np.inf
+    unchanged = 0
+
+    for epoch in range(cfg.epoch_num):
+        print(f'The best metric was unchanged for {unchanged} epochs.')
+        print(f'Started @ {cfg.curr_time}; '
+              f'Current timer: {timer(cfg.curr_time)}')
+        if unchanged == cfg.early_stop_after:
+            break
+
+        state, _ = train_epoch_prop(train_step, state, train_ds, epoch,
+                                    logger, dp, seed)
+        avg_f1, metrics = validate_prop(cfg, inference_step, state.params,
+                                        valid_ds, epoch, logger)
+
+        if scheduler is not None:
+            set_learning_rate(state.opt_state, scheduler.step(avg_f1))
+
+        if avg_f1 > best_metric:
+            best_metric = avg_f1
+            unchanged = 0
+            if cfg.to_log:
+                meta = {
+                    'config': cfg.to_dict(),
+                    'epoch': epoch,
+                    'anchors': anchors,
+                    'val_anet_metrics': metrics,
+                    'best_metric': float(best_metric),
+                }
+                save_checkpoint(cfg.log_path, state.params, meta,
+                                state.opt_state, 'best_prop_model')
+                print(f'Saved model @ {epoch} epoch. '
+                      f'Best metric: {best_metric:.5f}')
+        else:
+            unchanged += 1
+
+    print(f'Experiment: {cfg.curr_time[2:]}')
+    logger.close()
+    return best_metric

@@ -1,0 +1,234 @@
+'''End-to-end single-video inference: proposal generation + captioning.
+
+Signature-compatible with the reference app
+(reference: sample/single_video_prediction.py:279-316), producing the same
+[{start, end, sentence}, ...] output. Accepts both reference .pt checkpoints
+(imported via bmt_tpu.train.checkpoint) and native npz checkpoint dirs.
+
+TPU re-design: all proposals are captioned in ONE batched KV-cached greedy
+decode instead of the reference's per-proposal Python loop re-encoding every
+prefix (reference: single_video_prediction.py:218-229).
+'''
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+sys.path.insert(1, os.path.join(sys.path[0], '..'))
+
+import jax
+import jax.numpy as jnp
+
+from bmt_tpu.config import Config
+from bmt_tpu.data.captioning import (AUDIO_BUCKETS, VIDEO_BUCKETS,
+                                     bucket_len)
+from bmt_tpu.data.features import crop_a_segment, pad_segment, pad_stack_batch
+from bmt_tpu.data.vocab import Vocab, build_vocab_from_meta
+from bmt_tpu.decode import greedy_decode_bimodal
+from bmt_tpu.models import (CapModelDims, PropModelDims,
+                            init_bimodal_transformer,
+                            init_multimodal_proposal_generator,
+                            multimodal_proposal_forward)
+from bmt_tpu.ops.masks import make_masks
+from bmt_tpu.train.checkpoint import (import_cap_model, import_prop_model,
+                                      load_pytree_npz, load_torch_checkpoint)
+from bmt_tpu.train.loops import ints_to_sentence
+from bmt_tpu.utils.proposal_utils import (get_corner_coords,
+                                          non_max_suppression,
+                                          remove_very_short_segments,
+                                          select_topk_predictions,
+                                          trim_proposals)
+
+
+def load_features_from_npy(feature_paths, start, end, duration, pad_idx,
+                           get_full_feat=False, pad_feats_up_to=None):
+    '''Load one video's features, either full+padded (proposal stage) or
+    cropped to a segment (captioning stage). Numpy end-to-end.'''
+    vggish = np.load(feature_paths['audio']).astype(np.float32)
+    rgb = np.load(feature_paths['rgb']).astype(np.float32)
+    flow = np.load(feature_paths['flow']).astype(np.float32)
+
+    if get_full_feat:
+        vggish = pad_segment(vggish, pad_feats_up_to['audio'], pad_idx)
+        rgb = pad_segment(rgb, pad_feats_up_to['video'], pad_idx)
+        flow = pad_segment(flow, pad_feats_up_to['video'], pad_idx=0)
+    else:
+        vggish = crop_a_segment(vggish, start, end, duration)
+        rgb = crop_a_segment(rgb, start, end, duration)
+        flow = crop_a_segment(flow, start, end, duration)
+    return {'audio': vggish[None], 'rgb': rgb[None], 'flow': flow[None]}
+
+
+def load_prop_model(prop_generator_model_path: str, max_prop_per_vid: int):
+    '''Returns (cfg-like dict, dims, params). Accepts .pt or npz dir.'''
+    if prop_generator_model_path.endswith('.pt'):
+        cpt = load_torch_checkpoint(prop_generator_model_path)
+        params, cfg_dict = import_prop_model(cpt)
+    else:
+        with open(os.path.join(prop_generator_model_path,
+                               'best_prop_model.meta.json')) as f:
+            meta = json.load(f)
+        cfg_dict = meta['config']
+        cfg_tmp = Config.from_dict(cfg_dict)
+        dims_tmp = PropModelDims.from_config(cfg_tmp)
+        template = init_multimodal_proposal_generator(jax.random.PRNGKey(0),
+                                                      dims_tmp)
+        template['anchors_A'] = jnp.zeros(
+            (cfg_dict['anchors_num_audio'],), jnp.float32)
+        template['anchors_V'] = jnp.zeros(
+            (cfg_dict['anchors_num_video'],), jnp.float32)
+        params = load_pytree_npz(
+            os.path.join(prop_generator_model_path,
+                         'best_prop_model.params.npz'), template)
+    cfg_dict['max_prop_per_vid'] = max_prop_per_vid
+    cfg = Config.from_dict(cfg_dict)
+    dims = PropModelDims.from_config(cfg)
+    return cfg, dims, params
+
+
+def load_cap_model(pretrained_cap_model_path: str, train_meta_path: str):
+    '''Returns (cfg, dims, params, vocab).'''
+    if pretrained_cap_model_path.endswith('.pt'):
+        cpt = load_torch_checkpoint(pretrained_cap_model_path)
+        params, cfg_dict = import_cap_model(cpt)
+        cfg = Config.from_dict(cfg_dict)
+        cfg.train_meta_path = train_meta_path
+        vocab = build_vocab_from_meta(train_meta_path, cfg.start_token,
+                                      cfg.end_token, cfg.pad_token,
+                                      cfg.min_freq_caps)
+        voc_size = cpt.get('trg_voc_size', len(vocab))
+        if len(vocab) != voc_size:
+            print(f'warning: rebuilt vocab size {len(vocab)} != checkpoint '
+                  f'voc size {voc_size}; tokenization drift possible')
+    else:
+        with open(os.path.join(pretrained_cap_model_path,
+                               'best_cap_model.meta.json')) as f:
+            meta = json.load(f)
+        cfg = Config.from_dict(meta['config'])
+        vocab = Vocab(meta['vocab_itos'])
+        dims = CapModelDims.from_config(cfg, len(vocab))
+        template = init_bimodal_transformer(jax.random.PRNGKey(0), dims)
+        params = load_pytree_npz(
+            os.path.join(pretrained_cap_model_path,
+                         'best_cap_model.params.npz'), template)
+        return cfg, dims, params, vocab
+    dims = CapModelDims.from_config(cfg, params['emb_C']['table'].shape[0])
+    return cfg, dims, params, vocab
+
+
+def generate_proposals(prop_params, prop_dims, feature_paths, pad_idx,
+                       prop_cfg, duration_in_secs):
+    '''Full padded features -> proposal tensor -> corner/trim/short/topk
+    (reference: single_video_prediction.py:148-192).'''
+    stacks = load_features_from_npy(
+        feature_paths, None, None, duration_in_secs, pad_idx,
+        get_full_feat=True, pad_feats_up_to=prop_cfg.pad_feats_up_to)
+    stacks = {k: jnp.asarray(v) for k, v in stacks.items()}
+    masks = make_masks(stacks, None, prop_cfg.modality, pad_idx)
+    preds, _, _, _ = jax.jit(
+        lambda p, s, m: multimodal_proposal_forward(p, prop_dims, s, None, m,
+                                                    deterministic=True)
+    )(prop_params, stacks, masks)
+    preds = np.asarray(preds)
+    preds = get_corner_coords(preds)
+    preds = trim_proposals(preds, [duration_in_secs])
+    preds = remove_very_short_segments(preds, 0.2)
+    preds = select_topk_predictions(preds, k=prop_cfg.max_prop_per_vid)
+    return preds
+
+
+def caption_proposals(cap_params, cap_dims, feature_paths, vocab, cap_cfg,
+                      proposals, duration_in_secs):
+    '''Caption all proposals in one batched greedy decode
+    (replaces the reference per-proposal loop).'''
+    pad_idx = vocab[cap_cfg.pad_token]
+    start_idx = vocab[cap_cfg.start_token]
+    end_idx = vocab[cap_cfg.end_token]
+
+    segments = proposals.reshape(-1, 3)
+    crops = []
+    for start, end, _conf in segments:
+        stacks = load_features_from_npy(feature_paths, float(start),
+                                        float(end), duration_in_secs,
+                                        pad_idx)
+        crops.append({k: v[0] for k, v in stacks.items()})
+
+    Sv = bucket_len(max(c['rgb'].shape[0] for c in crops), VIDEO_BUCKETS)
+    Sa = bucket_len(max(c['audio'].shape[0] for c in crops), AUDIO_BUCKETS)
+    batch = {
+        'rgb': jnp.asarray(pad_stack_batch([c['rgb'] for c in crops],
+                                           pad_idx, Sv)),
+        'flow': jnp.asarray(pad_stack_batch([c['flow'] for c in crops],
+                                            0.0, Sv)),
+        'audio': jnp.asarray(pad_stack_batch([c['audio'] for c in crops],
+                                             pad_idx, Sa)),
+    }
+    ints_stack = np.asarray(greedy_decode_bimodal(
+        cap_params, cap_dims, batch, cap_cfg.max_len, start_idx, end_idx,
+        pad_idx))
+
+    results = []
+    for (start, end, _conf), ints in zip(segments, ints_stack):
+        results.append({
+            'start': round(float(start), 1),
+            'end': round(float(end), 1),
+            'sentence': ints_to_sentence(ints, vocab, cap_cfg.end_token),
+        })
+    return results
+
+
+def which_ffprobe() -> str:
+    result = subprocess.run(['which', 'ffprobe'], stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT)
+    return result.stdout.decode('utf-8').strip()
+
+
+def get_video_duration(path) -> float:
+    cmd = (f'{which_ffprobe()} -hide_banner -loglevel panic -v error '
+           f'-show_entries format=duration '
+           f'-of default=noprint_wrappers=1:nokey=1 {path}')
+    result = subprocess.run(cmd.split(), stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT)
+    duration = float(result.stdout.decode('utf-8').strip())
+    print('Video Duration:', duration)
+    return duration
+
+
+if __name__ == '__main__':
+    parser = argparse.ArgumentParser(description='One video prediction')
+    parser.add_argument('--prop_generator_model_path', required=True)
+    parser.add_argument('--pretrained_cap_model_path', required=True)
+    parser.add_argument('--vggish_features_path', required=True)
+    parser.add_argument('--rgb_features_path', required=True)
+    parser.add_argument('--flow_features_path', required=True)
+    parser.add_argument('--duration_in_secs', type=float, required=True)
+    parser.add_argument('--device_id', type=int, default=0)
+    parser.add_argument('--max_prop_per_vid', type=int, default=5)
+    parser.add_argument('--nms_tiou_thresh', type=float)
+    parser.add_argument('--train_meta_path', default='./data/train.csv')
+    args = parser.parse_args()
+
+    feature_paths = {
+        'audio': args.vggish_features_path,
+        'rgb': args.rgb_features_path,
+        'flow': args.flow_features_path,
+    }
+
+    cap_cfg, cap_dims, cap_params, vocab = load_cap_model(
+        args.pretrained_cap_model_path, args.train_meta_path)
+    prop_cfg, prop_dims, prop_params = load_prop_model(
+        args.prop_generator_model_path, args.max_prop_per_vid)
+
+    pad_idx = vocab[cap_cfg.pad_token]
+    proposals = generate_proposals(prop_params, prop_dims, feature_paths,
+                                   pad_idx, prop_cfg, args.duration_in_secs)
+    if args.nms_tiou_thresh is not None:
+        proposals = non_max_suppression(proposals.reshape(-1, 3),
+                                        args.nms_tiou_thresh)[None]
+
+    captions = caption_proposals(cap_params, cap_dims, feature_paths, vocab,
+                                 cap_cfg, proposals, args.duration_in_secs)
+    print(captions)

@@ -1,0 +1,130 @@
+'''Checkpoint tests: native npz round-trip with resume, and reference-keyed
+torch .pt import (round-trip through export_cap_state_dict + torch.save).'''
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from bmt_tpu.models import CapModelDims, init_bimodal_transformer
+from bmt_tpu.train.checkpoint import (export_cap_state_dict, import_cap_model,
+                                      load_checkpoint, load_torch_checkpoint,
+                                      save_checkpoint, import_prop_model)
+
+SMALL = CapModelDims(voc_size=23, d_model_A=8, d_model_V=12, d_model_C=10,
+                     d_model=16, H=2, N=2, d_ff_A=16, d_ff_V=24, d_ff_C=20)
+
+
+class FakeCfg:
+    '''Pickle-able stand-in for the reference's Config object.'''
+    pass
+
+
+def _trees_equal(a, b):
+    flat_a = jax.tree.leaves(a)
+    flat_b = jax.tree.leaves(b)
+    assert len(flat_a) == len(flat_b)
+    for x, y in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=0)
+
+
+def test_native_checkpoint_roundtrip(tmp_path):
+    params = init_bimodal_transformer(jax.random.PRNGKey(0), SMALL)
+    meta = {'epoch': 7, 'val_1_metrics': {'METEOR': 0.1},
+            'config': {'d_model': 16}, 'trg_voc_size': 23}
+    import optax
+    tx = optax.adam(1e-4)
+    opt_state = tx.init(params)
+
+    save_checkpoint(str(tmp_path), params, meta, opt_state)
+    params2, meta2, opt2 = load_checkpoint(str(tmp_path), params, opt_state)
+    _trees_equal(params, params2)
+    _trees_equal(opt_state, opt2)
+    assert meta2['epoch'] == 7
+
+
+def test_torch_cap_checkpoint_import_roundtrip(tmp_path):
+    '''params -> reference-keyed state_dict -> torch.save -> load -> import
+    reproduces the original pytree, exercising the DataParallel 'module.'
+    prefix strip and (out,in) -> (in,out) weight transposes.'''
+    params = init_bimodal_transformer(jax.random.PRNGKey(1), SMALL)
+    sd_np = export_cap_state_dict(params, data_parallel=True)
+    sd_torch = {k: torch.from_numpy(np.asarray(v).copy())
+                for k, v in sd_np.items()}
+
+    # a pickled Config-like object, as the reference stores
+    cfg = FakeCfg()
+    cfg.d_model = 16
+    cfg.modality = 'audio_video'
+
+    path = os.path.join(tmp_path, 'best_cap_model.pt')
+    torch.save({'config': cfg, 'epoch': 3, 'model_state_dict': sd_torch,
+                'trg_voc_size': 23, 'val_1_metrics': {}}, path)
+
+    cpt = load_torch_checkpoint(path)
+    assert cpt['epoch'] == 3
+    assert cpt['config']['d_model'] == 16
+    imported, cfg_dict = import_cap_model(cpt)
+    _trees_equal(params, imported)
+
+
+def test_torch_prop_checkpoint_import(tmp_path):
+    '''Synthetic reference-keyed proposal checkpoint: conv heads classified
+    by tensor rank, anchors imported into params.'''
+    sd = {}
+    # one bimodal encoder layer, tiny dims
+    rng = np.random.default_rng(0)
+
+    def lin(base, din, dout):
+        sd[f'{base}.weight'] = torch.from_numpy(
+            rng.normal(size=(dout, din)).astype(np.float32))
+        sd[f'{base}.bias'] = torch.from_numpy(
+            rng.normal(size=(dout,)).astype(np.float32))
+
+    def ln(base, d):
+        sd[f'{base}.weight'] = torch.ones(d)
+        sd[f'{base}.bias'] = torch.zeros(d)
+
+    b = 'module.encoder.encoder_AV.layers.0'
+    for att in ['self_att_M1', 'self_att_M2', 'bi_modal_att_M1',
+                'bi_modal_att_M2']:
+        din = 8 if 'M1' in att and 'bi' not in att else 8
+        for name, (i, o) in {'linear_Q2d': (8, 16), 'linear_K2d': (8, 16),
+                             'linear_V2d': (8, 16), 'linear_d2Q': (16, 8)}.items():
+            lin(f'{b}.{att}.{name}', i, o)
+    for ff in ['feed_forward_M1', 'feed_forward_M2']:
+        lin(f'{b}.{ff}.fc1', 8, 32)
+        lin(f'{b}.{ff}.fc2', 32, 8)
+    for j in range(3):
+        ln(f'{b}.res_layers_M1.{j}.norm', 8)
+        ln(f'{b}.res_layers_M2.{j}.norm', 8)
+
+    # detection heads: Sequential [Conv1d(k), Dropout, ReLU, Conv1d(1)]
+    # -> indices 0 and 3
+    for mod, A in (('A', 4), ('V', 6)):
+        sd[f'module.detection_layers_{mod}.0.conv_layers.0.weight'] = \
+            torch.from_numpy(rng.normal(size=(16, 8, 3)).astype(np.float32))
+        sd[f'module.detection_layers_{mod}.0.conv_layers.0.bias'] = \
+            torch.zeros(16)
+        sd[f'module.detection_layers_{mod}.0.conv_layers.3.weight'] = \
+            torch.from_numpy(
+                rng.normal(size=(3 * A, 16, 1)).astype(np.float32))
+        sd[f'module.detection_layers_{mod}.0.conv_layers.3.bias'] = \
+            torch.zeros(3 * A)
+
+    path = os.path.join(tmp_path, 'best_prop_model.pt')
+    torch.save({'model_state_dict': sd,
+                'anchors': {'audio': [1.0, 2.0, 4.0, 8.0],
+                            'video': [1, 2, 3, 4, 5, 6]},
+                'epoch': 17}, path)
+
+    cpt = load_torch_checkpoint(path)
+    params, _cfg = import_prop_model(cpt)
+    assert len(params['encoder']['layers']) == 1
+    assert len(params['heads_A']) == 1 and len(params['heads_V']) == 1
+    assert params['heads_A'][0]['convs'][0]['w'].shape == (3, 8, 16)
+    assert params['heads_A'][0]['convs'][1]['w'].shape == (1, 16, 12)
+    np.testing.assert_allclose(params['anchors_A'], [1, 2, 4, 8])
+    assert params['anchors_V'].shape == (6,)

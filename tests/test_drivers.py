@@ -1,0 +1,143 @@
+'''End-to-end driver integration tests on a tiny synthetic dataset:
+train_cap -> checkpoint; train_prop -> proposal json + checkpoint;
+eval_on_learned_props on the produced proposals.'''
+import json
+import os
+
+import numpy as np
+import pytest
+
+from bmt_tpu.config import Config, build_parser
+
+N_VIDEOS = 4
+D_VID, D_AUD = 12, 8
+
+
+@pytest.fixture(scope='module')
+def mini_data(tmp_path_factory):
+    '''Synthetic ActivityNet-like data tree.'''
+    root = tmp_path_factory.mktemp('mini_data')
+    vid_dir = root / 'video_npy'
+    aud_dir = root / 'audio_npy'
+    vid_dir.mkdir()
+    aud_dir.mkdir()
+
+    rng = np.random.default_rng(0)
+    words = ['man', 'woman', 'dog', 'runs', 'jumps', 'plays', 'guitar',
+             'beach', 'park', 'fast']
+    meta_rows = {'train': [], 'val_1': [], 'val_2': []}
+    json_data = {'train': {}, 'val_1': {}, 'val_2': {}}
+
+    idx = {p: 0 for p in meta_rows}
+    for v in range(N_VIDEOS):
+        vid = f'v_test{v:04d}'
+        Sv, Sa = 10 + v, 12 + v
+        np.save(vid_dir / f'{vid}_rgb.npy',
+                rng.normal(size=(Sv, D_VID)).astype(np.float32))
+        np.save(vid_dir / f'{vid}_flow.npy',
+                rng.normal(size=(Sv, D_VID)).astype(np.float32))
+        np.save(aud_dir / f'{vid}.npy',
+                rng.normal(size=(Sa, D_AUD)).astype(np.float32))
+
+        duration = 20.0 + v
+        for phase in meta_rows:
+            sentences, timestamps = [], []
+            for e in range(2):
+                start = 1.0 + 7 * e
+                end = start + 5.0 + e
+                cap = ' '.join(rng.choice(words, size=5))
+                meta_rows[phase].append(
+                    (vid, cap, start, end, duration, phase, idx[phase]))
+                idx[phase] += 1
+                sentences.append(cap)
+                timestamps.append([start, end])
+            json_data[phase][vid] = {'duration': duration,
+                                     'sentences': sentences,
+                                     'timestamps': timestamps}
+
+    for phase, rows in meta_rows.items():
+        with open(root / f'{phase}.csv', 'w') as f:
+            f.write('video_id\tcaption\tstart\tend\tduration\tphase\tidx\n')
+            for r in rows:
+                f.write('\t'.join(str(x) for x in r) + '\n')
+    for phase, d in json_data.items():
+        with open(root / f'{phase}.json', 'w') as f:
+            json.dump(d, f)
+        with open(root / f'{phase}_no_missings.json', 'w') as f:
+            json.dump(d, f)
+    with open(root / 'available_mp4.txt', 'w') as f:
+        for v in range(N_VIDEOS):
+            f.write(f'v_test{v:04d}.mp4\n')
+    return root
+
+
+def _mini_cfg(mini_data, tmp_path, procedure, **overrides):
+    argv = [
+        '--procedure', procedure,
+        '--train_meta_path', str(mini_data / 'train.csv'),
+        '--val_1_meta_path', str(mini_data / 'val_1.csv'),
+        '--val_2_meta_path', str(mini_data / 'val_2.csv'),
+        '--video_features_path', str(mini_data / 'video_npy'),
+        '--audio_features_path', str(mini_data / 'audio_npy'),
+        '--train_json_path', str(mini_data / 'train.json'),
+        '--reference_paths', str(mini_data / 'val_1_no_missings.json'),
+        str(mini_data / 'val_2_no_missings.json'),
+        '--avail_mp4_path', str(mini_data / 'available_mp4.txt'),
+        '--d_vid', str(D_VID), '--d_aud', str(D_AUD),
+        '--d_model', '16', '--d_model_caps', '10', '--H', '2', '--N', '1',
+        '--B', '4', '--epoch_num', '1', '--one_by_one_starts_at', '0',
+        '--anchors_num_audio', '3', '--anchors_num_video', '4',
+        '--kernel_sizes_audio', '3', '5', '--kernel_sizes_video', '1', '3',
+        '--conv_layers_audio', '8', '--conv_layers_video', '8',
+        '--pad_audio_feats_up_to', '16', '--pad_video_feats_up_to', '16',
+        '--compute_dtype', 'float32',
+        '--log_dir', str(tmp_path / 'log'),
+        '--max_prop_per_vid', '10',
+        '--dp_devices', '2',
+    ]
+    for k, v in overrides.items():
+        argv += [f'--{k}'] + ([str(v)] if v is not None else [])
+    args = build_parser().parse_args(argv)
+    return Config(args)
+
+
+@pytest.mark.slow
+def test_train_cap_end_to_end(mini_data, tmp_path):
+    from bmt_tpu.train.cap_trainer import train_cap
+    cfg = _mini_cfg(mini_data, tmp_path, 'train_cap')
+    best = train_cap(cfg)
+    # a full epoch ran: metrics computed and checkpoints written
+    assert best >= 0
+    files = os.listdir(cfg.model_checkpoint_path)
+    assert 'last_cap_model.params.npz' in files
+    assert 'best_cap_model.params.npz' in files
+    assert any(f.startswith('captioning_results_val_1') for f in files)
+
+
+@pytest.mark.slow
+def test_train_prop_and_eval_end_to_end(mini_data, tmp_path):
+    from bmt_tpu.train.prop_trainer import train_prop
+    from bmt_tpu.scripts.eval_on_learned_props import eval_on_learned_props
+
+    os.chdir(tmp_path)  # ./tmp caches land here
+    cfg = _mini_cfg(mini_data, tmp_path, 'train_prop')
+    best_f1 = train_prop(cfg)
+    assert np.isfinite(best_f1)
+
+    files = os.listdir(cfg.log_path)
+    assert 'best_prop_model.params.npz' in files
+    subs = os.listdir(os.path.join(cfg.log_path, 'submissions'))
+    assert any(f.startswith('prop_results_val_1') for f in subs)
+
+    # now train a captioner and evaluate it on the learned proposals
+    cap_cfg = _mini_cfg(mini_data, tmp_path, 'train_cap')
+    from bmt_tpu.train.cap_trainer import train_cap
+    train_cap(cap_cfg)
+
+    eval_cfg = _mini_cfg(
+        mini_data, tmp_path, 'evaluate',
+        pretrained_cap_model_path=cap_cfg.model_checkpoint_path,
+        prop_pred_path=os.path.join(cfg.log_path, 'submissions', subs[0]))
+    metrics = eval_on_learned_props(eval_cfg)
+    assert metrics is not None
+    assert 'Average across tIoUs' in metrics
