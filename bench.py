@@ -29,9 +29,12 @@ def main():
                                 init_bimodal_transformer)
 
     # flagship architecture, inference batch like the reference's val loop
-    # (inference_batch_size = 64 at B=32); realistic val segment lengths
+    # (inference_batch_size = 64 at B=32); realistic val segment lengths.
+    # end_idx is set to an unreachable token so BOTH paths decode the full
+    # 30 steps (random weights would otherwise early-stop unrepresentatively)
     VOC = 10172
     B, Sa, Sv, MAX_LEN = 64, 256, 96, 30
+    END_IDX = -1
     dims = CapModelDims(voc_size=VOC)
     params = init_bimodal_transformer(jax.random.PRNGKey(0), dims)
 
@@ -49,7 +52,7 @@ def main():
 
     def cached_decode():
         return greedy_decode_bimodal(params_bf16, dims, stacks, MAX_LEN,
-                                     2, 3, 1)
+                                     2, END_IDX, 1)
 
     # warmup/compile
     cached_decode().block_until_ready()
@@ -62,16 +65,29 @@ def main():
     cached_sec = (time.perf_counter() - t0) / iters
     captions_per_sec = B / cached_sec
 
-    # reference algorithm on the same chip: full re-encode per step, no cache
+    # reference algorithm on the same chip: full re-encode of the whole
+    # prefix each step, no KV cache (captioning_epoch_loops.py:39-65).
+    # Prefix widths are bucketed to multiples of 8 to bound compile count;
+    # per-step cost is dominated by the encoder re-run (Sa=256/Sv=96), so
+    # the rounding changes the baseline by a few percent at most.
+    from bmt_tpu.ops.masks import make_masks
     fwd = jax.jit(lambda p, s, t, m: bimodal_transformer_forward(
         p, dims, s, t, m, deterministic=True))
 
     def uncached_decode():
-        return greedy_decode_uncached(
-            lambda s, t, m: fwd(params_bf16, s, t, m), stacks, MAX_LEN,
-            2, 3, 1, 'audio_video')
+        trg = np.full((B, 1), 2, np.int32)
+        for step in range(MAX_LEN):
+            w = trg.shape[1]
+            wpad = ((w + 7) // 8) * 8
+            padded = np.pad(trg, ((0, 0), (0, wpad - w)),
+                            constant_values=1)  # pad_idx
+            masks = make_masks(stacks, jnp.asarray(padded), 'audio_video', 1)
+            preds = fwd(params_bf16, stacks, jnp.asarray(padded), masks)
+            nxt = np.asarray(jnp.argmax(preds[:, w - 1], axis=-1))
+            trg = np.concatenate([trg, nxt[:, None].astype(np.int32)], 1)
+        return trg
 
-    uncached_decode()  # warmup (compiles every prefix length)
+    uncached_decode()  # warmup (compiles the 4 bucketed prefix widths)
     t0 = time.perf_counter()
     uncached_decode()
     uncached_sec = time.perf_counter() - t0

@@ -16,6 +16,7 @@ Semantics preserved from the reference:
 '''
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from bisect import bisect_left
@@ -25,6 +26,7 @@ import numpy as np
 
 from bmt_tpu.data.features import (fill_missing_features,
                                    load_features_from_npy, pad_stack_batch)
+from bmt_tpu.data.native import batch_load, native_available, npy_shape
 from bmt_tpu.data.tokenizer import tokenize_en
 from bmt_tpu.data.vocab import Vocab, build_vocab_from_meta, read_meta_csv
 
@@ -120,9 +122,23 @@ class CaptioningDataset:
             out['audio'] = audio
         return out
 
+    def _crop_len(self, path: str, row) -> int:
+        '''Length of the proportional crop without loading data
+        (reference crop rule: load_features.py:14-28).'''
+        try:
+            S = npy_shape(path)[0]
+        except FileNotFoundError:
+            return 1
+        s = int(S * (row['start'] / row['duration']))
+        e = int(S * (row['end'] / row['duration']))
+        if s == e:
+            return 1
+        return max(min(e, S) - max(s, 0), 1)
+
     def make_batch(self, indices: List[int]) -> dict:
+        '''Assemble one fixed-shape batch. The feature hot path goes through
+        the native C++ loader (mmap + thread pool) when built.'''
         rows = [self.rows[i] for i in indices]
-        feats = [self._load_row_features(r) for r in rows]
         captions = [self._encoded[i] for i in indices]
 
         Sc = bucket_len(max(len(c) for c in captions), CAPTION_BUCKETS)
@@ -131,25 +147,41 @@ class CaptioningDataset:
             c = c[:Sc]
             cap[i, :len(c)] = c
 
+        starts = [r['start'] for r in rows]
+        ends = [r['end'] for r in rows]
+        durs = [r['duration'] for r in rows]
+        full = [0] * len(rows)
+
         src = {}
         if 'video' in self.cfg.modality:
-            Sv = bucket_len(max(f['rgb'].shape[0] for f in feats),
+            rgb_paths = [os.path.join(self.cfg.video_features_path,
+                                      f"{r['video_id']}_rgb.npy")
+                         for r in rows]
+            flow_paths = [os.path.join(self.cfg.video_features_path,
+                                       f"{r['video_id']}_flow.npy")
+                          for r in rows]
+            Sv = bucket_len(max(self._crop_len(p, r)
+                                for p, r in zip(rgb_paths, rows)),
                             VIDEO_BUCKETS)
-            src['rgb'] = pad_stack_batch([f['rgb'] for f in feats],
-                                         self.pad_idx, Sv)
-            src['flow'] = pad_stack_batch([f['flow'] for f in feats], 0.0, Sv)
+            src['rgb'], _ = batch_load(rgb_paths, starts, ends, durs, full,
+                                       self.pad_idx, Sv, self.cfg.d_vid)
+            src['flow'], _ = batch_load(flow_paths, starts, ends, durs, full,
+                                        0.0, Sv, self.cfg.d_vid)
         if 'audio' in self.cfg.modality:
-            Sa = bucket_len(max(f['audio'].shape[0] for f in feats),
+            aud_paths = [os.path.join(self.cfg.audio_features_path,
+                                      f"{r['video_id']}.npy") for r in rows]
+            Sa = bucket_len(max(self._crop_len(p, r)
+                                for p, r in zip(aud_paths, rows)),
                             AUDIO_BUCKETS)
-            src['audio'] = pad_stack_batch([f['audio'] for f in feats],
-                                           self.pad_idx, Sa)
+            src['audio'], _ = batch_load(aud_paths, starts, ends, durs, full,
+                                         self.pad_idx, Sa, self.cfg.d_aud)
 
         return {
             'src': src,
             'caption': cap,
             'video_ids': [r['video_id'] for r in rows],
-            'starts': np.asarray([r['start'] for r in rows], np.float32),
-            'ends': np.asarray([r['end'] for r in rows], np.float32),
+            'starts': np.asarray(starts, np.float32),
+            'ends': np.asarray(ends, np.float32),
         }
 
     def batches(self, epoch: int = 0, shuffle: Optional[bool] = None,

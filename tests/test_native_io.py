@@ -1,0 +1,77 @@
+'''Native (C++) IO runtime vs the numpy path: identical batches.'''
+import numpy as np
+import pytest
+
+from bmt_tpu.data.native import batch_load, native_available, npy_shape
+
+
+@pytest.fixture(scope='module')
+def npy_files(tmp_path_factory):
+    root = tmp_path_factory.mktemp('npy')
+    rng = np.random.default_rng(0)
+    paths, arrays = [], []
+    for i, (S, D) in enumerate([(14, 16), (36, 16), (7, 16)]):
+        arr = rng.normal(size=(S, D)).astype(np.float32)
+        p = str(root / f'feat{i}.npy')
+        np.save(p, arr)
+        paths.append(p)
+        arrays.append(arr)
+    return paths, arrays
+
+
+def test_native_builds():
+    assert native_available(), 'libbmt_io.so failed to build/load'
+
+
+def test_npy_shape(npy_files):
+    paths, arrays = npy_files
+    for p, a in zip(paths, arrays):
+        assert npy_shape(p) == a.shape
+
+
+def test_batch_load_native_matches_numpy(npy_files):
+    paths, arrays = npy_files
+    starts = [1.0, 0.0, 2.0]
+    ends = [5.0, 10.0, 2.0]       # third is degenerate after crop? no: 2..2
+    durations = [10.0, 10.0, 10.0]
+    full = [0, 1, 0]
+    for use_native in (True, False):
+        if use_native and not native_available():
+            pytest.skip('native lib unavailable')
+        out, status = batch_load(paths, starts, ends, durations, full,
+                                 pad_value=1.0, out_len=40, cols=16,
+                                 use_native=use_native)
+        if use_native:
+            native_out, native_status = out, status
+    np.testing.assert_allclose(native_out, out, atol=0)
+    np.testing.assert_array_equal(native_status, status)
+
+    # semantic spot checks vs reference crop rules
+    # item 0: crop [1,5]/10 of 14 rows -> rows [1: 7)
+    np.testing.assert_allclose(out[0, :6], arrays[0][1:7])
+    assert np.all(out[0, 6:] == 1.0)
+    # item 1: full 36 rows then pad
+    np.testing.assert_allclose(out[1, :36], arrays[1])
+    assert np.all(out[1, 36:] == 1.0)
+    # item 2: degenerate crop [2,2] -> 1-frame fallback, row idx 1
+    np.testing.assert_allclose(out[2, 0], arrays[2][1])
+
+
+def test_batch_load_missing_file(tmp_path):
+    out, status = batch_load([str(tmp_path / 'nope.npy')], [0.0], [1.0],
+                             [2.0], [0], pad_value=1.0, out_len=4, cols=8)
+    assert status[0] == 1
+    np.testing.assert_allclose(out[0, 0], np.zeros(8))
+    assert np.all(out[0, 1:] == 1.0)
+
+
+@pytest.mark.skipif(not native_available(), reason='no native lib')
+def test_native_throughput_sanity(npy_files):
+    '''Native path should load a large batch without error (smoke perf).'''
+    paths, arrays = npy_files
+    all_paths = paths * 86  # 258 items
+    B = len(all_paths)
+    out, status = batch_load(all_paths, [0.0] * B, [10.0] * B, [10.0] * B,
+                             [1] * B, 1.0, 40, 16)
+    assert out.shape[0] == B
+    assert np.all(status == 0)

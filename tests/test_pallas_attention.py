@@ -1,0 +1,81 @@
+'''Fused Pallas attention vs the XLA reference path (interpreter mode on
+CPU; the same kernel compiles on TPU).'''
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from bmt_tpu.ops.attention import scaled_dot_attention
+from bmt_tpu.ops.pallas_attention import flash_attention
+from bmt_tpu.ops.masks import subsequent_mask
+
+
+def _rand_qkv(rng, B=2, H=2, Sq=5, Sk=7, d=8):
+    q = jnp.asarray(rng.normal(size=(B, H, Sq, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, H, Sk, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, H, Sk, d)), jnp.float32)
+    return q, k, v
+
+
+def test_flash_attention_no_mask(rng):
+    q, k, v = _rand_qkv(rng)
+    ours = flash_attention(q, k, v, None)
+    ref = scaled_dot_attention(q, k, v, None)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
+
+
+def test_flash_attention_key_padding(rng):
+    q, k, v = _rand_qkv(rng)
+    B, Sk = q.shape[0], k.shape[2]
+    key_mask = np.ones((B, 1, 1, Sk), bool)
+    key_mask[0, ..., 5:] = False
+    key_mask[1, ..., 3:] = False
+    m = jnp.asarray(key_mask)
+    ours = flash_attention(q, k, v, m)
+    ref = scaled_dot_attention(q, k, v, m)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
+
+
+def test_flash_attention_causal_with_padding(rng):
+    B, H, S, d = 2, 2, 6, 8
+    q, k, v = _rand_qkv(rng, B, H, S, S, d)
+    pad = np.ones((B, 1, S), bool)
+    pad[1, 0, 4:] = False
+    causal = np.asarray(subsequent_mask(S))            # (1, S, S)
+    full = (pad[:, :, None, :] & causal[None])[:, 0]   # (B, S, S)
+    m = jnp.asarray(full)[:, None, :, :]               # (B, 1, S, S)
+
+    ours = np.asarray(flash_attention(q, k, v, m))
+    ref = np.asarray(scaled_dot_attention(q, k, v, m))
+    # rows where query position is padded produce values we never read
+    # (query padding is handled by loss masking downstream); compare only
+    # valid query rows
+    np.testing.assert_allclose(ours[0], ref[0], atol=1e-5)
+    np.testing.assert_allclose(ours[1, :, :4], ref[1, :, :4], atol=1e-5)
+
+
+def test_flash_attention_in_full_model(rng):
+    '''attention_impl='pallas' produces the same logits as 'xla' through the
+    whole bimodal forward.'''
+    from functools import partial
+    from bmt_tpu.models import (CapModelDims, init_bimodal_transformer,
+                                bimodal_transformer_forward)
+    from bmt_tpu.ops.masks import make_masks
+
+    dims = CapModelDims(voc_size=23, d_model_A=8, d_model_V=12, d_model_C=10,
+                        d_model=16, H=2, N=1, d_ff_A=16, d_ff_V=24,
+                        d_ff_C=20)
+    params = init_bimodal_transformer(jax.random.PRNGKey(0), dims)
+    src = {
+        'rgb': jnp.asarray(rng.normal(size=(2, 5, 12)), jnp.float32),
+        'flow': jnp.asarray(rng.normal(size=(2, 5, 12)), jnp.float32),
+        'audio': jnp.asarray(rng.normal(size=(2, 7, 8)), jnp.float32),
+    }
+    trg = jnp.asarray(rng.integers(4, 23, size=(2, 4)), jnp.int32)
+    masks = make_masks(src, trg, 'audio_video', 1)
+
+    fwd = jax.jit(partial(bimodal_transformer_forward, dims=dims,
+                          deterministic=True),
+                  static_argnames=('attention_impl',))
+    xla = fwd(params, src=src, trg=trg, masks=masks, attention_impl='xla')
+    pal = fwd(params, src=src, trg=trg, masks=masks, attention_impl='pallas')
+    np.testing.assert_allclose(np.asarray(pal), np.asarray(xla), atol=2e-4)

@@ -1,0 +1,48 @@
+'''Gradient parity of the fused attention custom VJP vs the XLA path.'''
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from bmt_tpu.ops.attention import scaled_dot_attention
+from bmt_tpu.ops.pallas_attention import flash_attention
+from bmt_tpu.ops.masks import subsequent_mask
+
+
+def _loss(attn_fn, q, k, v, m):
+    out = attn_fn(q, k, v, m)
+    return jnp.sum(jnp.where(jnp.isnan(out), 0.0, out) ** 2)
+
+
+def test_flash_attention_grads_match_xla(rng):
+    B, H, S, d = 2, 2, 6, 8
+    q = jnp.asarray(rng.normal(size=(B, H, S, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, H, S, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, H, S, d)), jnp.float32)
+    pad = np.ones((B, 1, S), bool)
+    pad[1, 0, 4:] = False
+    causal = np.asarray(subsequent_mask(S))
+    m = jnp.asarray((pad[:, :, None, :] & causal[None])[:, 0])[:, None]
+
+    g_ref = jax.grad(lambda *a: _loss(scaled_dot_attention, *a, m),
+                     argnums=(0, 1, 2))(q, k, v)
+    g_pal = jax.grad(lambda *a: _loss(flash_attention, *a, m),
+                     argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_ref, g_pal):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4)
+
+
+def test_flash_attention_grads_key_padding_only(rng):
+    B, H, Sq, Sk, d = 1, 2, 4, 7, 8
+    q = jnp.asarray(rng.normal(size=(B, H, Sq, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, H, Sk, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, H, Sk, d)), jnp.float32)
+    m_np = np.ones((B, 1, 1, Sk), bool)
+    m_np[..., 5:] = False
+    m = jnp.asarray(m_np)
+
+    g_ref = jax.grad(lambda *a: _loss(scaled_dot_attention, *a, m),
+                     argnums=(0, 1, 2))(q, k, v)
+    g_pal = jax.grad(lambda *a: _loss(flash_attention, *a, m),
+                     argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_ref, g_pal):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4)
