@@ -54,14 +54,17 @@ def main():
         return greedy_decode_bimodal(params_bf16, dims, stacks, MAX_LEN,
                                      2, END_IDX, 1)
 
-    # warmup/compile
-    cached_decode().block_until_ready()
+    # warmup/compile. NB: the axon backend's block_until_ready is a no-op;
+    # a host transfer (np.asarray) is the only reliable sync, so every timed
+    # iteration fetches the (64, 31) int32 token output (a few KB).
+    np.asarray(cached_decode())
+    np.asarray(cached_decode())  # second warmup: first real execution can
+    # include one-time weight upload over the device tunnel
 
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = cached_decode()
-    out.block_until_ready()
+        out = np.asarray(cached_decode())
     cached_sec = (time.perf_counter() - t0) / iters
     captions_per_sec = B / cached_sec
 

@@ -1,3 +1,4 @@
 from bmt_tpu.decode.greedy import (greedy_decode_bimodal,
                                    greedy_decode_uncached,
-                                   make_bimodal_greedy_fn)
+                                   make_bimodal_greedy_fn,
+                                   make_unimodal_greedy_fn)

@@ -82,6 +82,50 @@ def make_bimodal_greedy_fn(dims: CapModelDims, max_len: int, start_idx: int,
     return fn
 
 
+def make_unimodal_greedy_fn(dims: CapModelDims, max_len: int, start_idx: int,
+                            end_idx: int, pad_idx: int,
+                            attention_impl: str = 'xla'):
+    '''Greedy decode for the uni-modal Transformer ablation models.
+
+    Uses full-prefix recomputation with bucketed prefix widths (multiples of
+    8) — one jit compile per bucket instead of per length. A KV-cached step
+    path exists only for the flagship bi-modal model; the ablation models
+    keep the simpler decoder.
+    '''
+    import numpy as np
+    from functools import partial
+    from bmt_tpu.models.captioning import unimodal_transformer_forward
+
+    fwd = jax.jit(partial(unimodal_transformer_forward, dims=dims,
+                          deterministic=True,
+                          attention_impl=attention_impl))
+
+    def fn(params, feature_stacks):
+        if 'audio' in dims.modality:
+            B = feature_stacks['audio'].shape[0]
+        else:
+            B = feature_stacks['rgb'].shape[0]
+        trg = np.full((B, 1), start_idx, np.int32)
+        done = np.zeros((B,), bool)
+        while trg.shape[1] <= max_len and not done.all():
+            w = trg.shape[1]
+            wpad = ((w + 7) // 8) * 8
+            padded = np.pad(trg, ((0, 0), (0, wpad - w)),
+                            constant_values=pad_idx)
+            masks = make_masks(feature_stacks, jnp.asarray(padded),
+                               dims.modality, pad_idx)
+            preds = fwd(params, src=feature_stacks,
+                        trg=jnp.asarray(padded), masks=masks)
+            nxt = np.asarray(jnp.argmax(preds[:, w - 1], axis=-1))
+            trg = np.concatenate([trg, nxt[:, None].astype(np.int32)], 1)
+            done |= (nxt == end_idx)
+        # fixed-width output like the cached decoder
+        out = np.full((B, max_len + 1), end_idx, np.int32)
+        out[:, :trg.shape[1]] = trg
+        return out
+    return fn
+
+
 def greedy_decode_uncached(forward_fn, feature_stacks: dict, max_len: int,
                            start_idx: int, end_idx: int, pad_idx: int,
                            modality: str):

@@ -52,12 +52,18 @@ class CapModelDims:
 
     @classmethod
     def from_config(cls, cfg, voc_size: int) -> 'CapModelDims':
+        # d_ff_* only exist for the modalities the config was built with
+        # (reference: config_constructor.py:86-90)
+        d_model_A = getattr(cfg, 'd_model_audio', 128)
+        d_model_V = getattr(cfg, 'd_model_video', 1024)
         return cls(
             voc_size=voc_size,
-            d_model_A=cfg.d_model_audio, d_model_V=cfg.d_model_video,
+            d_model_A=d_model_A, d_model_V=d_model_V,
             d_model_C=cfg.d_model_caps, d_model=cfg.d_model,
             H=cfg.H, N=cfg.N,
-            d_ff_A=cfg.d_ff_audio, d_ff_V=cfg.d_ff_video, d_ff_C=cfg.d_ff_caps,
+            d_ff_A=getattr(cfg, 'd_ff_audio', 4 * d_model_A),
+            d_ff_V=getattr(cfg, 'd_ff_video', 4 * d_model_V),
+            d_ff_C=cfg.d_ff_caps,
             dout_p=cfg.dout_p, use_linear_embedder=cfg.use_linear_embedder,
             d_vid=cfg.d_vid, d_aud=cfg.d_aud, modality=cfg.modality,
         )

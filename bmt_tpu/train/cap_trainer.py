@@ -19,7 +19,7 @@ import numpy as np
 from bmt_tpu.config import Config
 from bmt_tpu.data.captioning import CaptioningDataset
 from bmt_tpu.data.vocab import load_glove
-from bmt_tpu.decode import make_bimodal_greedy_fn
+from bmt_tpu.decode import make_bimodal_greedy_fn, make_unimodal_greedy_fn
 from bmt_tpu.models import (CapModelDims, init_bimodal_transformer,
                             init_unimodal_transformer)
 from bmt_tpu.parallel import DataParallel
@@ -103,9 +103,14 @@ def train_cap(cfg: Config):
     val_step = jax.jit(make_cap_val_step(
         dims, cfg.smoothing, train_ds.pad_idx, cfg.attention_impl,
         compute_dtype))
-    greedy_fn = make_bimodal_greedy_fn(
-        dims, cfg.max_len, train_ds.start_idx, train_ds.end_idx,
-        train_ds.pad_idx, cfg.attention_impl)
+    if cfg.modality == 'audio_video':
+        greedy_fn = make_bimodal_greedy_fn(
+            dims, cfg.max_len, train_ds.start_idx, train_ds.end_idx,
+            train_ds.pad_idx, cfg.attention_impl)
+    else:
+        greedy_fn = make_unimodal_greedy_fn(
+            dims, cfg.max_len, train_ds.start_idx, train_ds.end_idx,
+            train_ds.pad_idx, cfg.attention_impl)
 
     state = init_train_state(params, optimizer, seed)
     state = state._replace(params=dp.replicate_tree(state.params),

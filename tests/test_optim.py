@@ -1,0 +1,72 @@
+'''Optimizer construction, freezing, LR control, scheduler semantics.'''
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from bmt_tpu.train.optim import (ReduceLROnPlateau, build_optimizer,
+                                 freeze_mask, get_learning_rate,
+                                 set_learning_rate)
+
+
+class _Cfg:
+    optimizer = 'adam'
+    lr = 1e-2
+    grad_clip = None
+    weight_decay = 0.0
+    beta1, beta2, eps = 0.9, 0.999, 1e-8
+
+
+def test_frozen_leaves_get_zero_updates():
+    params = {'emb': {'table': jnp.ones((4, 3))},
+              'layer': {'w': jnp.ones((3, 3))}}
+    mask = freeze_mask(params, lambda keys: keys[:2] == ('emb', 'table'))
+    assert mask['emb']['table'] is True and mask['layer']['w'] is False
+
+    tx = build_optimizer(_Cfg(), frozen_mask=mask)
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    assert float(jnp.abs(updates['emb']['table']).sum()) == 0.0
+    assert float(jnp.abs(updates['layer']['w']).sum()) > 0.0
+
+
+def test_learning_rate_injection():
+    params = {'w': jnp.ones((2, 2))}
+    tx = build_optimizer(_Cfg())
+    state = tx.init(params)
+    assert np.isclose(get_learning_rate(state), 1e-2)
+    set_learning_rate(state, 5e-4)
+    assert np.isclose(get_learning_rate(state), 5e-4)
+
+    # update magnitude scales with the injected lr (adam first step = lr)
+    grads = {'w': jnp.ones((2, 2))}
+    updates, _ = tx.update(grads, state, params)
+    assert np.allclose(np.abs(np.asarray(updates['w'])), 5e-4, rtol=1e-3)
+
+
+def test_grad_clipping_applied_before_adam():
+    class Cfg(_Cfg):
+        grad_clip = 1.0
+    tx = build_optimizer(Cfg())
+    params = {'w': jnp.ones((2, 2))}
+    state = tx.init(params)
+    big = {'w': jnp.full((2, 2), 1e6)}
+    updates, _ = tx.update(big, state, params)
+    assert np.all(np.isfinite(np.asarray(updates['w'])))
+
+
+def test_reduce_lr_on_plateau_min_mode():
+    s = ReduceLROnPlateau(1.0, factor=0.5, patience=1, mode='min')
+    assert s.step(10.0) == 1.0      # first metric -> best
+    assert s.step(9.0) == 1.0       # improved
+    assert s.step(9.5) == 1.0       # bad 1 (within patience)
+    assert s.step(9.6) == 0.5       # bad 2 -> reduce
+    assert s.step(8.0) == 0.5       # improved again, lr stays
+
+
+def test_reduce_lr_on_plateau_max_mode():
+    s = ReduceLROnPlateau(1.0, factor=0.1, patience=0, mode='max')
+    assert s.step(1.0) == 1.0
+    assert s.step(2.0) == 1.0
+    assert s.step(1.5) == 0.1       # patience 0 -> immediate

@@ -1,0 +1,72 @@
+'''Data-parallel correctness: a dp=8 sharded train step produces the same
+loss and parameter update as dp=1 on the identical batch.'''
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bmt_tpu.models import CapModelDims, init_bimodal_transformer
+from bmt_tpu.parallel import DataParallel, make_mesh
+from bmt_tpu.train.optim import build_optimizer
+from bmt_tpu.train.steps import init_train_state, make_cap_train_step
+
+DIMS = CapModelDims(voc_size=31, d_model_A=8, d_model_V=8, d_model_C=8,
+                    d_model=16, H=2, N=1, d_ff_A=16, d_ff_V=16, d_ff_C=16,
+                    dout_p=0.0)  # dropout off: per-device rngs would differ
+
+
+class _Cfg:
+    optimizer = 'adam'
+    lr = 1e-3
+    grad_clip = 1.0
+    weight_decay = 0.0
+    beta1, beta2, eps = 0.9, 0.999, 1e-8
+
+
+def _batch(rng, B=8):
+    return {
+        'src': {
+            'rgb': rng.normal(size=(B, 5, 8)).astype(np.float32),
+            'flow': rng.normal(size=(B, 5, 8)).astype(np.float32),
+            'audio': rng.normal(size=(B, 6, 8)).astype(np.float32),
+        },
+        'caption': rng.integers(4, 31, size=(B, 6)).astype(np.int32),
+    }
+
+
+def _run_step(dp_size, batch):
+    dp = DataParallel(dp=dp_size)
+    optimizer = build_optimizer(_Cfg())
+    step = dp.jit_step(make_cap_train_step(DIMS, optimizer, 0.7, 1))
+    params = init_bimodal_transformer(jax.random.PRNGKey(0), DIMS)
+    state = init_train_state(params, optimizer)
+    state = state._replace(params=dp.replicate_tree(state.params),
+                           opt_state=dp.replicate_tree(state.opt_state))
+    state, metrics = step(state, dp.shard(batch))
+    return (float(metrics['loss']),
+            jax.tree.map(np.asarray, state.params))
+
+
+def test_dp8_matches_dp1(rng):
+    assert len(jax.devices()) >= 8
+    batch = _batch(rng)
+    loss1, params1 = _run_step(1, batch)
+    loss8, params8 = _run_step(8, batch)
+    np.testing.assert_allclose(loss8, loss1, rtol=1e-5)
+    # gradient all-reduce order differs across mesh sizes -> fp32 noise
+    for a, b in zip(jax.tree.leaves(params1), jax.tree.leaves(params8)):
+        np.testing.assert_allclose(b, a, atol=1e-4)
+
+
+def test_mesh_has_room_for_model_parallel_axis():
+    mesh = make_mesh(dp=4, mp=2)
+    assert mesh.shape == {'dp': 4, 'mp': 2}
+
+
+def test_shard_batch_places_on_dp(rng):
+    dp = DataParallel(dp=8)
+    batch = dp.shard(_batch(rng, B=8))
+    sharding = batch['src']['rgb'].sharding
+    # batch axis split over 8 devices
+    shard_shapes = {s.data.shape for s in batch['src']['rgb'].addressable_shards}
+    assert shard_shapes == {(1, 5, 8)}
