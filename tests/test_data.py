@@ -1,0 +1,136 @@
+'''Data pipeline semantics: vocab ordering, caption encoding, bucketing,
+feature crop rules, proposal dense targets.'''
+import numpy as np
+import pytest
+
+from bmt_tpu.data.captioning import (AUDIO_BUCKETS, CAPTION_BUCKETS,
+                                     VIDEO_BUCKETS, bucket_len)
+from bmt_tpu.data.features import crop_a_segment, pad_segment
+from bmt_tpu.data.tokenizer import tokenize_en
+from bmt_tpu.data.vocab import Vocab, build_vocab
+
+
+def test_vocab_torchtext_ordering():
+    '''specials first, then frequency desc with alphabetical tie-break
+    (torchtext two-pass sort).'''
+    token_lists = [['b', 'a', 'b'], ['c', 'b', 'a'], ['d']]
+    v = build_vocab(token_lists, ['<unk>', '<blank>', '<s>', '</s>'])
+    assert v.itos[:4] == ['<unk>', '<blank>', '<s>', '</s>']
+    # freqs: b=3, a=2, c=1, d=1 -> b, a, then c before d alphabetically
+    assert v.itos[4:] == ['b', 'a', 'c', 'd']
+    assert v['b'] == 4
+    assert v['zzz'] == v.unk_index == 0
+
+
+def test_vocab_min_freq():
+    v = build_vocab([['x', 'x', 'y']], ['<unk>', '<blank>'], min_freq=2)
+    assert 'y' not in v.stoi and 'x' in v.stoi
+
+
+def test_vocab_save_load(tmp_path):
+    v = build_vocab([['hello', 'world']], ['<unk>', '<blank>'])
+    p = str(tmp_path / 'vocab.json')
+    v.save(p)
+    v2 = Vocab.load(p)
+    assert v2.itos == v.itos
+
+
+def test_tokenizer_contractions_and_punct():
+    assert tokenize_en("He doesn't run.") == \
+        ['He', 'does', "n't", 'run', '.']
+    assert tokenize_en("it's a well-known fact") == \
+        ['it', "'s", 'a', 'well', '-', 'known', 'fact']
+    assert tokenize_en('A man, running') == ['A', 'man', ',', 'running']
+
+
+def test_bucket_len():
+    assert bucket_len(1, VIDEO_BUCKETS) == 16
+    assert bucket_len(16, VIDEO_BUCKETS) == 16
+    assert bucket_len(17, VIDEO_BUCKETS) == 32
+    assert bucket_len(300, AUDIO_BUCKETS) == 384
+    # clamps to the largest bucket
+    assert bucket_len(10_000, CAPTION_BUCKETS) == CAPTION_BUCKETS[-1]
+
+
+def test_crop_a_segment_rules():
+    feat = np.arange(20, dtype=np.float32).reshape(10, 2)
+    # proportional crop
+    out = crop_a_segment(feat, 2.0, 6.0, 10.0)
+    np.testing.assert_allclose(out, feat[2:6])
+    # degenerate [start==end] -> one frame
+    out = crop_a_segment(feat, 3.0, 3.0, 10.0)
+    np.testing.assert_allclose(out, feat[3:4])
+    # degenerate at the very end: [S:S] -> [S-1:S]
+    out = crop_a_segment(feat, 10.0, 10.0, 10.0)
+    np.testing.assert_allclose(out, feat[9:10])
+
+
+def test_pad_segment():
+    feat = np.ones((3, 4), np.float32)
+    out = pad_segment(feat, 5, 7.0)
+    assert out.shape == (5, 4)
+    np.testing.assert_allclose(out[:3], 1.0)
+    np.testing.assert_allclose(out[3:], 7.0)
+    with pytest.raises(AssertionError):
+        pad_segment(feat, 2, 0.0)
+
+
+def test_captioning_dataset_batch_semantics(tmp_path):
+    '''Batch assembly: caption wrapping, pad values (rgb/audio = pad_idx,
+    flow = 0), fixed bucket shapes.'''
+    rng = np.random.default_rng(0)
+    (tmp_path / 'v').mkdir()
+    (tmp_path / 'a').mkdir()
+    rows = []
+    for i in range(3):
+        vid = f'v_x{i}'
+        np.save(tmp_path / 'v' / f'{vid}_rgb.npy',
+                rng.normal(size=(8 + i, 4)).astype(np.float32))
+        np.save(tmp_path / 'v' / f'{vid}_flow.npy',
+                rng.normal(size=(8 + i, 4)).astype(np.float32))
+        np.save(tmp_path / 'a' / f'{vid}.npy',
+                rng.normal(size=(6 + i, 3)).astype(np.float32))
+        rows.append((vid, 'a man runs', 0.0, 10.0, 10.0, 'train', i))
+    meta = tmp_path / 'train.csv'
+    with open(meta, 'w') as f:
+        f.write('video_id\tcaption\tstart\tend\tduration\tphase\tidx\n')
+        for r in rows:
+            f.write('\t'.join(map(str, r)) + '\n')
+
+    from bmt_tpu.config import Config
+    cfg = Config.from_dict({
+        'train_meta_path': str(meta), 'val_1_meta_path': str(meta),
+        'val_2_meta_path': str(meta), 'modality': 'audio_video',
+        'video_feature_name': 'i3d', 'audio_feature_name': 'vggish',
+        'video_features_path': str(tmp_path / 'v'),
+        'audio_features_path': str(tmp_path / 'a'),
+        'd_vid': 4, 'd_aud': 3, 'start_token': '<s>', 'end_token': '</s>',
+        'pad_token': '<blank>', 'min_freq_caps': 1, 'train_batch_size': 3,
+        'inference_batch_size': 3, 'max_len': 30,
+    })
+    from bmt_tpu.data.captioning import CaptioningDataset
+    ds = CaptioningDataset(cfg, 'train')
+    assert ds.pad_idx == 1 and ds.start_idx == 2 and ds.end_idx == 3
+
+    batch = ds.make_batch([0, 1, 2])
+    # caption: <s> a man runs </s> + pad to bucket 16
+    cap = batch['caption']
+    assert cap.shape == (3, 16)
+    a_id, man_id, runs_id = ds.train_vocab['a'], ds.train_vocab['man'], \
+        ds.train_vocab['runs']
+    assert cap[0, :5].tolist() == [2, a_id, man_id, runs_id, 3]
+    assert np.all(cap[0, 5:] == 1)
+
+    # features: full crops (start..end == whole), padded to bucket 16
+    assert batch['src']['rgb'].shape == (3, 16, 4)
+    assert batch['src']['audio'].shape == (3, 16, 3)
+    assert np.all(batch['src']['rgb'][0, 8:] == 1.0)   # pad_idx
+    assert np.all(batch['src']['flow'][0, 8:] == 0.0)  # flow pads with 0
+    assert np.all(batch['src']['audio'][0, 6:] == 1.0)
+
+    # per-epoch shuffling is deterministic per seed
+    b0 = [b['video_ids'] for b in ds.batches(epoch=0, seed=5)]
+    b0_again = [b['video_ids'] for b in ds.batches(epoch=0, seed=5)]
+    b1 = [b['video_ids'] for b in ds.batches(epoch=1, seed=5)]
+    assert b0 == b0_again
+    assert b0 != b1 or len(b0) == 1
