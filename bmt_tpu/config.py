@@ -142,6 +142,7 @@ class Config:
 
         # TPU-specific
         self.compute_dtype = getattr(args, 'compute_dtype', 'bfloat16')
+        self.remat = getattr(args, 'remat', False)
         self.attention_impl = getattr(args, 'attention_impl', 'xla')
         self.max_events_per_video = getattr(args, 'max_events_per_video', 32)
         self.glove_path = getattr(args, 'glove_path', None)
@@ -292,6 +293,9 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=['bfloat16', 'float32'])
     parser.add_argument('--attention_impl', type=str, default='xla',
                         choices=['xla', 'pallas'])
+    parser.add_argument('--remat', action='store_true', default=False,
+                        help='rematerialize encoder layers in the backward '
+                             'pass (jax.checkpoint) to save HBM')
     parser.add_argument('--max_events_per_video', type=int, default=32)
     parser.add_argument('--glove_path', type=str, default=None,
                         help='path to glove .txt vectors (optional)')

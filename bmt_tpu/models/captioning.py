@@ -49,6 +49,7 @@ class CapModelDims:
     d_vid: int = 1024
     d_aud: int = 128
     modality: str = 'audio_video'
+    remat: bool = False
 
     @classmethod
     def from_config(cls, cfg, voc_size: int) -> 'CapModelDims':
@@ -66,6 +67,7 @@ class CapModelDims:
             d_ff_C=cfg.d_ff_caps,
             dout_p=cfg.dout_p, use_linear_embedder=cfg.use_linear_embedder,
             d_vid=cfg.d_vid, d_aud=cfg.d_aud, modality=cfg.modality,
+            remat=getattr(cfg, 'remat', False),
         )
 
 
@@ -132,7 +134,7 @@ def bimodal_encode(params, dims: CapModelDims, src: dict, masks: dict,
     A, V = _embed_av(params, dims, src, rngs, deterministic, pe_A, pe_V)
     return bimodal_encoder_forward(params['encoder'], A, V, masks['A_mask'],
                                    masks['V_mask'], dims.H, dims.dout_p, rngs,
-                                   deterministic, attention_impl)
+                                   deterministic, attention_impl, dims.remat)
 
 
 def bimodal_transformer_forward(params, dims: CapModelDims, src: dict,
@@ -152,7 +154,8 @@ def bimodal_transformer_forward(params, dims: CapModelDims, src: dict,
 
     Av, Va = bimodal_encoder_forward(params['encoder'], A, V, masks['A_mask'],
                                      masks['V_mask'], dims.H, dims.dout_p,
-                                     rngs, deterministic, attention_impl)
+                                     rngs, deterministic, attention_impl,
+                                     dims.remat)
     C = bimodal_decoder_forward(params['decoder'], C, Av, Va, masks['A_mask'],
                                 masks['V_mask'], masks['C_mask'], dims.H,
                                 dims.dout_p, rngs, deterministic,

@@ -134,12 +134,23 @@ def bimodal_encoder_layer_forward(p, M1, M2, M1_mask, M2_mask, H,
 
 def bimodal_encoder_forward(params, A, V, A_mask, V_mask, H, dout_p=0.0,
                             rngs=None, deterministic=True,
-                            attention_impl='xla'):
+                            attention_impl='xla', remat=False):
     '''Returns (Av, Va): audio-attended-video and video-attended-audio
-    memories (reference: encoders.py:115-128).'''
+    memories (reference: encoders.py:115-128).
+
+    remat=True wraps each layer in jax.checkpoint — activations are
+    recomputed in the backward pass, trading FLOPs for HBM (useful at the
+    Sa=800 proposal-training lengths).'''
     M1, M2 = A, V
     for p in params['layers']:
-        M1, M2 = bimodal_encoder_layer_forward(
-            p, M1, M2, A_mask, V_mask, H, dout_p, rngs, deterministic,
-            attention_impl)
+        def run_layer(p_, M1_, M2_, key):
+            from bmt_tpu.models.captioning import _rng_stream
+            rr = _rng_stream(key) if key is not None else None
+            return bimodal_encoder_layer_forward(
+                p_, M1_, M2_, A_mask, V_mask, H, dout_p, rr, deterministic,
+                attention_impl)
+        if remat:
+            run_layer = jax.checkpoint(run_layer)
+        key = next(rngs) if rngs else None
+        M1, M2 = run_layer(p, M1, M2, key)
     return M1, M2  # (Av, Va)

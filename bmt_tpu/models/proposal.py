@@ -55,6 +55,7 @@ class PropModelDims:
     anchors_num_A: int = 48
     anchors_num_V: int = 128
     layer_norm: bool = False
+    remat: bool = False
     stride_A: float = 0.96          # audio_feature_timespan (config_constructor.py:57)
     stride_V: float = 64 / 25       # feature_timespan_in_fps / fps (config_constructor.py:64)
     obj_coeff: float = 1.0
@@ -72,6 +73,7 @@ class PropModelDims:
             dout_p=cfg.dout_p, use_linear_embedder=cfg.use_linear_embedder,
             d_vid=cfg.d_vid, d_aud=cfg.d_aud,
             layer_norm=getattr(cfg, 'layer_norm', False),
+            remat=getattr(cfg, 'remat', False),
             obj_coeff=getattr(cfg, 'obj_coeff', 1.0),
             noobj_coeff=getattr(cfg, 'noobj_coeff', 100.0),
         )
@@ -350,7 +352,8 @@ def multimodal_proposal_forward(params, dims: PropModelDims, src: dict,
 
     Av, Va = bimodal_encoder_forward(params['encoder'], A, V, masks['A_mask'],
                                      masks['V_mask'], dims.H, dims.dout_p,
-                                     rngs, deterministic, attention_impl)
+                                     rngs, deterministic, attention_impl,
+                                     dims.remat)
 
     anchors_A = params['anchors_A'] if 'anchors_A' in params else None
     anchors_V = params['anchors_V'] if 'anchors_V' in params else None

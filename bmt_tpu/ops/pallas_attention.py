@@ -45,13 +45,14 @@ def _attn_kernel(q_ref, k_ref, v_ref, kmask_ref, o_ref, *, causal: bool):
     v = v_ref[0, 0]
     Sq, d = q.shape
     Sk = k.shape[0]
+    b = pl.program_id(0)
 
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)  # (Sq, Sk)
     logits = logits * (1.0 / math.sqrt(d))
 
-    mask = kmask_ref[0, :][None, :] != 0                        # (1, Sk)
+    mask = kmask_ref[b, :][None, :] != 0                        # (1, Sk)
     if causal:
         rows = jax.lax.broadcasted_iota(jnp.int32, (Sq, Sk), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (Sq, Sk), 1)
@@ -84,7 +85,9 @@ def _flash_attention_impl(q, k, v, key_mask, causal: bool, interpret: bool):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, Sk, d), lambda b, h: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Sk), lambda b, h: (b, 0),
+            # full-array block (Mosaic requires the trailing block dims to be
+            # 8/128-aligned or equal to the array dims); indexed in-kernel
+            pl.BlockSpec((B, Sk), lambda b, h: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, Sq, d), lambda b, h: (b, h, 0, 0),
