@@ -17,6 +17,20 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_init_distributed():
+    '''Initialize multi-host JAX when launched under a pod scheduler
+    (coordinator env vars present). Single-host runs are unaffected; on a
+    pod this makes jax.devices() span all hosts so the same dp mesh rides
+    ICI within a slice and DCN across slices.'''
+    import os
+    if os.environ.get('JAX_COORDINATOR_ADDRESS') or \
+            os.environ.get('COORDINATOR_ADDRESS'):
+        try:
+            jax.distributed.initialize()
+        except Exception as e:  # already initialized or single-process
+            print(f'jax.distributed.initialize skipped: {e}')
+
+
 def make_mesh(dp: Optional[int] = None, mp: int = 1,
               devices=None) -> Mesh:
     '''1-D (or 2-D with mp>1) mesh over the local devices.

@@ -110,9 +110,10 @@ def eval_on_learned_props(args_cfg: Config):
         cfg.video_features_path = args_cfg.video_features_path
         assert os.path.exists(cfg.video_features_path)
 
+    # the reference passes reference_paths[0] (val_1_no_missings.json) as the
+    # duration source verbatim (eval_on_learned_props.py:102-104)
     cfg.val_prop_meta_path = convert_props_in_json_to_csv(
-        args_cfg.prop_pred_path, cfg.reference_paths[0].replace(
-            '_no_missings', ''), cfg.avail_mp4_path)
+        args_cfg.prop_pred_path, cfg.reference_paths[0], cfg.avail_mp4_path)
     print(cfg.log_path)
 
     train_ds = CaptioningDataset(cfg, 'train')

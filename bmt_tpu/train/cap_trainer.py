@@ -23,6 +23,7 @@ from bmt_tpu.decode import make_bimodal_greedy_fn, make_unimodal_greedy_fn
 from bmt_tpu.models import (CapModelDims, init_bimodal_transformer,
                             init_unimodal_transformer)
 from bmt_tpu.parallel import DataParallel
+from bmt_tpu.parallel.mesh import maybe_init_distributed
 from bmt_tpu.train.checkpoint import (import_prop_model, load_checkpoint,
                                       load_torch_checkpoint, save_checkpoint)
 from bmt_tpu.train.loops import (train_epoch_cap, validate_next_word,
@@ -55,6 +56,7 @@ def _load_pretrained_encoder(params, cfg):
 
 
 def train_cap(cfg: Config):
+    maybe_init_distributed()
     seed = 0
     np.random.seed(seed)
 

@@ -18,6 +18,7 @@ from bmt_tpu.models import (PropModelDims,
                             init_multimodal_proposal_generator,
                             init_unimodal_proposal_generator)
 from bmt_tpu.parallel import DataParallel
+from bmt_tpu.parallel.mesh import maybe_init_distributed
 from bmt_tpu.train.checkpoint import (import_cap_model, load_checkpoint,
                                       load_torch_checkpoint, save_checkpoint)
 from bmt_tpu.train.loops import train_epoch_prop, validate_prop
@@ -31,6 +32,7 @@ from bmt_tpu.utils.proposal_utils import calc_anchors_using_kmeans
 
 
 def train_prop(cfg: Config):
+    maybe_init_distributed()
     seed = 0
     np.random.seed(seed)
 

@@ -115,6 +115,18 @@ def test_train_cap_end_to_end(mini_data, tmp_path):
 
 
 @pytest.mark.slow
+def test_train_prop_unimodal_video(mini_data, tmp_path):
+    '''Uni-modal (video-only) proposal generator: train_loop variant +
+    ProposalGenerator equivalent (reference: proposal_generator.py:50-212).'''
+    from bmt_tpu.train.prop_trainer import train_prop
+    os.chdir(tmp_path)
+    cfg = _mini_cfg(mini_data, tmp_path, 'train_prop', modality='video')
+    best_f1 = train_prop(cfg)
+    assert np.isfinite(best_f1)
+    assert 'best_prop_model.params.npz' in os.listdir(cfg.log_path)
+
+
+@pytest.mark.slow
 def test_train_prop_and_eval_end_to_end(mini_data, tmp_path):
     from bmt_tpu.train.prop_trainer import train_prop
     from bmt_tpu.scripts.eval_on_learned_props import eval_on_learned_props
