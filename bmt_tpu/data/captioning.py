@@ -25,8 +25,8 @@ from typing import Iterator, List, Optional
 import numpy as np
 
 from bmt_tpu.data.features import (fill_missing_features,
-                                   load_features_from_npy, pad_stack_batch)
-from bmt_tpu.data.native import batch_load, native_available, npy_shape
+                                   load_features_from_npy)
+from bmt_tpu.data.native import batch_load, npy_shape
 from bmt_tpu.data.tokenizer import tokenize_en
 from bmt_tpu.data.vocab import Vocab, build_vocab_from_meta, read_meta_csv
 

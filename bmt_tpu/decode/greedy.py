@@ -23,8 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from bmt_tpu.models.captioning import (CapModelDims, bimodal_decode_init,
-                                       bimodal_decode_step, bimodal_encode,
-                                       bimodal_transformer_forward)
+                                       bimodal_decode_step, bimodal_encode)
 from bmt_tpu.ops.masks import make_masks
 
 

@@ -17,8 +17,8 @@ from bmt_tpu.config import Config
 from bmt_tpu.data.captioning import CaptioningDataset
 from bmt_tpu.decode import make_bimodal_greedy_fn
 from bmt_tpu.models import CapModelDims
-from bmt_tpu.train.checkpoint import (import_cap_model, load_checkpoint,
-                                      load_pytree_npz, load_torch_checkpoint)
+from bmt_tpu.train.checkpoint import (import_cap_model, load_pytree_npz,
+                                      load_torch_checkpoint)
 from bmt_tpu.train.loops import validation_1by1
 
 

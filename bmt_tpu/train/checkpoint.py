@@ -19,11 +19,9 @@ import os
 import re
 import sys
 import types
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
-
-import jax
 
 SEP = '/'
 

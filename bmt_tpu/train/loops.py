@@ -13,7 +13,6 @@ import os
 from time import time
 from typing import Optional
 
-import jax
 import numpy as np
 
 from bmt_tpu.evaluation.metrics import calculate_metrics

@@ -5,8 +5,6 @@ checkpoint (frozen unless --finetune_cap_encoder), best-by-avg-F1
 checkpointing.'''
 from __future__ import annotations
 
-import os
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -19,7 +17,7 @@ from bmt_tpu.models import (PropModelDims,
                             init_unimodal_proposal_generator)
 from bmt_tpu.parallel import DataParallel
 from bmt_tpu.parallel.mesh import maybe_init_distributed
-from bmt_tpu.train.checkpoint import (import_cap_model, load_checkpoint,
+from bmt_tpu.train.checkpoint import (import_cap_model,
                                       load_torch_checkpoint, save_checkpoint)
 from bmt_tpu.train.loops import train_epoch_prop, validate_prop
 from bmt_tpu.train.optim import (ReduceLROnPlateau, build_optimizer,
