@@ -401,3 +401,31 @@ def export_cap_state_dict(params: dict, data_parallel: bool = True) -> dict:
     if data_parallel:
         sd = {f'module.{k}': v for k, v in sd.items()}
     return sd
+
+
+def save_torch_checkpoint(path: str, params: dict, meta: dict):
+    '''Write a reference-format best_cap_model.pt so models trained here can
+    be loaded by the original PyTorch implementation (its loaders re-read the
+    pickled config and state_dict — eval_on_learned_props.py:86-124).'''
+    import torch
+    _install_config_shims()
+    # pickle the config under the module/name the reference expects, so its
+    # own Config shim can unpickle it
+    cls = sys.modules['utilities.config_constructor'].Config
+    cls.__module__ = 'utilities.config_constructor'
+    cls.__qualname__ = 'Config'
+    cfg = cls()
+    cfg.__dict__.update(meta.get('config', {}))
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in export_cap_state_dict(params).items()}
+    torch.save({
+        'config': cfg,
+        'epoch': meta.get('epoch', 0),
+        'model_state_dict': sd,
+        'optimizer_state_dict': {},
+        'val_1_loss': meta.get('val_1_loss'),
+        'val_2_loss': meta.get('val_2_loss'),
+        'val_1_metrics': meta.get('val_1_metrics'),
+        'val_2_metrics': meta.get('val_2_metrics'),
+        'trg_voc_size': meta.get('trg_voc_size'),
+    }, path)
