@@ -54,11 +54,23 @@ def main():
         return greedy_decode_bimodal(params_bf16, dims, stacks, MAX_LEN,
                                      2, END_IDX, 1)
 
+    def warmup(fn, attempts=3):
+        '''The remote-compile tunnel occasionally drops mid-compile; retry
+        (the persistent cache resumes from completed compiles).'''
+        for i in range(attempts):
+            try:
+                return np.asarray(fn())
+            except Exception as e:
+                if i == attempts - 1:
+                    raise
+                print(f'warmup retry after: {type(e).__name__}',
+                      file=sys.stderr)
+
     # warmup/compile. NB: the axon backend's block_until_ready is a no-op;
     # a host transfer (np.asarray) is the only reliable sync, so every timed
     # iteration fetches the (64, 31) int32 token output (a few KB).
-    np.asarray(cached_decode())
-    np.asarray(cached_decode())  # second warmup: first real execution can
+    warmup(cached_decode)
+    warmup(cached_decode)  # second warmup: first real execution can
     # include one-time weight upload over the device tunnel
 
     # run-to-run variance through the device tunnel is large; report the
@@ -100,7 +112,7 @@ def main():
                                 jnp.int32(step))
         return np.asarray(trg)
 
-    uncached_decode()  # warmup
+    warmup(uncached_decode)
     t0 = time.perf_counter()
     uncached_decode()
     uncached_sec = time.perf_counter() - t0

@@ -81,6 +81,8 @@ def load_cap_checkpoint_any(path: str, params_like=None):
 def eval_on_learned_props(args_cfg: Config):
     '''reference: eval_on_learned_props.py:85-135. args_cfg carries the CLI
     args; the model config comes from the checkpoint.'''
+    from bmt_tpu.utils.misc import enable_compile_cache
+    enable_compile_cache()
     path = args_cfg.pretrained_cap_model_path
 
     if path.endswith('.pt'):

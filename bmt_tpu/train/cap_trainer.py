@@ -56,6 +56,8 @@ def _load_pretrained_encoder(params, cfg):
 
 
 def train_cap(cfg: Config):
+    from bmt_tpu.utils.misc import enable_compile_cache
+    enable_compile_cache()
     maybe_init_distributed()
     seed = 0
     np.random.seed(seed)

@@ -30,6 +30,8 @@ from bmt_tpu.utils.proposal_utils import calc_anchors_using_kmeans
 
 
 def train_prop(cfg: Config):
+    from bmt_tpu.utils.misc import enable_compile_cache
+    enable_compile_cache()
     maybe_init_distributed()
     seed = 0
     np.random.seed(seed)

@@ -10,6 +10,18 @@ from functools import partial
 from time import localtime, mktime, strptime
 
 
+def enable_compile_cache(cache_dir: str = None):
+    '''Enable JAX's persistent compilation cache (compiles on this host's
+    device tunnel are slow and occasionally flaky; cached executables make
+    reruns resume instantly).'''
+    import jax
+    if cache_dir is None:
+        cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), '.jax_cache')
+    jax.config.update('jax_compilation_cache_dir', cache_dir)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+
+
 def average_metrics_in_two_dicts(val_1_metrics: dict, val_2_metrics: dict) -> dict:
     '''Average two metric dicts with the same nested keys
     (reference: captioning_utils.py:12-26).'''

@@ -100,6 +100,27 @@ def calculate_f1(recall: float, precision: float) -> float:
     return 2 * recall * precision / (recall + precision + 1e-16)
 
 
+def filter_meta_for_video_id(rows, video_id: str, key: str = 'video_id'):
+    '''Select meta rows for one video (reference: proposal_utils.py:103-104;
+    operates on row-dict lists instead of DataFrames).'''
+    return [r for r in rows if r[key] == video_id]
+
+
+def get_center_coords(start_end: np.ndarray) -> np.ndarray:
+    '''[start, end] -> centers (reference: proposal_utils.py:107-109).'''
+    return start_end[:, 0] + (start_end[:, 1] - start_end[:, 0]) / 2
+
+
+def get_segment_lengths(start_end: np.ndarray) -> np.ndarray:
+    '''[start, end] -> lengths (reference: proposal_utils.py:121-123).'''
+    return start_end[:, 1] - start_end[:, 0]
+
+
+def add_dict_to_another_dict(one_dict: dict, another_dict: dict) -> dict:
+    '''Accumulate loss dicts (reference: proposal_utils.py:126-128).'''
+    return {k: another_dict.get(k, 0) + v for k, v in one_dict.items()}
+
+
 def select_topk_predictions(model_output: np.ndarray, k: int) -> np.ndarray:
     '''(B, AS, 3) -> (B, k, 3) sorted by confidence desc
     (reference: proposal_utils.py:136-149). Uses a stable descending argsort
