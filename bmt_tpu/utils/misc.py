@@ -84,13 +84,19 @@ def make_metafile(available_mp4s_path: str, json_path: str,
             for pat, val in replace_patterns:
                 caption = re.sub(pat, val, caption)
             caption = caption.strip()
-            rows.append((video_id, caption, start, end, duration, phase, idx))
+            # floats formatted as pandas does (0 -> 0.0) for bit-identical
+            # metafiles vs the reference's shipped CSVs
+            rows.append((video_id, caption, float(start), float(end),
+                         float(duration), phase, idx))
             idx += 1
 
-    with open(save_meta_path, 'w') as f:
-        f.write('video_id\tcaption\tstart\tend\tduration\tphase\tidx\n')
-        for r in rows:
-            f.write('\t'.join(str(x) for x in r) + '\n')
+    import csv
+    with open(save_meta_path, 'w', newline='') as f:
+        w = csv.writer(f, delimiter='\t', quoting=csv.QUOTE_MINIMAL,
+                       quotechar='"', lineterminator='\n')
+        w.writerow(['video_id', 'caption', 'start', 'end', 'duration',
+                    'phase', 'idx'])
+        w.writerows(rows)
 
 
 class HiddenPrints:

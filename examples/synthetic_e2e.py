@@ -107,6 +107,7 @@ def main():
     ap.add_argument('--B', type=int, default=32)
     ap.add_argument('--root', type=str, default=None)
     ap.add_argument('--lr', type=float, default=3e-4)
+    ap.add_argument('--stage', choices=['cap', 'prop'], default='cap')
     args = ap.parse_args()
 
     root = args.root or tempfile.mkdtemp(prefix='bmt_synth_')
@@ -116,9 +117,11 @@ def main():
 
     from bmt_tpu.config import Config, build_parser
     from bmt_tpu.train.cap_trainer import train_cap
+    from bmt_tpu.train.prop_trainer import train_prop
 
+    procedure = 'train_cap' if args.stage == 'cap' else 'train_prop'
     argv = [
-        '--procedure', 'train_cap',
+        '--procedure', procedure,
         '--train_meta_path', os.path.join(root, 'train.csv'),
         '--val_1_meta_path', os.path.join(root, 'val_1.csv'),
         '--val_2_meta_path', os.path.join(root, 'val_2.csv'),
@@ -133,9 +136,18 @@ def main():
         '--smoothing', '0.3',
         '--log_dir', os.path.join(root, 'log'),
     ]
+    if args.stage == 'prop':
+        # synthetic videos are short; remat covers the padded 800/300 path
+        argv += ['--remat']
     cfg = Config(build_parser().parse_args(argv))
-    best = train_cap(cfg)
-    print(f'FINAL best avg METEOR: {best:.4f}')
+    if args.stage == 'cap':
+        best = train_cap(cfg)
+        print(f'FINAL best avg METEOR: {best:.4f}')
+    else:
+        import os as _os
+        _os.chdir(root)  # ./tmp caches
+        best = train_prop(cfg)
+        print(f'FINAL best avg F1: {best:.4f}')
     return best
 
 
