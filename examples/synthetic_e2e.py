@@ -97,6 +97,8 @@ def make_dataset(root: str, n_videos: int, d_vid=1024, d_aud=128, seed=0):
             json.dump(d, f)
         with open(os.path.join(root, f'{phase}_no_missings.json'), 'w') as f:
             json.dump(d, f)
+    with open(os.path.join(root, 'available_mp4.txt'), 'w') as f:
+        f.write(''.join(f'v_syn{v:05d}.mp4\n' for v in range(n_videos)))
     return rows
 
 
