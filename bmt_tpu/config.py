@@ -144,6 +144,9 @@ class Config:
         self.compute_dtype = getattr(args, 'compute_dtype', 'bfloat16')
         self.remat = getattr(args, 'remat', False)
         self.attention_impl = getattr(args, 'attention_impl', 'xla')
+        self.decode_strategy = getattr(args, 'decode_strategy', 'greedy')
+        self.beam_size = getattr(args, 'beam_size', 4)
+        self.length_penalty = getattr(args, 'length_penalty', 0.0)
         self.max_events_per_video = getattr(args, 'max_events_per_video', 32)
         self.glove_path = getattr(args, 'glove_path', None)
         self.vocab_path = getattr(args, 'vocab_path', None)
@@ -296,6 +299,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--remat', action='store_true', default=False,
                         help='rematerialize encoder layers in the backward '
                              'pass (jax.checkpoint) to save HBM')
+    parser.add_argument('--decode_strategy', type=str, default='greedy',
+                        choices=['greedy', 'beam'],
+                        help='caption decoding strategy (beam search is a '
+                             'capability beyond the reference)')
+    parser.add_argument('--beam_size', type=int, default=4)
+    parser.add_argument('--length_penalty', type=float, default=0.0,
+                        help='GNMT length penalty alpha for beam search')
     parser.add_argument('--max_events_per_video', type=int, default=32)
     parser.add_argument('--glove_path', type=str, default=None,
                         help='path to glove .txt vectors (optional)')

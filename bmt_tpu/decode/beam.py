@@ -1,0 +1,127 @@
+'''Batched beam-search decoding with KV caches (capability beyond the
+reference, which only decodes greedily — captioning_epoch_loops.py:39-65).
+
+Standard length-penalized beam search (Wu et al. 2016 penalty
+((5 + len) / 6)^alpha, alpha = 0 -> pure log-prob sum), implemented as a
+single jit-compiled ``lax.scan``:
+
+- the encoder runs once; memories / masks / caches are tiled to (B * K),
+- each step advances the KV-cached decoder one token for every live beam,
+- finished beams are frozen by masking their continuations to a single
+  zero-cost </s> extension,
+- beam reordering gathers the self-attention caches along the batch axis.
+
+Greedy is the special case K = 1 (tested equal to the greedy decoder).
+'''
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from bmt_tpu.models.captioning import (CapModelDims, bimodal_decode_init,
+                                       bimodal_decode_step, bimodal_encode)
+from bmt_tpu.ops.masks import make_masks
+
+_NEG_INF = -1e9
+
+
+def _tile(x, K):
+    '''(B, ...) -> (B*K, ...) repeating each row K times.'''
+    return jnp.repeat(x, K, axis=0)
+
+
+@partial(jax.jit, static_argnames=('dims', 'max_len', 'start_idx', 'end_idx',
+                                   'pad_idx', 'beam_size', 'length_penalty',
+                                   'attention_impl'))
+def beam_search_bimodal(params, dims: CapModelDims, feature_stacks: dict,
+                        max_len: int, start_idx: int, end_idx: int,
+                        pad_idx: int, beam_size: int = 4,
+                        length_penalty: float = 0.0,
+                        attention_impl: str = 'xla'):
+    '''Returns (tokens (B, max_len + 1) int32, scores (B,)) — the best beam
+    per batch element, rows formatted like the greedy decoder's output.'''
+    K = beam_size
+    V = dims.voc_size
+    masks = make_masks(feature_stacks, None, 'audio_video', pad_idx)
+    Av, Va = bimodal_encode(params, dims, feature_stacks, masks,
+                            deterministic=True, attention_impl=attention_impl)
+    B = Av.shape[0]
+
+    # tile everything beam-wise
+    Av_t, Va_t = _tile(Av, K), _tile(Va, K)
+    A_mask = _tile(masks['A_mask'], K)
+    V_mask = _tile(masks['V_mask'], K)
+    state = bimodal_decode_init(params, dims, Av_t, Va_t, max_len)
+
+    tokens = jnp.full((B, K, max_len + 1), end_idx, jnp.int32)
+    tokens = tokens.at[:, :, 0].set(start_idx)
+    # only beam 0 is live initially (identical prefixes would flood top-k)
+    scores = jnp.tile(jnp.array([0.0] + [_NEG_INF] * (K - 1)), (B, 1))
+    done = jnp.zeros((B, K), bool)
+
+    def step_fn(carry, step):
+        tokens, scores, done, state = carry
+
+        cur = jax.lax.dynamic_slice_in_dim(
+            tokens.reshape(B * K, -1), step, 1, axis=1)      # (B*K, 1)
+        log_probs, new_state = bimodal_decode_step(
+            params, dims, state, cur, step, A_mask, V_mask)   # (B*K, V)
+        log_probs = log_probs.reshape(B, K, V).astype(jnp.float32)
+
+        # finished beams extend only with </s> at zero cost
+        frozen = jnp.full((V,), _NEG_INF).at[end_idx].set(0.0)
+        log_probs = jnp.where(done[:, :, None], frozen[None, None, :],
+                              log_probs)
+
+        cand = scores[:, :, None] + log_probs                # (B, K, V)
+        flat = cand.reshape(B, K * V)
+        new_scores, idx = jax.lax.top_k(flat, K)             # (B, K)
+        parent = idx // V                                    # (B, K)
+        word = (idx % V).astype(jnp.int32)
+
+        # reorder token history + caches by parent beam
+        tokens = jnp.take_along_axis(tokens, parent[:, :, None], axis=1)
+        tokens = jax.lax.dynamic_update_slice_in_dim(
+            tokens, word[:, :, None], step + 1, axis=2)
+        done = jnp.take_along_axis(done, parent, axis=1) | (word == end_idx)
+
+        flat_parent = (jnp.arange(B)[:, None] * K + parent).reshape(-1)
+        new_state = jax.tree.map(
+            lambda x: jnp.take(x, flat_parent, axis=0), new_state)
+
+        return (tokens, new_scores, done, new_state), None
+
+    (tokens, scores, done, _), _ = jax.lax.scan(
+        step_fn, (tokens, scores, done, state), jnp.arange(max_len))
+
+    # length penalty: lp = ((5 + len) / 6) ** alpha over generated lengths
+    if length_penalty > 0.0:
+        pos = jnp.arange(1, max_len + 1)[None, None, :]
+        is_end = tokens[:, :, 1:] == end_idx
+        first_end = jnp.where(is_end.any(-1), is_end.argmax(-1) + 1, max_len)
+        lp = ((5.0 + first_end) / 6.0) ** length_penalty
+        final = scores / lp
+    else:
+        final = scores
+
+    best = jnp.argmax(final, axis=1)                         # (B,)
+    best_tokens = jnp.take_along_axis(
+        tokens, best[:, None, None], axis=1)[:, 0]           # (B, L+1)
+    best_scores = jnp.take_along_axis(final, best[:, None], axis=1)[:, 0]
+    return best_tokens, best_scores
+
+
+def make_bimodal_beam_fn(dims: CapModelDims, max_len: int, start_idx: int,
+                         end_idx: int, pad_idx: int, beam_size: int = 4,
+                         length_penalty: float = 0.0,
+                         attention_impl: str = 'xla'):
+    '''Bind statics; returns fn(params, feature_stacks) -> tokens, matching
+    the greedy decoder's interface for the validation loops.'''
+    def fn(params, feature_stacks):
+        toks, _ = beam_search_bimodal(params, dims, feature_stacks, max_len,
+                                      start_idx, end_idx, pad_idx, beam_size,
+                                      length_penalty, attention_impl)
+        return toks
+    return fn

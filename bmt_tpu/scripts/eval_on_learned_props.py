@@ -15,7 +15,7 @@ import jax
 
 from bmt_tpu.config import Config
 from bmt_tpu.data.captioning import CaptioningDataset
-from bmt_tpu.decode import make_bimodal_greedy_fn
+from bmt_tpu.decode import make_bimodal_beam_fn, make_bimodal_greedy_fn
 from bmt_tpu.models import CapModelDims
 from bmt_tpu.train.checkpoint import (import_cap_model, load_pytree_npz,
                                       load_torch_checkpoint)
@@ -130,9 +130,15 @@ def eval_on_learned_props(args_cfg: Config):
         params = load_pytree_npz(
             os.path.join(path, 'best_cap_model.params.npz'), template)
 
-    greedy_fn = make_bimodal_greedy_fn(
-        dims, cfg.max_len, train_ds.start_idx, train_ds.end_idx,
-        train_ds.pad_idx, getattr(cfg, 'attention_impl', 'xla'))
+    if getattr(args_cfg, 'decode_strategy', 'greedy') == 'beam':
+        greedy_fn = make_bimodal_beam_fn(
+            dims, cfg.max_len, train_ds.start_idx, train_ds.end_idx,
+            train_ds.pad_idx, args_cfg.beam_size, args_cfg.length_penalty,
+            getattr(cfg, 'attention_impl', 'xla'))
+    else:
+        greedy_fn = make_bimodal_greedy_fn(
+            dims, cfg.max_len, train_ds.start_idx, train_ds.end_idx,
+            train_ds.pad_idx, getattr(cfg, 'attention_impl', 'xla'))
 
     metrics = validation_1by1(cfg, params, greedy_fn, pred_prop_ds, epoch,
                               logger=None, phase='learned_props')

@@ -19,7 +19,8 @@ import numpy as np
 from bmt_tpu.config import Config
 from bmt_tpu.data.captioning import CaptioningDataset
 from bmt_tpu.data.vocab import load_glove
-from bmt_tpu.decode import make_bimodal_greedy_fn, make_unimodal_greedy_fn
+from bmt_tpu.decode import (make_bimodal_beam_fn, make_bimodal_greedy_fn,
+                            make_unimodal_greedy_fn)
 from bmt_tpu.models import (CapModelDims, init_bimodal_transformer,
                             init_unimodal_transformer)
 from bmt_tpu.parallel import DataParallel
@@ -108,9 +109,15 @@ def train_cap(cfg: Config):
         dims, cfg.smoothing, train_ds.pad_idx, cfg.attention_impl,
         compute_dtype))
     if cfg.modality == 'audio_video':
-        greedy_fn = make_bimodal_greedy_fn(
-            dims, cfg.max_len, train_ds.start_idx, train_ds.end_idx,
-            train_ds.pad_idx, cfg.attention_impl)
+        if getattr(cfg, 'decode_strategy', 'greedy') == 'beam':
+            greedy_fn = make_bimodal_beam_fn(
+                dims, cfg.max_len, train_ds.start_idx, train_ds.end_idx,
+                train_ds.pad_idx, cfg.beam_size, cfg.length_penalty,
+                cfg.attention_impl)
+        else:
+            greedy_fn = make_bimodal_greedy_fn(
+                dims, cfg.max_len, train_ds.start_idx, train_ds.end_idx,
+                train_ds.pad_idx, cfg.attention_impl)
     else:
         greedy_fn = make_unimodal_greedy_fn(
             dims, cfg.max_len, train_ds.start_idx, train_ds.end_idx,
