@@ -61,8 +61,12 @@ def beam_search_bimodal(params, dims: CapModelDims, feature_stacks: dict,
     scores = jnp.tile(jnp.array([0.0] + [_NEG_INF] * (K - 1)), (B, 1))
     done = jnp.zeros((B, K), bool)
 
-    def step_fn(carry, step):
-        tokens, scores, done, state = carry
+    def cond_fn(carry):
+        step, _, _, done, _ = carry
+        return jnp.logical_and(step < max_len, jnp.logical_not(done.all()))
+
+    def step_fn(carry):
+        step, tokens, scores, done, state = carry
 
         cur = jax.lax.dynamic_slice_in_dim(
             tokens.reshape(B * K, -1), step, 1, axis=1)      # (B*K, 1)
@@ -91,10 +95,11 @@ def beam_search_bimodal(params, dims: CapModelDims, feature_stacks: dict,
         new_state = jax.tree.map(
             lambda x: jnp.take(x, flat_parent, axis=0), new_state)
 
-        return (tokens, new_scores, done, new_state), None
+        return step + 1, tokens, new_scores, done, new_state
 
-    (tokens, scores, done, _), _ = jax.lax.scan(
-        step_fn, (tokens, scores, done, state), jnp.arange(max_len))
+    # early exit once every beam of every batch element has finished
+    _, tokens, scores, done, _ = jax.lax.while_loop(
+        cond_fn, step_fn, (0, tokens, scores, done, state))
 
     # length penalty: lp = ((5 + len) / 6) ** alpha over generated lengths
     if length_penalty > 0.0:
