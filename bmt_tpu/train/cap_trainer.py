@@ -47,7 +47,13 @@ def _load_pretrained_encoder(params, cfg):
     print(f'Pretrained prop path: \n {path}')
     if path.endswith('.pt'):
         cpt = load_torch_checkpoint(path)
-        prop_params, _ = import_prop_model(cpt)
+        if cfg.modality == 'audio_video':
+            prop_params, _ = import_prop_model(cpt)
+        else:
+            # uni-modal cap reuses a uni-modal prop encoder
+            # (reference: captioning_module.py:50-69)
+            from bmt_tpu.train.checkpoint import import_unimodal_prop_model
+            prop_params, _ = import_unimodal_prop_model(cpt, cfg.modality)
         params['encoder'] = prop_params['encoder']
     else:
         raise NotImplementedError('native prop checkpoint encoder load: '

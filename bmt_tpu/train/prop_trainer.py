@@ -70,7 +70,14 @@ def train_prop(cfg: Config):
     if path:
         print(f'Pretrained caption path: \n {path}')
         if path.endswith('.pt'):
-            cap_params, _ = import_cap_model(load_torch_checkpoint(path))
+            cpt = load_torch_checkpoint(path)
+            if cfg.modality == 'audio_video':
+                cap_params, _ = import_cap_model(cpt)
+            else:
+                # uni-modal prop reuses a uni-modal cap encoder
+                # (reference: proposal_generator.py:85-106)
+                from bmt_tpu.train.checkpoint import import_unimodal_cap_model
+                cap_params, _ = import_unimodal_cap_model(cpt)
         else:
             from bmt_tpu.train.checkpoint import load_pytree_npz
             cap_params = {'encoder': params['encoder']}

@@ -115,6 +115,45 @@ def test_train_cap_end_to_end(mini_data, tmp_path):
 
 
 @pytest.mark.slow
+def test_train_prop_with_pretrained_frozen_cap_encoder(mini_data, tmp_path):
+    '''Stage-2 transfer: proposal generator seeded from a (reference-format
+    .pt) captioning checkpoint, encoder frozen during training
+    (reference: proposal_generator.py:234-249).'''
+    import jax
+    import numpy as np
+    from bmt_tpu.models import CapModelDims, init_bimodal_transformer
+    from bmt_tpu.train.checkpoint import (load_pytree_npz,
+                                          save_torch_checkpoint)
+    from bmt_tpu.train.prop_trainer import train_prop
+
+    os.chdir(tmp_path)
+    dims = CapModelDims(voc_size=23, d_model_A=8, d_model_V=12,
+                        d_model_C=10, d_model=16, H=2, N=1, d_ff_A=32,
+                        d_ff_V=48, d_ff_C=40)
+    cap_params = init_bimodal_transformer(jax.random.PRNGKey(5), dims)
+    pt_path = os.path.join(tmp_path, 'best_cap_model.pt')
+    save_torch_checkpoint(pt_path, cap_params, {'config': {}, 'epoch': 1})
+
+    cfg = _mini_cfg(mini_data, tmp_path, 'train_prop',
+                    pretrained_cap_model_path=pt_path)
+    train_prop(cfg)
+
+    # reload the trained prop model; its encoder must equal the cap
+    # checkpoint's encoder exactly (frozen)
+    from bmt_tpu.models import PropModelDims, init_multimodal_proposal_generator
+    import jax.numpy as jnp
+    pdims = PropModelDims.from_config(cfg)
+    template = init_multimodal_proposal_generator(jax.random.PRNGKey(0), pdims)
+    template['anchors_A'] = jnp.zeros((3,), jnp.float32)
+    template['anchors_V'] = jnp.zeros((4,), jnp.float32)
+    trained = load_pytree_npz(
+        os.path.join(cfg.log_path, 'best_prop_model.params.npz'), template)
+    for a, b in zip(jax.tree.leaves(cap_params['encoder']),
+                    jax.tree.leaves(trained['encoder'])):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=0)
+
+
+@pytest.mark.slow
 def test_train_prop_unimodal_video(mini_data, tmp_path):
     '''Uni-modal (video-only) proposal generator: train_loop variant +
     ProposalGenerator equivalent (reference: proposal_generator.py:50-212).'''
