@@ -81,47 +81,55 @@ def make_bimodal_greedy_fn(dims: CapModelDims, max_len: int, start_idx: int,
     return fn
 
 
+@partial(jax.jit, static_argnames=('dims', 'max_len', 'start_idx', 'end_idx',
+                                   'pad_idx', 'attention_impl'))
+def greedy_decode_unimodal(params, dims: CapModelDims, feature_stacks: dict,
+                           max_len: int, start_idx: int, end_idx: int,
+                           pad_idx: int, attention_impl: str = 'xla'):
+    '''KV-cached greedy decode for the uni-modal Transformer ablation models
+    (same structure as the bi-modal decoder; single encoder memory).'''
+    from bmt_tpu.models.captioning import (unimodal_decode_init,
+                                           unimodal_decode_step,
+                                           unimodal_encode)
+    masks = make_masks(feature_stacks, None, dims.modality, pad_idx)
+    src_mask = masks['A_mask' if dims.modality == 'audio' else 'V_mask']
+
+    memory = unimodal_encode(params, dims, feature_stacks, src_mask,
+                             attention_impl)
+    state = unimodal_decode_init(params, dims, memory, max_len)
+
+    B = memory.shape[0]
+    tokens = jnp.full((B, max_len + 1), end_idx, jnp.int32)
+    tokens = tokens.at[:, 0].set(start_idx)
+    done = jnp.zeros((B,), bool)
+
+    def cond(carry):
+        step, _, done, _ = carry
+        return jnp.logical_and(step < max_len, jnp.logical_not(done.all()))
+
+    def body(carry):
+        step, tokens, done, state = carry
+        cur = jax.lax.dynamic_slice_in_dim(tokens, step, 1, axis=1)
+        log_probs, state = unimodal_decode_step(params, dims, state, cur,
+                                                step, src_mask)
+        nxt = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)
+        tokens = jax.lax.dynamic_update_slice_in_dim(
+            tokens, nxt[:, None], step + 1, axis=1)
+        done = jnp.logical_or(done, nxt == end_idx)
+        return step + 1, tokens, done, state
+
+    _, tokens, _, _ = jax.lax.while_loop(cond, body, (0, tokens, done, state))
+    return tokens
+
+
 def make_unimodal_greedy_fn(dims: CapModelDims, max_len: int, start_idx: int,
                             end_idx: int, pad_idx: int,
                             attention_impl: str = 'xla'):
-    '''Greedy decode for the uni-modal Transformer ablation models.
-
-    Uses full-prefix recomputation with bucketed prefix widths (multiples of
-    8) — one jit compile per bucket instead of per length. A KV-cached step
-    path exists only for the flagship bi-modal model; the ablation models
-    keep the simpler decoder.
-    '''
-    import numpy as np
-    from functools import partial
-    from bmt_tpu.models.captioning import unimodal_transformer_forward
-
-    fwd = jax.jit(partial(unimodal_transformer_forward, dims=dims,
-                          deterministic=True,
-                          attention_impl=attention_impl))
-
+    '''Bind statics; returns fn(params, feature_stacks).'''
     def fn(params, feature_stacks):
-        if 'audio' in dims.modality:
-            B = feature_stacks['audio'].shape[0]
-        else:
-            B = feature_stacks['rgb'].shape[0]
-        trg = np.full((B, 1), start_idx, np.int32)
-        done = np.zeros((B,), bool)
-        while trg.shape[1] <= max_len and not done.all():
-            w = trg.shape[1]
-            wpad = ((w + 7) // 8) * 8
-            padded = np.pad(trg, ((0, 0), (0, wpad - w)),
-                            constant_values=pad_idx)
-            masks = make_masks(feature_stacks, jnp.asarray(padded),
-                               dims.modality, pad_idx)
-            preds = fwd(params, src=feature_stacks,
-                        trg=jnp.asarray(padded), masks=masks)
-            nxt = np.asarray(jnp.argmax(preds[:, w - 1], axis=-1))
-            trg = np.concatenate([trg, nxt[:, None].astype(np.int32)], 1)
-            done |= (nxt == end_idx)
-        # fixed-width output like the cached decoder
-        out = np.full((B, max_len + 1), end_idx, np.int32)
-        out[:, :trg.shape[1]] = trg
-        return out
+        return greedy_decode_unimodal(params, dims, feature_stacks, max_len,
+                                      start_idx, end_idx, pad_idx,
+                                      attention_impl)
     return fn
 
 

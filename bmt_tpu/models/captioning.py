@@ -187,6 +187,45 @@ def bimodal_decode_step(params, dims: CapModelDims, state, token, step,
 # uni-modal transformer (reference: captioning_module.py:16-98)
 # ---------------------------------------------------------------------------
 
+def _unimodal_d_model(dims: CapModelDims) -> int:
+    return dims.d_model_V if dims.modality == 'video' else dims.d_model_A
+
+
+def unimodal_encode(params, dims: CapModelDims, src: dict, src_mask,
+                    attention_impl: str = 'xla'):
+    '''Embed + encode the source modality once (deterministic decode path).'''
+    if dims.modality == 'audio':
+        x = src['audio']
+    else:
+        x = src['rgb'] + src['flow']
+    d_model = _unimodal_d_model(dims)
+    if dims.use_linear_embedder:
+        x = feature_embed(params['src_emb'], x, d_model)
+    pe = jnp.asarray(positional_encoding_table(POS_ENC_LEN, d_model))
+    x = positional_encode(pe, x)
+    return encoder_forward(params['encoder'], x, src_mask, dims.H,
+                           attention_impl=attention_impl)
+
+
+def unimodal_decode_init(params, dims: CapModelDims, memory, max_len: int):
+    from bmt_tpu.models.decoders import init_unimodal_decode_state
+    return init_unimodal_decode_state(params['decoder'], memory, dims.H,
+                                      max_len, dtype=memory.dtype)
+
+
+def unimodal_decode_step(params, dims: CapModelDims, state, token, step,
+                         src_mask):
+    from bmt_tpu.models.decoders import unimodal_decoder_step
+    d_model = _unimodal_d_model(dims)
+    pe = jnp.asarray(positional_encoding_table(POS_ENC_LEN, d_model))
+    c_t = vocabulary_embed(params['trg_emb'], token, d_model)
+    c_t = positional_encode(pe, c_t, offset=step)
+    c_t, state = unimodal_decoder_step(params['decoder'], state, c_t,
+                                       src_mask, step, dims.H)
+    logits = linear(params['generator'], c_t[:, 0, :])
+    return jax.nn.log_softmax(logits, axis=-1), state
+
+
 def init_unimodal_transformer(key, dims: CapModelDims,
                               glove: Optional[np.ndarray] = None) -> dict:
     '''Uni-modal captioner: shares d_model between src features and captions

@@ -144,6 +144,43 @@ def bimodal_decoder_forward(params, C, Av, Va, A_mask, V_mask, C_mask, H,
 # KV-cached single-step decode path
 # ---------------------------------------------------------------------------
 
+def init_unimodal_decode_state(params, memory, H: int, max_len: int,
+                               dtype=jnp.float32):
+    '''KV-cache decode state for the uni-modal decoder: precomputed
+    encoder-attention K/V plus empty self-attention caches per layer.'''
+    B = memory.shape[0]
+    state = []
+    for p in params['layers']:
+        d_model = p['self_att']['k2d']['w'].shape[1]
+        d_k = d_model // H
+        state.append({
+            'kv_mem': precompute_kv(p['enc_att'], memory, H),
+            'cache_k': jnp.zeros((B, H, max_len, d_k), dtype),
+            'cache_v': jnp.zeros((B, H, max_len, d_k), dtype),
+        })
+    return state
+
+
+def unimodal_decoder_step(params, state, c_t, src_mask, step, H: int):
+    '''One KV-cached step of the uni-modal decoder (mirrors
+    ``bimodal_decoder_step``; reference layer: decoders.py:18-34).'''
+    new_state = []
+    for p, s in zip(params['layers'], state):
+        normed = layer_norm(p['res'][0], c_t)
+        att, ck, cv = self_attention_step(p['self_att'], normed,
+                                          s['cache_k'], s['cache_v'], step, H)
+        c_t = c_t + att
+
+        normed = layer_norm(p['res'][1], c_t)
+        c_t = c_t + cross_attention_step(p['enc_att'], normed, s['kv_mem'],
+                                         src_mask, H)
+
+        c_t = c_t + feed_forward(p['ff'], layer_norm(p['res'][2], c_t))
+        new_state.append({'kv_mem': s['kv_mem'], 'cache_k': ck,
+                          'cache_v': cv})
+    return c_t, new_state
+
+
 def init_decode_state(params, Av, Va, H: int, max_len: int, dtype=jnp.float32):
     '''Precompute per-layer cross-attention K/V from the encoder memories and
     allocate empty self-attention caches.

@@ -1,0 +1,42 @@
+'''Uni-modal KV-cached greedy decode vs full-prefix recomputation parity.'''
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bmt_tpu.decode import greedy_decode_uncached
+from bmt_tpu.decode.greedy import greedy_decode_unimodal
+from bmt_tpu.models import (CapModelDims, init_unimodal_transformer,
+                            unimodal_transformer_forward)
+
+PAD, START, END = 1, 2, 3
+
+
+@pytest.mark.parametrize('modality', ['audio', 'video'])
+def test_unimodal_cached_matches_uncached(rng, modality):
+    dims = CapModelDims(voc_size=19, d_model_A=8, d_model_V=12, d_model=16,
+                        H=2, N=2, d_ff_A=16, d_ff_V=24, dout_p=0.0,
+                        modality=modality)
+    params = init_unimodal_transformer(jax.random.PRNGKey(0), dims)
+    B = 3
+    src = {
+        'rgb': jnp.asarray(rng.normal(size=(B, 5, 12)), jnp.float32),
+        'flow': jnp.asarray(rng.normal(size=(B, 5, 12)), jnp.float32),
+        'audio': jnp.asarray(rng.normal(size=(B, 7, 8)), jnp.float32),
+    }
+    max_len = 4
+
+    fwd = jax.jit(partial(unimodal_transformer_forward, dims=dims,
+                          deterministic=True))
+    slow = np.asarray(greedy_decode_uncached(
+        lambda s, t, m: fwd(params, src=s, trg=t, masks=m), src, max_len,
+        START, END, PAD, modality))
+    fast = np.asarray(greedy_decode_unimodal(params, dims, src, max_len,
+                                             START, END, PAD))
+    T = slow.shape[1]
+    for b in range(B):
+        row_slow = slow[b].tolist()
+        end_pos = row_slow.index(END) if END in row_slow else len(row_slow)
+        assert row_slow[:end_pos + 1] == fast[b, :T].tolist()[:end_pos + 1]
