@@ -2,4 +2,5 @@ from bmt_tpu.decode.greedy import (greedy_decode_bimodal,
                                    greedy_decode_uncached,
                                    make_bimodal_greedy_fn,
                                    make_unimodal_greedy_fn)
-from bmt_tpu.decode.beam import beam_search_bimodal, make_bimodal_beam_fn
+from bmt_tpu.decode.beam import (beam_search_bimodal, beam_search_unimodal,
+                                 make_bimodal_beam_fn)

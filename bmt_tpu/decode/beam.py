@@ -3,7 +3,7 @@ reference, which only decodes greedily — captioning_epoch_loops.py:39-65).
 
 Standard length-penalized beam search (Wu et al. 2016 penalty
 ((5 + len) / 6)^alpha, alpha = 0 -> pure log-prob sum), implemented as a
-single jit-compiled ``lax.scan``:
+single jit-compiled ``lax.while_loop`` with early exit:
 
 - the encoder runs once; memories / masks / caches are tiled to (B * K),
 - each step advances the KV-cached decoder one token for every live beam,
@@ -12,6 +12,8 @@ single jit-compiled ``lax.scan``:
 - beam reordering gathers the self-attention caches along the batch axis.
 
 Greedy is the special case K = 1 (tested equal to the greedy decoder).
+Both the flagship bi-modal captioner and the uni-modal ablation models are
+supported through the same core.
 '''
 from __future__ import annotations
 
@@ -21,7 +23,9 @@ import jax
 import jax.numpy as jnp
 
 from bmt_tpu.models.captioning import (CapModelDims, bimodal_decode_init,
-                                       bimodal_decode_step, bimodal_encode)
+                                       bimodal_decode_step, bimodal_encode,
+                                       unimodal_decode_init,
+                                       unimodal_decode_step, unimodal_encode)
 from bmt_tpu.ops.masks import make_masks
 
 _NEG_INF = -1e9
@@ -32,29 +36,13 @@ def _tile(x, K):
     return jnp.repeat(x, K, axis=0)
 
 
-@partial(jax.jit, static_argnames=('dims', 'max_len', 'start_idx', 'end_idx',
-                                   'pad_idx', 'beam_size', 'length_penalty',
-                                   'attention_impl'))
-def beam_search_bimodal(params, dims: CapModelDims, feature_stacks: dict,
-                        max_len: int, start_idx: int, end_idx: int,
-                        pad_idx: int, beam_size: int = 4,
-                        length_penalty: float = 0.0,
-                        attention_impl: str = 'xla'):
-    '''Returns (tokens (B, max_len + 1) int32, scores (B,)) — the best beam
-    per batch element, rows formatted like the greedy decoder's output.'''
-    K = beam_size
-    V = dims.voc_size
-    masks = make_masks(feature_stacks, None, 'audio_video', pad_idx)
-    Av, Va = bimodal_encode(params, dims, feature_stacks, masks,
-                            deterministic=True, attention_impl=attention_impl)
-    B = Av.shape[0]
+def _beam_core(step_closure, state, B: int, K: int, V: int, max_len: int,
+               start_idx: int, end_idx: int, length_penalty: float):
+    '''Generic KV-cached beam loop.
 
-    # tile everything beam-wise
-    Av_t, Va_t = _tile(Av, K), _tile(Va, K)
-    A_mask = _tile(masks['A_mask'], K)
-    V_mask = _tile(masks['V_mask'], K)
-    state = bimodal_decode_init(params, dims, Av_t, Va_t, max_len)
-
+    step_closure(state, cur (B*K, 1), step) -> (log_probs (B*K, V), state).
+    Returns (best tokens (B, max_len+1), best scores (B,)).
+    '''
     tokens = jnp.full((B, K, max_len + 1), end_idx, jnp.int32)
     tokens = tokens.at[:, :, 0].set(start_idx)
     # only beam 0 is live initially (identical prefixes would flood top-k)
@@ -69,9 +57,8 @@ def beam_search_bimodal(params, dims: CapModelDims, feature_stacks: dict,
         step, tokens, scores, done, state = carry
 
         cur = jax.lax.dynamic_slice_in_dim(
-            tokens.reshape(B * K, -1), step, 1, axis=1)      # (B*K, 1)
-        log_probs, new_state = bimodal_decode_step(
-            params, dims, state, cur, step, A_mask, V_mask)   # (B*K, V)
+            tokens.reshape(B * K, -1), step, 1, axis=1)       # (B*K, 1)
+        log_probs, new_state = step_closure(state, cur, step)  # (B*K, V)
         log_probs = log_probs.reshape(B, K, V).astype(jnp.float32)
 
         # finished beams extend only with </s> at zero cost
@@ -79,10 +66,9 @@ def beam_search_bimodal(params, dims: CapModelDims, feature_stacks: dict,
         log_probs = jnp.where(done[:, :, None], frozen[None, None, :],
                               log_probs)
 
-        cand = scores[:, :, None] + log_probs                # (B, K, V)
-        flat = cand.reshape(B, K * V)
-        new_scores, idx = jax.lax.top_k(flat, K)             # (B, K)
-        parent = idx // V                                    # (B, K)
+        cand = scores[:, :, None] + log_probs                 # (B, K, V)
+        new_scores, idx = jax.lax.top_k(cand.reshape(B, K * V), K)
+        parent = idx // V                                     # (B, K)
         word = (idx % V).astype(jnp.int32)
 
         # reorder token history + caches by parent beam
@@ -103,19 +89,73 @@ def beam_search_bimodal(params, dims: CapModelDims, feature_stacks: dict,
 
     # length penalty: lp = ((5 + len) / 6) ** alpha over generated lengths
     if length_penalty > 0.0:
-        pos = jnp.arange(1, max_len + 1)[None, None, :]
         is_end = tokens[:, :, 1:] == end_idx
         first_end = jnp.where(is_end.any(-1), is_end.argmax(-1) + 1, max_len)
-        lp = ((5.0 + first_end) / 6.0) ** length_penalty
-        final = scores / lp
+        final = scores / (((5.0 + first_end) / 6.0) ** length_penalty)
     else:
         final = scores
 
-    best = jnp.argmax(final, axis=1)                         # (B,)
+    best = jnp.argmax(final, axis=1)                          # (B,)
     best_tokens = jnp.take_along_axis(
-        tokens, best[:, None, None], axis=1)[:, 0]           # (B, L+1)
+        tokens, best[:, None, None], axis=1)[:, 0]            # (B, L+1)
     best_scores = jnp.take_along_axis(final, best[:, None], axis=1)[:, 0]
     return best_tokens, best_scores
+
+
+@partial(jax.jit, static_argnames=('dims', 'max_len', 'start_idx', 'end_idx',
+                                   'pad_idx', 'beam_size', 'length_penalty',
+                                   'attention_impl'))
+def beam_search_bimodal(params, dims: CapModelDims, feature_stacks: dict,
+                        max_len: int, start_idx: int, end_idx: int,
+                        pad_idx: int, beam_size: int = 4,
+                        length_penalty: float = 0.0,
+                        attention_impl: str = 'xla'):
+    '''Returns (tokens (B, max_len + 1) int32, scores (B,)) — the best beam
+    per batch element, rows formatted like the greedy decoder's output.'''
+    K = beam_size
+    masks = make_masks(feature_stacks, None, 'audio_video', pad_idx)
+    Av, Va = bimodal_encode(params, dims, feature_stacks, masks,
+                            deterministic=True, attention_impl=attention_impl)
+    B = Av.shape[0]
+
+    A_mask = _tile(masks['A_mask'], K)
+    V_mask = _tile(masks['V_mask'], K)
+    state = bimodal_decode_init(params, dims, _tile(Av, K), _tile(Va, K),
+                                max_len)
+
+    def step_closure(state, cur, step):
+        return bimodal_decode_step(params, dims, state, cur, step, A_mask,
+                                   V_mask)
+
+    return _beam_core(step_closure, state, B, K, dims.voc_size, max_len,
+                      start_idx, end_idx, length_penalty)
+
+
+@partial(jax.jit, static_argnames=('dims', 'max_len', 'start_idx', 'end_idx',
+                                   'pad_idx', 'beam_size', 'length_penalty',
+                                   'attention_impl'))
+def beam_search_unimodal(params, dims: CapModelDims, feature_stacks: dict,
+                         max_len: int, start_idx: int, end_idx: int,
+                         pad_idx: int, beam_size: int = 4,
+                         length_penalty: float = 0.0,
+                         attention_impl: str = 'xla'):
+    '''Beam search for the uni-modal ablation captioners.'''
+    K = beam_size
+    masks = make_masks(feature_stacks, None, dims.modality, pad_idx)
+    src_mask = masks['A_mask' if dims.modality == 'audio' else 'V_mask']
+    memory = unimodal_encode(params, dims, feature_stacks, src_mask,
+                             attention_impl)
+    B = memory.shape[0]
+
+    src_mask_t = _tile(src_mask, K)
+    state = unimodal_decode_init(params, dims, _tile(memory, K), max_len)
+
+    def step_closure(state, cur, step):
+        return unimodal_decode_step(params, dims, state, cur, step,
+                                    src_mask_t)
+
+    return _beam_core(step_closure, state, B, K, dims.voc_size, max_len,
+                      start_idx, end_idx, length_penalty)
 
 
 def make_bimodal_beam_fn(dims: CapModelDims, max_len: int, start_idx: int,
@@ -124,9 +164,12 @@ def make_bimodal_beam_fn(dims: CapModelDims, max_len: int, start_idx: int,
                          attention_impl: str = 'xla'):
     '''Bind statics; returns fn(params, feature_stacks) -> tokens, matching
     the greedy decoder's interface for the validation loops.'''
+    search = (beam_search_bimodal if dims.modality == 'audio_video'
+              else beam_search_unimodal)
+
     def fn(params, feature_stacks):
-        toks, _ = beam_search_bimodal(params, dims, feature_stacks, max_len,
-                                      start_idx, end_idx, pad_idx, beam_size,
-                                      length_penalty, attention_impl)
+        toks, _ = search(params, dims, feature_stacks, max_len, start_idx,
+                         end_idx, pad_idx, beam_size, length_penalty,
+                         attention_impl)
         return toks
     return fn

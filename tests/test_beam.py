@@ -76,3 +76,23 @@ def test_beam_fn_interface(rng):
     toks = np.asarray(fn(params, _stacks(rng, B=2)))
     assert toks.shape == (2, 6)
     assert np.all(toks[:, 0] == START)
+
+
+def test_unimodal_beam1_equals_greedy(rng):
+    from bmt_tpu.decode.beam import beam_search_unimodal
+    from bmt_tpu.decode.greedy import greedy_decode_unimodal
+    from bmt_tpu.models import init_unimodal_transformer
+    dims = CapModelDims(voc_size=17, d_model_A=8, d_model_V=8, d_model=16,
+                        H=2, N=1, d_ff_A=16, d_ff_V=16, dout_p=0.0,
+                        modality='audio')
+    params = init_unimodal_transformer(jax.random.PRNGKey(3), dims)
+    stacks = _stacks(rng, B=2)
+    greedy = np.asarray(greedy_decode_unimodal(params, dims, stacks, 5,
+                                               START, END, PAD))
+    beam, _ = beam_search_unimodal(params, dims, stacks, 5, START, END, PAD,
+                                   beam_size=1)
+    beam = np.asarray(beam)
+    for b in range(2):
+        g = greedy[b].tolist()
+        cut = g.index(END) + 1 if END in g else len(g)
+        assert g[:cut] == beam[b].tolist()[:cut]
