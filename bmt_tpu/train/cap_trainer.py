@@ -114,16 +114,16 @@ def train_cap(cfg: Config):
     val_step = jax.jit(make_cap_val_step(
         dims, cfg.smoothing, train_ds.pad_idx, cfg.attention_impl,
         compute_dtype))
-    if cfg.modality == 'audio_video':
-        if getattr(cfg, 'decode_strategy', 'greedy') == 'beam':
-            greedy_fn = make_bimodal_beam_fn(
-                dims, cfg.max_len, train_ds.start_idx, train_ds.end_idx,
-                train_ds.pad_idx, cfg.beam_size, cfg.length_penalty,
-                cfg.attention_impl)
-        else:
-            greedy_fn = make_bimodal_greedy_fn(
-                dims, cfg.max_len, train_ds.start_idx, train_ds.end_idx,
-                train_ds.pad_idx, cfg.attention_impl)
+    if getattr(cfg, 'decode_strategy', 'greedy') == 'beam':
+        # make_bimodal_beam_fn dispatches by dims.modality internally
+        greedy_fn = make_bimodal_beam_fn(
+            dims, cfg.max_len, train_ds.start_idx, train_ds.end_idx,
+            train_ds.pad_idx, cfg.beam_size, cfg.length_penalty,
+            cfg.attention_impl)
+    elif cfg.modality == 'audio_video':
+        greedy_fn = make_bimodal_greedy_fn(
+            dims, cfg.max_len, train_ds.start_idx, train_ds.end_idx,
+            train_ds.pad_idx, cfg.attention_impl)
     else:
         greedy_fn = make_unimodal_greedy_fn(
             dims, cfg.max_len, train_ds.start_idx, train_ds.end_idx,
