@@ -20,7 +20,7 @@ import re
 from functools import lru_cache
 from typing import List
 
-_PREFIXES = tuple('([{"\'$£€¿¡«‘“')
+_PREFIXES = tuple('([{"\'$£€¿¡«‘“,;')
 _SUFFIXES = tuple(',.!?:;)]}"\'%»…’”')
 
 # suffix contraction pieces split off the token end (spaCy exceptions subset)
@@ -50,6 +50,8 @@ _SPECIAL_CASES = {
 }
 
 _INFIX_RE = re.compile(r"(?<=[0-9A-Za-z])([\-—–/,])(?=[0-9A-Za-z])")
+# quotes and brackets split unconditionally wherever they appear mid-token
+_HARD_INFIX_RE = re.compile(r'(["“”()\[\]{}])')
 _URL_RE = re.compile(r"^(?:https?://|www\.)\S+$")
 _NUM_RE = re.compile(r"^[0-9][0-9.,:]*[0-9]$|^[0-9]$")
 
@@ -81,6 +83,13 @@ def _split_token(tok: str) -> List[str]:
             if s == '.' and _NUM_RE.match(tok):
                 return [tok]
             return _split_token(tok[:-1]) + [s]
+
+    # quotes/brackets split anywhere inside a token
+    m = _HARD_INFIX_RE.search(tok)
+    if m:
+        i = m.start(1)
+        return (_split_token(tok[:i]) + [tok[i]]
+                + _split_token(tok[i + 1:]))
 
     # infix punctuation between alphanumerics
     m = _INFIX_RE.search(tok)
