@@ -145,6 +145,7 @@ class Config:
         self.remat = getattr(args, 'remat', False)
         self.attention_impl = getattr(args, 'attention_impl', 'xla')
         self.decode_strategy = getattr(args, 'decode_strategy', 'greedy')
+        self.profile_steps = getattr(args, 'profile_steps', 0)
         self.beam_size = getattr(args, 'beam_size', 4)
         self.length_penalty = getattr(args, 'length_penalty', 0.0)
         self.max_events_per_video = getattr(args, 'max_events_per_video', 32)
@@ -306,6 +307,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--beam_size', type=int, default=4)
     parser.add_argument('--length_penalty', type=float, default=0.0,
                         help='GNMT length penalty alpha for beam search')
+    parser.add_argument('--profile_steps', type=int, default=0,
+                        help='capture a jax.profiler trace of this many '
+                             'training steps at the start of epoch 0 '
+                             '(written under the log dir)')
     parser.add_argument('--max_events_per_video', type=int, default=32)
     parser.add_argument('--glove_path', type=str, default=None,
                         help='path to glove .txt vectors (optional)')

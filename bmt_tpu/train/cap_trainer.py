@@ -167,8 +167,11 @@ def train_cap(cfg: Config):
         if unchanged == cfg.early_stop_after:
             break
 
-        state, train_loss = train_epoch_cap(train_step, state, train_ds,
-                                            epoch, logger, dp, seed)
+        state, train_loss = train_epoch_cap(
+            train_step, state, train_ds, epoch, logger, dp, seed,
+            profile_steps=getattr(cfg, 'profile_steps', 0),
+            profile_dir=(os.path.join(cfg.log_path, 'profile')
+                         if cfg.log_path else None))
         val_1_loss = validate_next_word(val_step, state.params, val_1_ds,
                                         epoch)
         val_2_loss = validate_next_word(val_step, state.params, val_2_ds,

@@ -39,19 +39,35 @@ def _pad_batch_to(batch: dict, B: int) -> dict:
 
 
 def train_epoch_cap(train_step, state, dataset, epoch: int, logger=None,
-                    dp=None, seed: int = 0):
+                    dp=None, seed: int = 0, profile_steps: int = 0,
+                    profile_dir=None):
     '''Teacher-forced training epoch (reference:
-    captioning_epoch_loops.py:122-149). Returns (state, mean loss).'''
+    captioning_epoch_loops.py:122-149). Returns (state, mean loss).
+
+    With profile_steps > 0 (epoch 0 only), a jax.profiler trace of the
+    first N steps is captured under profile_dir (TensorBoard/Perfetto).'''
+    from bmt_tpu.utils.profiling import trace
     total, n = 0.0, 0
-    for batch in dataset.batches(epoch=epoch, seed=seed):
-        if len(batch['video_ids']) != dataset.batch_size:
-            continue  # keep shapes static / divisible over the dp mesh
-        dev = _device_batch(batch, ('src', 'caption'))
-        if dp is not None:
-            dev = dp.shard(dev)
-        state, metrics = train_step(state, dev)
-        total += float(metrics['loss'])
-        n += 1
+    profiling = profile_steps > 0 and epoch == 0 and profile_dir
+    ctx = trace(profile_dir) if profiling else None
+    if ctx is not None:
+        ctx.__enter__()
+    try:
+        for batch in dataset.batches(epoch=epoch, seed=seed):
+            if len(batch['video_ids']) != dataset.batch_size:
+                continue  # keep shapes static / divisible over the dp mesh
+            dev = _device_batch(batch, ('src', 'caption'))
+            if dp is not None:
+                dev = dp.shard(dev)
+            state, metrics = train_step(state, dev)
+            total += float(metrics['loss'])
+            n += 1
+            if ctx is not None and n >= profile_steps:
+                ctx.__exit__(None, None, None)
+                ctx = None
+    finally:
+        if ctx is not None:
+            ctx.__exit__(None, None, None)
     mean = total / max(n, 1)
     if logger is not None:
         logger.add_scalar('debug/train_loss_epoch', mean, epoch)
