@@ -1,117 +1,288 @@
-'''METEOR scorer, pure Python.
+'''METEOR 1.5 scorer, pure Python.
 
 The reference scores METEOR through the Java meteor-1.5.jar subprocess
-(pycocoevalcap; reference: evaluation/evaluate.py:19, 61). No JVM is assumed
-here: this module implements the classic METEOR algorithm (Banerjee & Lavie
-2005, as in nltk.translate.meteor_score) with
+(pycocoevalcap; reference: evaluation/evaluate.py:19, 61, invoked as
+``java -jar meteor-1.5.jar - - -stdio -l en -norm``). No JVM or jar is
+available in this environment, so this module re-implements the METEOR 1.5
+algorithm (Denkowski & Lavie 2014, "Meteor Universal") directly:
 
-    alpha = 0.9, beta = 3, gamma = 0.5,
-    match stages: exact (w=1.0) + Porter stem (w=0.6),
+  * matcher stages with stage weights: exact (1.0), stem (0.6),
+    synonym (0.8) — the stemmer is Snowball English (Porter2), the same
+    stemmer family the jar uses (org.tartarus.snowball.ext.englishStemmer);
+  * a beam-search aligner that maximizes matched words, then minimizes
+    chunks, then minimizes total match distance (Meteor's Aligner ordering);
+  * content/function word weighting delta, fragmentation penalty
+    gamma * (chunks / mean_matches)^beta, and F-mean alpha with the
+    METEOR 1.5 English parameters alpha=0.85, beta=0.2, gamma=0.6,
+    delta=0.75;
+  * corpus-level scores computed from SUMMED sufficient statistics across
+    segments (the jar's ``EVAL ||| stats...`` aggregate line), NOT the mean
+    of per-segment scores;
+  * per-segment multi-reference handling: statistics are computed against
+    every reference and the best-scoring reference's statistics are kept.
 
-The WordNet synonym and paraphrase stages require data files the environment
-does not ship; scores therefore deviate slightly (downward) from the Java
-METEOR 1.5 on captions whose only overlaps are synonymous. If a
-meteor-1.5.jar is available on disk, set the ``METEOR_JAR`` env var and the
-Java subprocess path is used instead for bit-parity with the reference.
+Known deviations from the jar (documented, unavoidable offline):
+  * The WordNet-derived synonym stage and the paraphrase-table stage need
+    data files this environment does not ship. The synonym stage activates
+    if ``METEOR_SYNONYMS`` points at a JSON file mapping word -> list of
+    synset ids; otherwise only exact+stem run. Scores therefore deviate
+    slightly DOWNWARD from the jar on captions whose only overlaps are
+    synonymous/paraphrastic.
+  * The English function-word list (resources/function/en.words inside the
+    jar) is approximated by a standard closed-class list below.
+
+If a meteor-1.5.jar is available on disk, set the ``METEOR_JAR`` env var
+and the Java subprocess path is used instead for bit-parity.
 '''
 from __future__ import annotations
 
+import json
 import os
 import subprocess
 import threading
-from typing import Dict, List, Tuple
+from dataclasses import dataclass, field
+from functools import lru_cache
+from typing import Dict, List, Optional, Sequence, Tuple
 
-from bmt_tpu.evaluation.stemmer import porter_stem
+from nltk.stem.snowball import SnowballStemmer
 
-# classic METEOR parameters (Banerjee & Lavie 2005, as in nltk):
-# fmean weight alpha, penalty Pen = gamma * (chunks/matches)^beta.
-# Identical sentences score ~1.0 under these.
-ALPHA = 0.9
-BETA = 3.0
-GAMMA = 0.5
-W_EXACT = 1.0
-W_STEM = 0.6
+# METEOR 1.5 English parameters (meteor-1.5 resources: language 'en',
+# default task): alpha (F-mean), beta (penalty exponent), gamma (penalty
+# weight), delta (content-word weight).
+ALPHA = 0.85
+BETA = 0.2
+GAMMA = 0.6
+DELTA = 0.75
+# stage weights: exact, stem, synonym (paraphrase would be 0.6)
+STAGE_WEIGHTS = (1.0, 0.6, 0.8)
+N_STAGES = 3
+BEAM = 40  # Meteor Aligner beam width
+
+_STEMMER = SnowballStemmer('english')
+
+# Approximation of meteor-1.5's English function-word list (en.words):
+# closed-class words — determiners, prepositions, conjunctions, pronouns,
+# auxiliaries, and high-frequency particles. Punctuation is stripped
+# upstream by the PTB tokenizer so it is not listed.
+_FUNCTION_WORDS = frozenset('''
+a an the this that these those some any each every no all both either
+neither much many more most few little less least own same such
+and or but nor so yet for as if then than because while although though
+since unless until whether where when why how what which who whom whose
+of in on at by with from into onto over under above below between among
+through during before after behind beside besides against about around
+across along near off out up down to toward towards upon within without
+i you he she it we they me him her us them my your his its our their
+mine yours hers ours theirs myself yourself himself herself itself
+ourselves themselves yourselves oneself
+be am is are was were been being
+have has had having do does did doing
+will would shall should can could may might must ought
+not n't there here also just only even still too very quite rather
+'''.split())
 
 
-def _align(hyp: List[str], ref: List[str]):
-    '''Two-stage greedy alignment (exact, then stem), preferring matches
-    adjacent to the previous aligned position to minimize chunks.
+@lru_cache(maxsize=65536)
+def _stem(word: str) -> str:
+    return _STEMMER.stem(word)
 
-    Returns list of (hyp_idx, ref_idx, weight).
+
+def _load_synonyms() -> Optional[Dict[str, frozenset]]:
+    path = os.environ.get('METEOR_SYNONYMS')
+    if not path or not os.path.exists(path):
+        return None
+    with open(path) as f:
+        raw = json.load(f)
+    return {w: frozenset(ids) for w, ids in raw.items()}
+
+
+_SYNONYMS = _load_synonyms()
+
+
+@dataclass
+class MeteorStats:
+    '''Sufficient statistics of one alignment (or a sum over segments) —
+    mirrors meteor-1.5's MeteorStats: lengths, per-stage content/function
+    match counts for both sides, total matched words, chunks.'''
+    test_len: int = 0
+    ref_len: int = 0
+    test_func: int = 0
+    ref_func: int = 0
+    # per stage: matches that are content / function words, each side
+    tmc: List[int] = field(default_factory=lambda: [0] * N_STAGES)
+    tmf: List[int] = field(default_factory=lambda: [0] * N_STAGES)
+    rmc: List[int] = field(default_factory=lambda: [0] * N_STAGES)
+    rmf: List[int] = field(default_factory=lambda: [0] * N_STAGES)
+    test_matches: int = 0
+    ref_matches: int = 0
+    chunks: int = 0
+
+    def add(self, other: 'MeteorStats') -> None:
+        self.test_len += other.test_len
+        self.ref_len += other.ref_len
+        self.test_func += other.test_func
+        self.ref_func += other.ref_func
+        for s in range(N_STAGES):
+            self.tmc[s] += other.tmc[s]
+            self.tmf[s] += other.tmf[s]
+            self.rmc[s] += other.rmc[s]
+            self.rmf[s] += other.rmf[s]
+        self.test_matches += other.test_matches
+        self.ref_matches += other.ref_matches
+        self.chunks += other.chunks
+
+    def score(self) -> float:
+        w_len_t = (DELTA * (self.test_len - self.test_func)
+                   + (1 - DELTA) * self.test_func)
+        w_len_r = (DELTA * (self.ref_len - self.ref_func)
+                   + (1 - DELTA) * self.ref_func)
+        if w_len_t <= 0 or w_len_r <= 0:
+            return 0.0
+        w_m_t = sum(STAGE_WEIGHTS[s] * (DELTA * self.tmc[s]
+                                        + (1 - DELTA) * self.tmf[s])
+                    for s in range(N_STAGES))
+        w_m_r = sum(STAGE_WEIGHTS[s] * (DELTA * self.rmc[s]
+                                        + (1 - DELTA) * self.rmf[s])
+                    for s in range(N_STAGES))
+        precision = w_m_t / w_len_t
+        recall = w_m_r / w_len_r
+        if precision + recall == 0:
+            return 0.0
+        fmean = (precision * recall
+                 / (ALPHA * precision + (1 - ALPHA) * recall))
+        total = self.test_matches + self.ref_matches
+        if total == 0 or self.chunks == 0:
+            penalty = 0.0
+        else:
+            frag = self.chunks / (total / 2.0)
+            penalty = GAMMA * frag ** BETA
+        return fmean * (1.0 - penalty)
+
+
+def _candidates(hyp: Sequence[str], ref: Sequence[str]):
+    '''For each hyp index, candidate (ref_index, stage) matches; stage is
+    the LOWEST (highest-weight) stage under which the pair matches.'''
+    ref_stems = [_stem(w) for w in ref]
+    hyp_stems = [_stem(w) for w in hyp]
+    out: List[List[Tuple[int, int]]] = []
+    for i, hw in enumerate(hyp):
+        cands: List[Tuple[int, int]] = []
+        for j, rw in enumerate(ref):
+            if hw == rw:
+                cands.append((j, 0))
+            elif hyp_stems[i] == ref_stems[j]:
+                cands.append((j, 1))
+            elif (_SYNONYMS is not None
+                  and _SYNONYMS.get(hw, frozenset())
+                  & _SYNONYMS.get(rw, frozenset())):
+                cands.append((j, 2))
+        out.append(cands)
+    return out
+
+
+def _align(hyp: Sequence[str], ref: Sequence[str]):
+    '''Beam search over hypothesis positions for the one-to-one alignment
+    that (1) maximizes matched words, (2) minimizes chunks, (3) minimizes
+    summed |i-j| distance — Meteor's Aligner resolution order.
+
+    Returns a list of (hyp_idx, ref_idx, stage), sorted by hyp_idx.
     '''
-    matches = []
-    used_ref = [False] * len(ref)
-    used_hyp = [False] * len(hyp)
-
-    stages = [
-        (W_EXACT, hyp, ref),
-        (W_STEM, [porter_stem(w) for w in hyp], [porter_stem(w) for w in ref]),
-    ]
-
-    for weight, h_toks, r_toks in stages:
-        prev_ref = -1
-        for i, hw in enumerate(h_toks):
-            if used_hyp[i]:
-                continue
-            candidates = [j for j, rw in enumerate(r_toks)
-                          if not used_ref[j] and rw == hw]
-            if not candidates:
-                continue
-            # prefer the candidate following the previous match (chunk-min)
-            j = min(candidates, key=lambda j: (abs(j - (prev_ref + 1)), j))
-            matches.append((i, j, weight))
-            used_hyp[i] = True
-            used_ref[j] = True
-            prev_ref = j
-    return sorted(matches)
+    cands = _candidates(hyp, ref)
+    # state: (n_matches, chunks, dist, last_i, last_j, used_ref, matches)
+    States = List[Tuple[int, int, int, int, int, frozenset, tuple]]
+    beam: States = [(0, 0, 0, -2, -2, frozenset(), ())]
+    for i in range(len(hyp)):
+        nxt: States = []
+        for (m, ch, d, li, lj, used, ms) in beam:
+            nxt.append((m, ch, d, li, lj, used, ms))  # leave hyp[i] unmatched
+            for (j, stage) in cands[i]:
+                if j in used:
+                    continue
+                new_ch = ch + (0 if (li == i - 1 and lj == j - 1) else 1)
+                nxt.append((m + 1, new_ch, d + abs(i - j), i, j,
+                            used | {j}, ms + ((i, j, stage),)))
+        nxt.sort(key=lambda s: (-s[0], s[1], s[2]))
+        beam = nxt[:BEAM]
+    best = beam[0]
+    return list(best[6])
 
 
-def _count_chunks(matches) -> int:
-    if not matches:
-        return 0
-    chunks = 1
-    for (h0, r0, _), (h1, r1, _) in zip(matches, matches[1:]):
-        if not (h1 == h0 + 1 and r1 == r0 + 1):
-            chunks += 1
-    return chunks
+def _segment_stats(hyp: Sequence[str], ref: Sequence[str]) -> MeteorStats:
+    st = MeteorStats(
+        test_len=len(hyp), ref_len=len(ref),
+        test_func=sum(w in _FUNCTION_WORDS for w in hyp),
+        ref_func=sum(w in _FUNCTION_WORDS for w in ref),
+    )
+    matches = _align(hyp, ref)
+    for (i, j, stage) in matches:
+        if hyp[i] in _FUNCTION_WORDS:
+            st.tmf[stage] += 1
+        else:
+            st.tmc[stage] += 1
+        if ref[j] in _FUNCTION_WORDS:
+            st.rmf[stage] += 1
+        else:
+            st.rmc[stage] += 1
+    st.test_matches = len(matches)
+    st.ref_matches = len(matches)
+    if matches:
+        chunks = 1
+        for (h0, r0, _), (h1, r1, _) in zip(matches, matches[1:]):
+            if not (h1 == h0 + 1 and r1 == r0 + 1):
+                chunks += 1
+        # Meteor quirk: a single chunk covering BOTH sentences entirely is
+        # zero fragmentation (identical-modulo-stage sentences score with
+        # no penalty).
+        if (chunks == 1 and len(matches) == len(hyp)
+                and len(matches) == len(ref)):
+            chunks = 0
+        st.chunks = chunks
+    return st
+
+
+def _norm_tokens(text: str) -> List[str]:
+    '''The jar's -norm: lowercase + whitespace tokens. Inputs here are
+    already PTB-tokenized (punctuation stripped) by the eval pipeline.'''
+    return text.lower().split()
+
+
+def best_ref_stats(hyp: str, refs: Sequence[str]) -> MeteorStats:
+    '''Stats against the best-scoring reference (the jar's multi-reference
+    behavior: stats computed per reference, best kept by segment score).'''
+    hyp_toks = _norm_tokens(hyp)
+    best: Optional[MeteorStats] = None
+    best_score = -1.0
+    for r in refs:
+        st = _segment_stats(hyp_toks, _norm_tokens(r))
+        sc = st.score()
+        if sc > best_score:
+            best, best_score = st, sc
+    return best if best is not None else MeteorStats()
 
 
 def meteor_pair(hyp: str, ref: str) -> float:
-    hyp_toks = hyp.split()
-    ref_toks = ref.split()
-    if not hyp_toks or not ref_toks:
-        return 0.0
-    matches = _align(hyp_toks, ref_toks)
-    if not matches:
-        return 0.0
-    m = sum(w for _, _, w in matches)
-    precision = m / len(hyp_toks)
-    recall = m / len(ref_toks)
-    if precision + recall == 0:
-        return 0.0
-    fmean = precision * recall / (ALPHA * precision + (1 - ALPHA) * recall)
-    n_matches = len(matches)
-    chunks = _count_chunks(matches)
-    frag = chunks / n_matches if n_matches else 0.0
-    penalty = GAMMA * (frag ** BETA)
-    return fmean * (1.0 - penalty)
+    return best_ref_stats(hyp, [ref]).score()
 
 
 def meteor_sentence(hyp: str, refs: List[str]) -> float:
-    return max((meteor_pair(hyp, r) for r in refs), default=0.0)
+    return best_ref_stats(hyp, refs).score()
 
 
 def compute_meteor(gts: Dict, res: Dict) -> Tuple[float, List[float]]:
-    '''pycocoevalcap Meteor interface: average sentence METEOR over keys.'''
+    '''pycocoevalcap Meteor interface: per-segment scores plus ONE corpus
+    score computed from summed sufficient statistics (the jar's final EVAL
+    aggregate line) — not the mean of segment scores.'''
     jar = os.environ.get('METEOR_JAR')
     if jar and os.path.exists(jar):
         return _compute_meteor_java(jar, gts, res)
-    per_key = []
+    per_key: List[float] = []
+    agg = MeteorStats()
     for k in sorted(gts.keys(), key=str):
         assert len(res[k]) == 1
-        per_key.append(meteor_sentence(res[k][0], gts[k]))
-    avg = sum(per_key) / len(per_key) if per_key else 0.0
-    return avg, per_key
+        st = best_ref_stats(res[k][0], gts[k])
+        per_key.append(st.score())
+        agg.add(st)
+    return agg.score(), per_key
 
 
 def _compute_meteor_java(jar: str, gts: Dict, res: Dict):
