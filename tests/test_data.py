@@ -1,5 +1,7 @@
 '''Data pipeline semantics: vocab ordering, caption encoding, bucketing,
 feature crop rules, proposal dense targets.'''
+import os
+
 import numpy as np
 import pytest
 
@@ -41,6 +43,50 @@ def test_tokenizer_contractions_and_punct():
     assert tokenize_en("it's a well-known fact") == \
         ['it', "'s", 'a', 'well', '-', 'known', 'fact']
     assert tokenize_en('A man, running') == ['A', 'man', ',', 'running']
+
+
+def test_tokenizer_spacy_2_0_12_behaviors():
+    '''Rules pinned to spaCy 2.0.12 (the reference's version,
+    conda_env.yml:66), validated by the rebuilt train vocabulary matching
+    the checkpoint size 10172 exactly.'''
+    # apostrophe-less contraction exceptions
+    assert tokenize_en('he cant go') == ['he', 'ca', 'nt', 'go']
+    assert tokenize_en('whats that') == ['what', 's', 'that']
+    # exception lookup applies to infix-split pieces too
+    assert tokenize_en("However,they've added") == \
+        ['However', ',', 'they', "'ve", 'added']
+    # '#' is a prefix (LIST_PUNCT)
+    assert tokenize_en('player #23 scores') == \
+        ['player', '#', '23', 'scores']
+    # unit suffixes split after digits
+    assert tokenize_en('runs 10km far') == ['runs', '10', 'km', 'far']
+    # slash infix between letters, NOT digits (1/4 stays whole)
+    assert tokenize_en('arms/legs and 1/4 cup') == \
+        ['arms', '/', 'legs', 'and', '1/4', 'cup']
+    # hyphen infix needs a letter on the left (3-d stays whole)
+    assert tokenize_en('a 3-d movie') == ['a', '3-d', 'movie']
+    # "'s" is a generic suffix
+    assert tokenize_en("she''s here") == ['she', "'", "'s", 'here']
+    # URL token_match keeps scheme-like tokens whole
+    assert tokenize_en('info for:copyright, here') == \
+        ['info', 'for:copyright', ',', 'here']
+    # no quote infix in 2.0.12: glued quotes stay inside the token
+    assert tokenize_en('said,"keep going') == ['said,"keep', 'going']
+
+
+@pytest.mark.skipif(not os.path.exists('/root/reference/data/train.csv'),
+                    reason='reference mount not available')
+def test_vocab_golden_10172():
+    '''Rebuilding the vocabulary from the reference train.csv reproduces the
+    committed canonical vocab and the reference checkpoint's trg_voc_size of
+    10172 (reference: datasets/captioning_dataset.py:41, README.md:115).'''
+    from bmt_tpu.data.vocab import build_vocab_from_meta
+    v = build_vocab_from_meta('/root/reference/data/train.csv')
+    assert len(v) == 10172
+    assert v.itos[:4] == ['<unk>', '<blank>', '<s>', '</s>']
+    ref = os.path.join(os.path.dirname(__file__), '..', 'data',
+                       'vocab_ref.json')
+    assert v.itos == Vocab.load(ref).itos
 
 
 def test_bucket_len():
