@@ -110,7 +110,7 @@ def train_cap(cfg: Config):
                      else jnp.float32)
     train_step = dp.jit_step(make_cap_train_step(
         dims, optimizer, cfg.smoothing, train_ds.pad_idx,
-        cfg.attention_impl, compute_dtype))
+        cfg.attention_impl, compute_dtype), donate_state=True)
     val_step = jax.jit(make_cap_val_step(
         dims, cfg.smoothing, train_ds.pad_idx, cfg.attention_impl,
         compute_dtype))
@@ -158,6 +158,7 @@ def train_cap(cfg: Config):
         state = state._replace(params=p, opt_state=opt or state.opt_state)
         start_epoch = meta.get('epoch', -1) + 1
         best_metric = meta.get('best_metric', 0.0)
+        unchanged = meta.get('unchanged', 0)
         print(f'Resumed from epoch {start_epoch}')
 
     for epoch in range(start_epoch, cfg.epoch_num):
@@ -180,8 +181,10 @@ def train_cap(cfg: Config):
         logger.add_scalar('debug/val_loss_avg', val_avg, epoch)
 
         if scheduler is not None:
-            set_learning_rate(state.opt_state, scheduler.step(val_avg))
+            state = state._replace(opt_state=set_learning_rate(
+                state.opt_state, scheduler.step(val_avg)))
 
+        val_1_metrics = val_2_metrics = None
         if epoch >= cfg.one_by_one_starts_at:
             val_1_metrics = validation_1by1(cfg, state.params, greedy_fn,
                                             val_1_ds, epoch, logger)
@@ -197,27 +200,36 @@ def train_cap(cfg: Config):
                     logger.add_scalar(f'metrics/{tag}', avg[name] * 100,
                                       epoch)
 
-                meta = {
-                    'config': cfg.to_dict(),
-                    'epoch': epoch,
-                    'val_1_loss': val_1_loss, 'val_2_loss': val_2_loss,
-                    'val_1_metrics': val_1_metrics,
-                    'val_2_metrics': val_2_metrics,
-                    'trg_voc_size': train_ds.trg_voc_size,
-                    'vocab_itos': train_ds.train_vocab.itos,
-                    'best_metric': best_metric,
-                }
-                # always save the rolling checkpoint for resume
+        is_best = False
+        if val_1_metrics is not None:
+            avg = average_metrics_in_two_dicts(
+                val_1_metrics, val_2_metrics)['Average across tIoUs']
+            is_best = best_metric < avg['METEOR']
+            if is_best:
+                best_metric = avg['METEOR']
+                unchanged = 0
+            else:
+                unchanged += 1
+
+        if ckpt_dir:
+            meta = {
+                'config': cfg.to_dict(),
+                'epoch': epoch,
+                'val_1_loss': val_1_loss, 'val_2_loss': val_2_loss,
+                'val_1_metrics': val_1_metrics,
+                'val_2_metrics': val_2_metrics,
+                'trg_voc_size': train_ds.trg_voc_size,
+                'vocab_itos': train_ds.train_vocab.itos,
+                'best_metric': best_metric,
+                'unchanged': unchanged,
+            }
+            # rolling checkpoint every epoch: a crash before the first
+            # 1-by-1 validation still resumes from the latest epoch
+            save_checkpoint(ckpt_dir, state.params, meta,
+                            state.opt_state, 'last_cap_model')
+            if is_best:
                 save_checkpoint(ckpt_dir, state.params, meta,
-                                state.opt_state, 'last_cap_model')
-                if best_metric < avg['METEOR']:
-                    best_metric = avg['METEOR']
-                    meta['best_metric'] = best_metric
-                    save_checkpoint(ckpt_dir, state.params, meta,
-                                    state.opt_state, 'best_cap_model')
-                    unchanged = 0
-                else:
-                    unchanged += 1
+                                state.opt_state, 'best_cap_model')
 
     print(f'{cfg.curr_time}')
     print(f'best_metric: {best_metric}')

@@ -54,9 +54,15 @@ def train_epoch_cap(train_step, state, dataset, epoch: int, logger=None,
         ctx.__enter__()
     try:
         for batch in dataset.batches(epoch=epoch, seed=seed):
-            if len(batch['video_ids']) != dataset.batch_size:
-                continue  # keep shapes static / divisible over the dp mesh
+            # Tail batches are repeat-padded to the compiled batch size and
+            # masked out of the loss via 'row_valid' (reference trains on
+            # every row: captioning_epoch_loops.py:122-149); shapes stay
+            # static / divisible over the dp mesh.
+            n_valid = len(batch['video_ids'])
+            if n_valid != dataset.batch_size:
+                batch = _pad_batch_to(batch, dataset.batch_size)
             dev = _device_batch(batch, ('src', 'caption'))
+            dev['row_valid'] = np.arange(dataset.batch_size) < n_valid
             if dp is not None:
                 dev = dp.shard(dev)
             state, metrics = train_step(state, dev)

@@ -54,16 +54,29 @@ def build_optimizer(cfg, frozen_mask=None) -> optax.GradientTransformation:
 
 
 def set_learning_rate(opt_state, lr: float):
-    '''Update the injected learning rate in an optimizer state in place.'''
-    def find(state):
-        if hasattr(state, 'hyperparams') and 'learning_rate' in state.hyperparams:
-            state.hyperparams['learning_rate'] = jax.numpy.asarray(lr)
-            return True
+    '''Return a new optimizer state with the injected learning rate replaced.
+
+    Purely functional (the input state is not mutated), so it stays correct
+    when the train step donates its opt_state buffers.
+    '''
+    def rebuild(state):
+        if hasattr(state, 'hyperparams') and \
+                'learning_rate' in state.hyperparams:
+            hp = dict(state.hyperparams)
+            old = jax.numpy.asarray(hp['learning_rate'])
+            hp['learning_rate'] = jax.numpy.asarray(lr, dtype=old.dtype)
+            return state._replace(hyperparams=hp), True
         if isinstance(state, tuple):
-            return any(find(s) for s in state)
-        return False
-    assert find(opt_state), 'no injected learning_rate found'
-    return opt_state
+            rebuilt = [rebuild(s) for s in state]
+            children = tuple(s for s, _ in rebuilt)
+            if hasattr(state, '_fields'):  # namedtuple
+                children = type(state)(*children)
+            return children, any(f for _, f in rebuilt)
+        return state, False
+
+    new_state, found = rebuild(opt_state)
+    assert found, 'no injected learning_rate found'
+    return new_state
 
 
 def get_learning_rate(opt_state) -> Optional[float]:

@@ -98,7 +98,8 @@ def train_prop(cfg: Config):
     compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == 'bfloat16'
                      else jnp.float32)
     train_step = dp.jit_step(make_prop_train_step(
-        dims, optimizer, pad_idx, cfg.attention_impl, compute_dtype))
+        dims, optimizer, pad_idx, cfg.attention_impl, compute_dtype),
+        donate_state=True)
     inference_step = jax.jit(make_prop_inference_step(
         dims, pad_idx, cfg.attention_impl, compute_dtype))
 
@@ -134,7 +135,8 @@ def train_prop(cfg: Config):
                                         valid_ds, epoch, logger)
 
         if scheduler is not None:
-            set_learning_rate(state.opt_state, scheduler.step(avg_f1))
+            state = state._replace(opt_state=set_learning_rate(
+                state.opt_state, scheduler.step(avg_f1)))
 
         if avg_f1 > best_metric:
             best_metric = avg_f1

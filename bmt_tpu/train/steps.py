@@ -58,6 +58,13 @@ def make_cap_train_step(dims: CapModelDims, optimizer, smoothing: float,
         rng = jax.random.fold_in(state.rng, state.step)
         caption = batch['caption']
         cap_x, cap_y = caption[:, :-1], caption[:, 1:]
+        # Tail batches are repeat-padded to the full batch size on the host;
+        # 'row_valid' marks the real rows. Forcing padded rows' targets to
+        # pad_idx zeroes their loss rows and drops them from n_tokens, so
+        # the gradient matches training on the unpadded tail exactly.
+        if 'row_valid' in batch:
+            cap_y = jnp.where(batch['row_valid'].astype(bool)[:, None],
+                              cap_y, pad_idx)
         src = jax.tree.map(lambda x: x.astype(compute_dtype), batch['src'])
         masks = make_masks(batch['src'], cap_x, dims.modality, pad_idx)
         n_tokens = jnp.maximum(jnp.sum(cap_y != pad_idx), 1)

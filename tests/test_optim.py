@@ -34,10 +34,12 @@ def test_frozen_leaves_get_zero_updates():
 def test_learning_rate_injection():
     params = {'w': jnp.ones((2, 2))}
     tx = build_optimizer(_Cfg())
-    state = tx.init(params)
-    assert np.isclose(get_learning_rate(state), 1e-2)
-    set_learning_rate(state, 5e-4)
+    state0 = tx.init(params)
+    assert np.isclose(get_learning_rate(state0), 1e-2)
+    state = set_learning_rate(state0, 5e-4)
     assert np.isclose(get_learning_rate(state), 5e-4)
+    # purely functional: the input state is untouched (donation-safe)
+    assert np.isclose(get_learning_rate(state0), 1e-2)
 
     # update magnitude scales with the injected lr (adam first step = lr)
     grads = {'w': jnp.ones((2, 2))}

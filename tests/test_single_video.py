@@ -82,3 +82,30 @@ def test_train_cap_resume(mini_data, tmp_path):  # noqa: F811
     train_cap(cfg2)
     with open(meta_path) as f:
         assert json.load(f)['epoch'] == 1
+
+
+@pytest.mark.slow
+def test_train_cap_resume_before_1by1(mini_data, tmp_path):  # noqa: F811
+    '''The rolling checkpoint is written every epoch even before the first
+    1-by-1 validation, so a crash in the early epochs resumes cleanly.'''
+    from bmt_tpu.train.cap_trainer import train_cap
+
+    cfg = _mini_cfg(mini_data, tmp_path, 'train_cap')
+    cfg.one_by_one_starts_at = 100   # 1by1 never runs in this test
+    train_cap(cfg)
+
+    meta_path = os.path.join(cfg.model_checkpoint_path,
+                             'last_cap_model.meta.json')
+    with open(meta_path) as f:
+        meta = json.load(f)
+    assert meta['epoch'] == 0
+    assert meta['val_1_metrics'] is None   # saved without any 1by1 pass
+
+    cfg2 = _mini_cfg(mini_data, tmp_path, 'train_cap')
+    cfg2.log_path = cfg.log_path
+    cfg2.model_checkpoint_path = cfg.model_checkpoint_path
+    cfg2.one_by_one_starts_at = 100
+    cfg2.epoch_num = 2
+    train_cap(cfg2)
+    with open(meta_path) as f:
+        assert json.load(f)['epoch'] == 1
