@@ -63,6 +63,8 @@ class CaptioningDataset:
         self.meta_path = meta_by_phase[phase]
         if self.meta_path is None:
             raise ValueError(f'no meta path for phase {phase}')
+        from bmt_tpu.data.assets import ensure_meta_file
+        ensure_meta_file(self.meta_path)
         self.rows = read_meta_csv(self.meta_path)
 
         self.batch_size = (cfg.train_batch_size if phase == 'train'

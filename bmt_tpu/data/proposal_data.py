@@ -34,6 +34,8 @@ class ProposalDataset:
                          'val_1': cfg.val_1_meta_path,
                          'val_2': cfg.val_2_meta_path}
         self.meta_path = meta_by_phase[phase]
+        from bmt_tpu.data.assets import ensure_meta_file
+        ensure_meta_file(self.meta_path)
         self.rows = read_meta_csv(self.meta_path)
 
         self.feature_names_list = []

@@ -11,6 +11,9 @@ def calculate_metrics(reference_paths, submission_path, tIoUs,
                       max_prop_per_vid, verbose: bool = True,
                       only_proposals: bool = False) -> dict:
     metrics = {}
+    from bmt_tpu.data.assets import ensure_meta_file
+    for ref in reference_paths:
+        ensure_meta_file(ref)
     evaluator = ANETcaptions(reference_paths, submission_path, tIoUs,
                              max_prop_per_vid, PREDICTION_FIELDS, verbose,
                              only_proposals)
