@@ -1,4 +1,5 @@
-'''Benchmark: greedy caption decode throughput (captions/sec/chip).
+'''Benchmark: greedy caption decode throughput (captions/sec/chip) plus
+teacher-forced train-step throughput (samples/sec) and an MFU estimate.
 
 Headline metric per BASELINE.json: batched KV-cached greedy decode vs the
 reference's un-cached algorithm. The reference publishes no captions/sec
@@ -7,7 +8,17 @@ reference's decode *algorithm* (full prefix re-encode per token,
 reference: captioning_epoch_loops.py:39-65) run on the SAME chip with the
 same model/shapes — an apples-to-apples algorithmic baseline.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Both the decode and the train step are measured with attention_impl 'xla'
+and 'pallas'; the faster decode impl carries the headline number and all
+four timings are reported as extra fields of the ONE output JSON line:
+
+{"metric", "value", "unit", "vs_baseline",
+ "decode_xla_caps_per_sec", "decode_pallas_caps_per_sec", "decode_impl",
+ "train_samples_per_sec", "train_step_ms", "train_mfu",
+ "train_xla_ms", "train_pallas_ms", "train_impl"}
+
+NB: the benchmark chip sits behind a time-shared tunnel with ~20x run-to-run
+variance; every number is best-of-N and only large ratios are meaningful.
 '''
 import json
 import os
@@ -15,6 +26,35 @@ import sys
 import time
 
 import numpy as np
+
+# v5e bf16 peak; override for other chips (v4: 275e12, v5p: 459e12)
+PEAK_FLOPS = float(os.environ.get('BMT_PEAK_FLOPS', 197e12))
+
+
+def _warmup(fn, attempts=3):
+    '''The remote-compile tunnel occasionally drops mid-compile; retry
+    (the persistent cache resumes from completed compiles).'''
+    for i in range(attempts):
+        try:
+            return np.asarray(fn())
+        except Exception as e:
+            if i == attempts - 1:
+                raise
+            print(f'warmup retry after: {type(e).__name__}', file=sys.stderr)
+
+
+def _time_best(fn, iters, reps):
+    '''Best-of-reps mean seconds per call. The axon backend's
+    block_until_ready is a no-op; np.asarray forces the host sync.'''
+    best = float('inf')
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = fn()
+        np.asarray(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
 
 
 def main():
@@ -24,9 +64,15 @@ def main():
                       os.path.join(os.path.dirname(__file__), '.jax_cache'))
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
 
-    from bmt_tpu.decode import greedy_decode_bimodal, greedy_decode_uncached
+    from bmt_tpu.decode import greedy_decode_bimodal
     from bmt_tpu.models import (CapModelDims, bimodal_transformer_forward,
                                 init_bimodal_transformer)
+    from bmt_tpu.ops.masks import make_masks
+    from bmt_tpu.train.optim import build_optimizer
+    from bmt_tpu.train.steps import init_train_state, make_cap_train_step
+
+    on_tpu = jax.default_backend() not in ('cpu',)
+    impls = ('xla', 'pallas') if on_tpu else ('xla',)
 
     # flagship architecture, inference batch like the reference's val loop
     # (inference_batch_size = 64 at B=32); realistic val segment lengths.
@@ -50,50 +96,31 @@ def main():
         'audio': jnp.asarray(rng.normal(size=(B, Sa, 128)), bf16),
     }
 
-    def cached_decode():
-        return greedy_decode_bimodal(params_bf16, dims, stacks, MAX_LEN,
-                                     2, END_IDX, 1)
+    # ---- greedy decode: xla vs pallas ------------------------------------
+    decode_caps = {}
+    for impl in impls:
+        def cached_decode(impl=impl):
+            return greedy_decode_bimodal(params_bf16, dims, stacks, MAX_LEN,
+                                         2, END_IDX, 1, attention_impl=impl)
+        try:
+            _warmup(cached_decode)
+            _warmup(cached_decode)  # 2nd: first real exec can include the
+            # one-time weight upload over the device tunnel
+            decode_caps[impl] = B / _time_best(cached_decode, iters=10,
+                                               reps=4)
+        except Exception as e:
+            print(f'decode[{impl}] failed: {type(e).__name__}: {e}',
+                  file=sys.stderr)
+    decode_impl = max(decode_caps, key=decode_caps.get)
+    captions_per_sec = decode_caps[decode_impl]
 
-    def warmup(fn, attempts=3):
-        '''The remote-compile tunnel occasionally drops mid-compile; retry
-        (the persistent cache resumes from completed compiles).'''
-        for i in range(attempts):
-            try:
-                return np.asarray(fn())
-            except Exception as e:
-                if i == attempts - 1:
-                    raise
-                print(f'warmup retry after: {type(e).__name__}',
-                      file=sys.stderr)
-
-    # warmup/compile. NB: the axon backend's block_until_ready is a no-op;
-    # a host transfer (np.asarray) is the only reliable sync, so every timed
-    # iteration fetches the (64, 31) int32 token output (a few KB).
-    warmup(cached_decode)
-    warmup(cached_decode)  # second warmup: first real execution can
-    # include one-time weight upload over the device tunnel
-
-    # run-to-run variance through the device tunnel is large; report the
-    # best of several timed repetitions
-    iters, reps = 10, 4
-    best = float('inf')
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = cached_decode()
-        np.asarray(out)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    cached_sec = best
-    captions_per_sec = B / cached_sec
-
-    # reference algorithm on the same chip: full re-encode of the whole
-    # prefix each step, no KV cache (captioning_epoch_loops.py:39-65).
-    # Kept fully on-device (no host sync inside the loop) so the baseline is
-    # not penalized by host<->device latency: the prefix lives in a fixed
-    # (B, MAX_LEN+1) buffer with pad masking — per-step cost is dominated by
-    # the encoder re-run (Sa=256/Sv=96), matching the reference's profile.
-    from bmt_tpu.ops.masks import make_masks
-
+    # ---- reference decode algorithm on the same chip ----------------------
+    # Full re-encode of the whole prefix each step, no KV cache
+    # (captioning_epoch_loops.py:39-65). Kept fully on-device (no host sync
+    # inside the loop) so the baseline is not penalized by host<->device
+    # latency: the prefix lives in a fixed (B, MAX_LEN+1) buffer with pad
+    # masking — per-step cost is dominated by the encoder re-run, matching
+    # the reference's profile.
     @jax.jit
     def uncached_step(p, stacks, trg, step):
         masks = make_masks(stacks, trg, 'audio_video', 1)
@@ -108,22 +135,89 @@ def main():
     def uncached_decode():
         trg = jnp.full((B, MAX_LEN + 1), 1, jnp.int32).at[:, 0].set(2)
         for step in range(MAX_LEN):
-            trg = uncached_step(params_bf16, stacks, trg,
-                                jnp.int32(step))
+            trg = uncached_step(params_bf16, stacks, trg, jnp.int32(step))
         return np.asarray(trg)
 
-    warmup(uncached_decode)
+    _warmup(uncached_decode)
     t0 = time.perf_counter()
     uncached_decode()
     uncached_sec = time.perf_counter() - t0
     baseline_caps_per_sec = B / uncached_sec
+
+    # ---- teacher-forced train step: samples/sec + MFU ---------------------
+    # Reference training batch (B=32, scripts/train_captioning_module.py),
+    # bf16 compute / fp32 params+optimizer like the real trainer.
+    TB, Sc = 32, 22
+
+    class _Cfg:
+        optimizer = 'adam'
+        lr = 5e-5
+        grad_clip = 1.0
+        weight_decay = 0.0
+        beta1, beta2, eps = 0.9, 0.999, 1e-8
+
+    optimizer = build_optimizer(_Cfg())
+    captions = np.full((TB, Sc), 1, np.int32)
+    captions[:, 0] = 2
+    captions[:, 1:-2] = rng.integers(4, VOC, size=(TB, Sc - 3))
+    captions[:, -2] = 3
+    train_batch = {
+        'src': {
+            'rgb': jnp.asarray(rng.normal(size=(TB, Sv, 1024)), jnp.float32),
+            'flow': jnp.asarray(rng.normal(size=(TB, Sv, 1024)), jnp.float32),
+            'audio': jnp.asarray(rng.normal(size=(TB, Sa, 128)), jnp.float32),
+        },
+        'caption': jnp.asarray(captions),
+    }
+
+    train_ms, train_flops = {}, None
+    for impl in impls:
+        step_fn = jax.jit(make_cap_train_step(dims, optimizer, 0.7, 1,
+                                              attention_impl=impl,
+                                              compute_dtype=bf16))
+        state = init_train_state(params, optimizer)
+        try:
+            if impl == 'xla':
+                try:
+                    cost = step_fn.lower(state, train_batch).compile() \
+                        .cost_analysis()
+                    if isinstance(cost, (list, tuple)):
+                        cost = cost[0]
+                    train_flops = float(cost.get('flops', 0.0)) or None
+                except Exception:
+                    train_flops = None
+
+            def train_once(step_fn=step_fn, state=state):
+                _, metrics = step_fn(state, train_batch)
+                return metrics['loss']
+            _warmup(train_once)
+            _warmup(train_once)
+            train_ms[impl] = _time_best(train_once, iters=10, reps=4) * 1e3
+        except Exception as e:
+            print(f'train[{impl}] failed: {type(e).__name__}: {e}',
+                  file=sys.stderr)
+    train_impl = min(train_ms, key=train_ms.get)
+    step_ms = train_ms[train_impl]
+    mfu = (train_flops / (step_ms / 1e3) / PEAK_FLOPS
+           if train_flops else None)
 
     result = {
         'metric': 'greedy_decode_captions_per_sec_per_chip',
         'value': round(captions_per_sec, 2),
         'unit': 'captions/sec',
         'vs_baseline': round(captions_per_sec / baseline_caps_per_sec, 2),
+        'decode_impl': decode_impl,
+        'train_impl': train_impl,
+        'train_samples_per_sec': round(TB / (step_ms / 1e3), 2),
+        'train_step_ms': round(step_ms, 3),
+        'train_mfu': round(mfu, 4) if mfu is not None else None,
     }
+    for impl in impls:
+        if impl in decode_caps:
+            result[f'decode_{impl}_caps_per_sec'] = round(decode_caps[impl],
+                                                          2)
+        if impl in train_ms:
+            result[f'train_{impl}_ms'] = round(train_ms[impl], 3)
     print(json.dumps(result))
 
 

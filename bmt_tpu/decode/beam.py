@@ -125,7 +125,7 @@ def beam_search_bimodal(params, dims: CapModelDims, feature_stacks: dict,
 
     def step_closure(state, cur, step):
         return bimodal_decode_step(params, dims, state, cur, step, A_mask,
-                                   V_mask)
+                                   V_mask, attention_impl)
 
     return _beam_core(step_closure, state, B, K, dims.voc_size, max_len,
                       start_idx, end_idx, length_penalty)
@@ -152,7 +152,7 @@ def beam_search_unimodal(params, dims: CapModelDims, feature_stacks: dict,
 
     def step_closure(state, cur, step):
         return unimodal_decode_step(params, dims, state, cur, step,
-                                    src_mask_t)
+                                    src_mask_t, attention_impl)
 
     return _beam_core(step_closure, state, B, K, dims.voc_size, max_len,
                       start_idx, end_idx, length_penalty)

@@ -59,7 +59,7 @@ def greedy_decode_bimodal(params, dims: CapModelDims, feature_stacks: dict,
         step, tokens, done, state = carry
         cur = jax.lax.dynamic_slice_in_dim(tokens, step, 1, axis=1)  # (B, 1)
         log_probs, state = bimodal_decode_step(params, dims, state, cur, step,
-                                               A_mask, V_mask)
+                                               A_mask, V_mask, attention_impl)
         nxt = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)       # (B,)
         tokens = jax.lax.dynamic_update_slice_in_dim(
             tokens, nxt[:, None], step + 1, axis=1)
@@ -111,7 +111,8 @@ def greedy_decode_unimodal(params, dims: CapModelDims, feature_stacks: dict,
         step, tokens, done, state = carry
         cur = jax.lax.dynamic_slice_in_dim(tokens, step, 1, axis=1)
         log_probs, state = unimodal_decode_step(params, dims, state, cur,
-                                                step, src_mask)
+                                                step, src_mask,
+                                                attention_impl)
         nxt = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)
         tokens = jax.lax.dynamic_update_slice_in_dim(
             tokens, nxt[:, None], step + 1, axis=1)

@@ -171,14 +171,14 @@ def bimodal_decode_init(params, dims: CapModelDims, Av, Va, max_len: int):
 
 
 def bimodal_decode_step(params, dims: CapModelDims, state, token, step,
-                        A_mask, V_mask):
+                        A_mask, V_mask, attention_impl: str = 'xla'):
     '''One greedy-decode step: embed `token` (B, 1) at position `step`,
     advance the decoder, return (log_probs (B, voc), new_state).'''
     _, _, pe_C = _pe_tables(dims)
     c_t = vocabulary_embed(params['emb_C'], token, dims.d_model_C)
     c_t = positional_encode(pe_C, c_t, offset=step)
     c_t, state = bimodal_decoder_step(params['decoder'], state, c_t, A_mask,
-                                      V_mask, step, dims.H)
+                                      V_mask, step, dims.H, attention_impl)
     logits = linear(params['generator'], c_t[:, 0, :])
     return jax.nn.log_softmax(logits, axis=-1), state
 
@@ -214,14 +214,14 @@ def unimodal_decode_init(params, dims: CapModelDims, memory, max_len: int):
 
 
 def unimodal_decode_step(params, dims: CapModelDims, state, token, step,
-                         src_mask):
+                         src_mask, attention_impl: str = 'xla'):
     from bmt_tpu.models.decoders import unimodal_decoder_step
     d_model = _unimodal_d_model(dims)
     pe = jnp.asarray(positional_encoding_table(POS_ENC_LEN, d_model))
     c_t = vocabulary_embed(params['trg_emb'], token, d_model)
     c_t = positional_encode(pe, c_t, offset=step)
     c_t, state = unimodal_decoder_step(params['decoder'], state, c_t,
-                                       src_mask, step, dims.H)
+                                       src_mask, step, dims.H, attention_impl)
     logits = linear(params['generator'], c_t[:, 0, :])
     return jax.nn.log_softmax(logits, axis=-1), state
 

@@ -161,19 +161,21 @@ def init_unimodal_decode_state(params, memory, H: int, max_len: int,
     return state
 
 
-def unimodal_decoder_step(params, state, c_t, src_mask, step, H: int):
+def unimodal_decoder_step(params, state, c_t, src_mask, step, H: int,
+                          attention_impl: str = 'xla'):
     '''One KV-cached step of the uni-modal decoder (mirrors
     ``bimodal_decoder_step``; reference layer: decoders.py:18-34).'''
     new_state = []
     for p, s in zip(params['layers'], state):
         normed = layer_norm(p['res'][0], c_t)
         att, ck, cv = self_attention_step(p['self_att'], normed,
-                                          s['cache_k'], s['cache_v'], step, H)
+                                          s['cache_k'], s['cache_v'], step, H,
+                                          attention_impl)
         c_t = c_t + att
 
         normed = layer_norm(p['res'][1], c_t)
         c_t = c_t + cross_attention_step(p['enc_att'], normed, s['kv_mem'],
-                                         src_mask, H)
+                                         src_mask, H, attention_impl)
 
         c_t = c_t + feed_forward(p['ff'], layer_norm(p['res'][2], c_t))
         new_state.append({'kv_mem': s['kv_mem'], 'cache_k': ck,
@@ -202,7 +204,8 @@ def init_decode_state(params, Av, Va, H: int, max_len: int, dtype=jnp.float32):
     return state
 
 
-def bimodal_decoder_step(params, state, c_t, A_mask, V_mask, step, H: int):
+def bimodal_decoder_step(params, state, c_t, A_mask, V_mask, step, H: int,
+                         attention_impl: str = 'xla'):
     '''Advance the decoder by one token using KV caches.
 
     c_t: (B, 1, Dc) — embedded+pos-encoded current token.
@@ -219,14 +222,17 @@ def bimodal_decoder_step(params, state, c_t, A_mask, V_mask, step, H: int):
         # 1. causal self-attention via cache (pre-norm residual)
         normed = layer_norm(p['res_self'], c_t)
         att, ck, cv = self_attention_step(p['self_att'], normed,
-                                          s['cache_k'], s['cache_v'], step, H)
+                                          s['cache_k'], s['cache_v'], step, H,
+                                          attention_impl)
         c_t = c_t + att
 
         # 2. cross-attention over precomputed memories
         normed = layer_norm(p['res_enc_A'], c_t)
-        Ca = c_t + cross_attention_step(p['enc_att_A'], normed, s['kvA'], A_mask, H)
+        Ca = c_t + cross_attention_step(p['enc_att_A'], normed, s['kvA'],
+                                        A_mask, H, attention_impl)
         normed = layer_norm(p['res_enc_V'], c_t)
-        Cv = c_t + cross_attention_step(p['enc_att_V'], normed, s['kvV'], V_mask, H)
+        Cv = c_t + cross_attention_step(p['enc_att_V'], normed, s['kvV'],
+                                        V_mask, H, attention_impl)
 
         c_t = bridge(p['bridge'], jnp.concatenate([Ca, Cv], axis=-1))
 

@@ -114,7 +114,8 @@ def precompute_kv(params: dict, memory: jnp.ndarray, H: int):
     return k, v
 
 
-def cross_attention_step(params: dict, q: jnp.ndarray, kv, mask, H: int) -> jnp.ndarray:
+def cross_attention_step(params: dict, q: jnp.ndarray, kv, mask, H: int,
+                         attention_impl: str = 'xla') -> jnp.ndarray:
     '''Attention of the current token(s) over precomputed memory K/V.
 
     q: (B, 1, Dq); kv: (k, v) each (B, H, Sk, d_k); mask: (B, 1, Sk) or None.
@@ -123,12 +124,17 @@ def cross_attention_step(params: dict, q: jnp.ndarray, kv, mask, H: int) -> jnp.
     qp = _split_heads(linear(params['q2d'], q), H)
     if mask is not None:
         mask = mask[:, None, :, :]
-    out = scaled_dot_attention(qp, k, v, mask)
+    if attention_impl == 'pallas':
+        from bmt_tpu.ops.pallas_attention import flash_attention
+        out = flash_attention(qp, k, v, mask)
+    else:
+        out = scaled_dot_attention(qp, k, v, mask)
     return linear(params['d2q'], _merge_heads(out))
 
 
 def self_attention_step(params: dict, q: jnp.ndarray, cache_k: jnp.ndarray,
-                        cache_v: jnp.ndarray, step: jnp.ndarray, H: int):
+                        cache_v: jnp.ndarray, step: jnp.ndarray, H: int,
+                        attention_impl: str = 'xla'):
     '''One causal self-attention step with a KV cache.
 
     q: (B, 1, Dq) — the newest token. cache_k/cache_v: (B, H, T_max, d_k)
@@ -144,9 +150,15 @@ def self_attention_step(params: dict, q: jnp.ndarray, cache_k: jnp.ndarray,
     cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, kp, step, axis=2)
     cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, vp, step, axis=2)
 
+    B = q.shape[0]
     T_max = cache_k.shape[2]
     pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, T_max), 3)
     valid = pos <= step                                # (1, 1, 1, T_max)
 
-    out = scaled_dot_attention(qp, cache_k, cache_v, valid)
+    if attention_impl == 'pallas':
+        from bmt_tpu.ops.pallas_attention import flash_attention
+        out = flash_attention(qp, cache_k, cache_v,
+                              jnp.broadcast_to(valid, (B, 1, 1, T_max)))
+    else:
+        out = scaled_dot_attention(qp, cache_k, cache_v, valid)
     return linear(params['d2q'], _merge_heads(out)), cache_k, cache_v

@@ -79,3 +79,25 @@ def test_flash_attention_in_full_model(rng):
     xla = fwd(params, src=src, trg=trg, masks=masks, attention_impl='xla')
     pal = fwd(params, src=src, trg=trg, masks=masks, attention_impl='pallas')
     np.testing.assert_allclose(np.asarray(pal), np.asarray(xla), atol=2e-4)
+
+
+def test_flash_attention_in_cached_decode(rng):
+    '''attention_impl='pallas' drives the whole KV-cached greedy decode
+    (encoder + per-step self/cross attention) to the same tokens as 'xla'.'''
+    from bmt_tpu.decode import greedy_decode_bimodal
+    from bmt_tpu.models import CapModelDims, init_bimodal_transformer
+
+    dims = CapModelDims(voc_size=23, d_model_A=8, d_model_V=12, d_model_C=10,
+                        d_model=16, H=2, N=2, d_ff_A=16, d_ff_V=24,
+                        d_ff_C=20)
+    params = init_bimodal_transformer(jax.random.PRNGKey(1), dims)
+    src = {
+        'rgb': jnp.asarray(rng.normal(size=(3, 5, 12)), jnp.float32),
+        'flow': jnp.asarray(rng.normal(size=(3, 5, 12)), jnp.float32),
+        'audio': jnp.asarray(rng.normal(size=(3, 7, 8)), jnp.float32),
+    }
+    xla = np.asarray(greedy_decode_bimodal(params, dims, src, 8, 2, 3, 1,
+                                           attention_impl='xla'))
+    pal = np.asarray(greedy_decode_bimodal(params, dims, src, 8, 2, 3, 1,
+                                           attention_impl='pallas'))
+    np.testing.assert_array_equal(pal, xla)
