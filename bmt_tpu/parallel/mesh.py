@@ -21,14 +21,34 @@ def maybe_init_distributed():
     '''Initialize multi-host JAX when launched under a pod scheduler
     (coordinator env vars present). Single-host runs are unaffected; on a
     pod this makes jax.devices() span all hosts so the same dp mesh rides
-    ICI within a slice and DCN across slices.'''
+    ICI within a slice and DCN across slices.
+
+    On TPU pods the coordinator/process topology is auto-detected; for
+    explicit launches (including the CPU multi-process smoke test,
+    tests/test_multiprocess.py) JAX_COORDINATOR_ADDRESS +
+    JAX_NUM_PROCESSES + JAX_PROCESS_ID are honored. Cross-process CPU
+    collectives go through gloo (config only affects the CPU backend).
+    '''
     import os
-    if os.environ.get('JAX_COORDINATOR_ADDRESS') or \
-            os.environ.get('COORDINATOR_ADDRESS'):
-        try:
-            jax.distributed.initialize()
-        except Exception as e:  # already initialized or single-process
-            print(f'jax.distributed.initialize skipped: {e}')
+    coord = (os.environ.get('JAX_COORDINATOR_ADDRESS')
+             or os.environ.get('COORDINATOR_ADDRESS'))
+    if not coord:
+        return
+    try:
+        jax.config.update('jax_cpu_collectives_implementation', 'gloo')
+    except Exception:
+        pass  # older jax without the option
+    n = os.environ.get('JAX_NUM_PROCESSES')
+    pid = os.environ.get('JAX_PROCESS_ID')
+    try:
+        if n is not None and pid is not None:
+            jax.distributed.initialize(coordinator_address=coord,
+                                       num_processes=int(n),
+                                       process_id=int(pid))
+        else:
+            jax.distributed.initialize()  # pod auto-detection
+    except Exception as e:  # already initialized or single-process
+        print(f'jax.distributed.initialize skipped: {e}')
 
 
 def make_mesh(dp: Optional[int] = None, mp: int = 1,

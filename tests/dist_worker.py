@@ -1,0 +1,48 @@
+'''Worker process for the 2-process jax.distributed smoke test
+(tests/test_multiprocess.py). Runs one data-parallel captioning train step
+over a mesh that spans BOTH processes (1 CPU device each, gloo collectives)
+and prints the loss + a parameter checksum for the test to compare.'''
+import sys
+
+import jax
+
+jax.config.update('jax_platforms', 'cpu')
+
+from bmt_tpu.parallel.mesh import maybe_init_distributed  # noqa: E402
+
+maybe_init_distributed()
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from bmt_tpu.models import CapModelDims, init_bimodal_transformer  # noqa: E402
+from bmt_tpu.parallel import DataParallel  # noqa: E402
+from bmt_tpu.train.optim import build_optimizer  # noqa: E402
+from bmt_tpu.train.steps import init_train_state, make_cap_train_step  # noqa: E402
+from tests.dist_common import DIMS, OptCfg, make_batch  # noqa: E402
+
+
+def main():
+    assert jax.process_count() == 2, jax.process_count()
+    assert jax.device_count() == 2, jax.device_count()
+
+    batch = make_batch()
+    params = init_bimodal_transformer(jax.random.PRNGKey(0), DIMS)
+    optimizer = build_optimizer(OptCfg())
+
+    dp = DataParallel()  # mesh over the two cross-process devices
+    assert dp.n_dp == 2
+    step = dp.jit_step(make_cap_train_step(DIMS, optimizer, 0.7, 1))
+    state = init_train_state(params, optimizer)
+    state = state._replace(params=dp.replicate_tree(state.params),
+                           opt_state=dp.replicate_tree(state.opt_state))
+
+    state, metrics = step(state, dp.shard(batch))
+    loss = float(metrics['loss'])
+    checksum = float(sum(jnp.sum(jnp.abs(leaf))
+                         for leaf in jax.tree.leaves(state.params)))
+    print(f'RESULT {loss:.8f} {checksum:.8f}', flush=True)
+
+
+if __name__ == '__main__':
+    sys.exit(main())
