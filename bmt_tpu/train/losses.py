@@ -13,6 +13,8 @@ Label-smoothed KL divergence for captioning, matching the reference exactly
 '''
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -22,27 +24,36 @@ def label_smoothing_kl(log_probs: jnp.ndarray, target: jnp.ndarray,
     '''log_probs (B, S, V) after log_softmax; target (B, S) int ids.
 
     Returns the summed KL(dist || exp(log_probs)) over all positions.
+
+    Computed in closed form instead of materializing the (B*S, V) smoothed
+    distribution: per valid row the distribution is ``u = smoothing/(V-2)``
+    on the V-2 non-target non-pad columns and ``1-smoothing`` on the target
+    column, so
+
+        KL = H_const - (1-s)*pred[tgt] - u*(sum_j pred_j - pred[tgt]
+                                            - pred[pad])
+
+    with ``H_const = (1-s)*log(1-s) + (V-2)*u*log(u)`` (0*log0 = 0). This
+    needs only a row-sum and two gathers of ``pred`` — ~3 fewer full-vocab
+    tensors of HBM traffic per step — and its autodiff gradient is exactly
+    ``-dist``, identical to the dense formulation's.
     '''
     B, S, V = log_probs.shape
     pred = log_probs.reshape(-1, V).astype(jnp.float32)
     tgt = target.reshape(-1)
 
-    uniform = smoothing / (V - 2)
-    dist = jnp.full((B * S, V), uniform, jnp.float32)
-    # scatter_(1, target, 1-smoothing) *replaces* the target column
-    dist = dist.at[jnp.arange(B * S), tgt].set(1.0 - smoothing)
-    # pad column has zero probability
-    dist = dist.at[:, pad_idx].set(0.0)
-    # rows whose target is the pad token are zeroed
-    row_valid = (tgt != pad_idx)[:, None]
-    dist = jnp.where(row_valid, dist, 0.0)
+    u = smoothing / (V - 2)
+    conf = 1.0 - smoothing
+    h_const = (conf * math.log(conf) if conf > 0 else 0.0) + \
+        ((V - 2) * u * math.log(u) if u > 0 else 0.0)
 
-    # F.kl_div(pred, dist, reduction='sum') = sum dist * (log(dist) - pred)
-    # with the convention 0 * log(0) = 0
-    log_dist = jnp.where(dist > 0, jnp.log(jnp.maximum(dist, 1e-30)), 0.0)
-    kl = dist * (log_dist - pred)
-    kl = jnp.where(dist > 0, kl, 0.0)
-    return jnp.sum(kl)
+    pred_tgt = jnp.take_along_axis(pred, tgt[:, None], axis=1)[:, 0]
+    pred_pad = pred[:, pad_idx]
+    row_sum = jnp.sum(pred, axis=1)
+
+    kl_row = h_const - conf * pred_tgt - u * (row_sum - pred_tgt - pred_pad)
+    # rows whose target is the pad token are zeroed
+    return jnp.sum(jnp.where(tgt != pad_idx, kl_row, 0.0))
 
 
 def caption_loss(log_probs: jnp.ndarray, target: jnp.ndarray,

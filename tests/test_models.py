@@ -105,6 +105,44 @@ def test_label_smoothing_zero_smoothing_is_ce(rng):
     np.testing.assert_allclose(ours, nll, rtol=1e-5)
 
 
+def test_label_smoothing_closed_form_grads_match_dense(rng):
+    '''The closed-form KL (losses.py) has the same value AND gradient as
+    the dense formulation that materializes the smoothed distribution.'''
+    def dense_kl(log_probs, target, smoothing, pad_idx):
+        B, S, V = log_probs.shape
+        pred = log_probs.reshape(-1, V).astype(jnp.float32)
+        tgt = target.reshape(-1)
+        uniform = smoothing / (V - 2)
+        dist = jnp.full((B * S, V), uniform, jnp.float32)
+        dist = dist.at[jnp.arange(B * S), tgt].set(1.0 - smoothing)
+        dist = dist.at[:, pad_idx].set(0.0)
+        dist = jnp.where((tgt != pad_idx)[:, None], dist, 0.0)
+        log_dist = jnp.where(dist > 0, jnp.log(jnp.maximum(dist, 1e-30)), 0.0)
+        kl = jnp.where(dist > 0, dist * (log_dist - pred), 0.0)
+        return jnp.sum(kl)
+
+    B, S, V = 3, 5, 23
+    logits = jnp.asarray(rng.normal(size=(B, S, V)), jnp.float32)
+    target = np.asarray(rng.integers(2, V, size=(B, S)), np.int32)
+    target[0, -1] = PAD
+    target[2, 1:] = PAD
+
+    for smoothing in (0.0, 0.3, 0.7):
+        def loss_ours(x, fn=label_smoothing_kl, s=smoothing):
+            return fn(jax.nn.log_softmax(x, axis=-1), jnp.asarray(target),
+                      s, PAD)
+
+        def loss_dense(x, s=smoothing):
+            return dense_kl(jax.nn.log_softmax(x, axis=-1),
+                            jnp.asarray(target), s, PAD)
+
+        v1, g1 = jax.value_and_grad(loss_ours)(logits)
+        v2, g2 = jax.value_and_grad(loss_dense)(logits)
+        np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   atol=1e-6)
+
+
 def test_dropout_changes_only_in_training(rng):
     params = init_bimodal_transformer(jax.random.PRNGKey(2), SMALL)
     src, trg = _small_batch(rng)
