@@ -111,6 +111,8 @@ def main():
         except Exception as e:
             print(f'decode[{impl}] failed: {type(e).__name__}: {e}',
                   file=sys.stderr)
+    if not decode_caps:
+        raise RuntimeError('every decode impl failed; see stderr above')
     decode_impl = max(decode_caps, key=decode_caps.get)
     captions_per_sec = decode_caps[decode_impl]
 
@@ -196,6 +198,8 @@ def main():
         except Exception as e:
             print(f'train[{impl}] failed: {type(e).__name__}: {e}',
                   file=sys.stderr)
+    if not train_ms:
+        raise RuntimeError('every train impl failed; see stderr above')
     train_impl = min(train_ms, key=train_ms.get)
     step_ms = train_ms[train_impl]
     mfu = (train_flops / (step_ms / 1e3) / PEAK_FLOPS

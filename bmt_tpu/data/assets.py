@@ -28,7 +28,8 @@ from __future__ import annotations
 import json
 import os
 
-from bmt_tpu.utils.misc import make_metafile
+from bmt_tpu.utils.misc import (AVAILABLE_MP4_FILE_HASH, make_metafile,
+                                md5sum)
 
 
 def ensure_meta_assets(data_dir: str, verbose: bool = True) -> list:
@@ -38,30 +39,54 @@ def ensure_meta_assets(data_dir: str, verbose: bool = True) -> list:
     Missing *source* files are not an error — generation is skipped and the
     caller's normal file-not-found surfaces instead. Returns the list of
     files generated.
+
+    Every file is written to a temp path and ``os.replace``d into place so
+    concurrent processes (multi-host launches share the data dir) never
+    observe a truncated file; the worst case is two ranks generating the
+    same content. Both generators are gated on available_mp4.txt's md5
+    (CSVs inside make_metafile, JSONs here) so a stale/partial available
+    list fails loudly instead of producing wrong references.
     '''
     generated = []
     avail = os.path.join(data_dir, 'available_mp4.txt')
     if not os.path.exists(avail):
         return generated
 
+    def _atomic(final_path, write_fn):
+        tmp = f'{final_path}.tmp.{os.getpid()}'
+        try:
+            write_fn(tmp)
+            os.replace(tmp, final_path)
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+
     for phase in ('train', 'val_1', 'val_2'):
         csv_path = os.path.join(data_dir, f'{phase}.csv')
         json_path = os.path.join(data_dir, f'{phase}.json')
         if not os.path.exists(csv_path) and os.path.exists(json_path):
-            make_metafile(avail, json_path, csv_path)
+            def write_csv(tmp, json_path=json_path):
+                make_metafile(avail, json_path, tmp)
+            _atomic(csv_path, write_csv)
             generated.append(csv_path)
 
     for phase in ('val_1', 'val_2'):
         nm_path = os.path.join(data_dir, f'{phase}_no_missings.json')
         json_path = os.path.join(data_dir, f'{phase}.json')
         if not os.path.exists(nm_path) and os.path.exists(json_path):
+            if md5sum(avail) != AVAILABLE_MP4_FILE_HASH:
+                raise Exception(
+                    'available_mp4.txt hash does not match the expected')
             with open(avail) as f:
                 available = {line.strip() for line in f}
             with open(json_path) as f:
                 data = json.load(f)
-            with open(nm_path, 'w') as f:
-                json.dump({k: v for k, v in data.items() if k in available},
-                          f)
+
+            def write_json(tmp, data=data, available=available):
+                with open(tmp, 'w') as f:
+                    json.dump({k: v for k, v in data.items()
+                               if k in available}, f)
+            _atomic(nm_path, write_json)
             generated.append(nm_path)
 
     if verbose and generated:

@@ -44,8 +44,6 @@ from dataclasses import dataclass, field
 from functools import lru_cache
 from typing import Dict, List, Optional, Sequence, Tuple
 
-from nltk.stem.snowball import SnowballStemmer
-
 # METEOR 1.5 English parameters (meteor-1.5 resources: language 'en',
 # default task): alpha (F-mean), beta (penalty exponent), gamma (penalty
 # weight), delta (content-word weight).
@@ -58,7 +56,26 @@ STAGE_WEIGHTS = (1.0, 0.6, 0.8)
 N_STAGES = 3
 BEAM = 40  # Meteor Aligner beam width
 
-_STEMMER = SnowballStemmer('english')
+# nltk (the Snowball/Porter2 stemmer) is imported lazily so that merely
+# importing the trainer/eval stack does not require it; METEOR's stem stage
+# degrades to exact-only matching with a one-time warning if it is absent.
+_STEMMER = None
+_STEM_WARNED = False
+
+
+def _get_stemmer():
+    global _STEMMER, _STEM_WARNED
+    if _STEMMER is None and not _STEM_WARNED:
+        try:
+            from nltk.stem.snowball import SnowballStemmer
+            _STEMMER = SnowballStemmer('english')
+        except ImportError:
+            _STEM_WARNED = True
+            import warnings
+            warnings.warn('nltk unavailable: METEOR stem stage disabled '
+                          '(scores will read lower than with Snowball '
+                          'stemming)', stacklevel=2)
+    return _STEMMER
 
 # Approximation of meteor-1.5's English function-word list (en.words):
 # closed-class words — determiners, prepositions, conjunctions, pronouns,
@@ -84,7 +101,8 @@ not n't there here also just only even still too very quite rather
 
 @lru_cache(maxsize=65536)
 def _stem(word: str) -> str:
-    return _STEMMER.stem(word)
+    stemmer = _get_stemmer()
+    return stemmer.stem(word) if stemmer is not None else word
 
 
 def _load_synonyms() -> Optional[Dict[str, frozenset]]:

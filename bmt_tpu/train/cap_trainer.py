@@ -159,6 +159,8 @@ def train_cap(cfg: Config):
         start_epoch = meta.get('epoch', -1) + 1
         best_metric = meta.get('best_metric', 0.0)
         unchanged = meta.get('unchanged', 0)
+        if scheduler is not None and meta.get('scheduler'):
+            scheduler.load_state_dict(meta['scheduler'])
         print(f'Resumed from epoch {start_epoch}')
 
     for epoch in range(start_epoch, cfg.epoch_num):
@@ -184,15 +186,16 @@ def train_cap(cfg: Config):
             state = state._replace(opt_state=set_learning_rate(
                 state.opt_state, scheduler.step(val_avg)))
 
-        val_1_metrics = val_2_metrics = None
+        val_1_metrics = val_2_metrics = avg = None
         if epoch >= cfg.one_by_one_starts_at:
             val_1_metrics = validation_1by1(cfg, state.params, greedy_fn,
                                             val_1_ds, epoch, logger)
             val_2_metrics = validation_1by1(cfg, state.params, greedy_fn,
                                             val_2_ds, epoch, logger)
-            if cfg.to_log and val_1_metrics is not None:
+            if val_1_metrics is not None:
                 avg = average_metrics_in_two_dicts(
                     val_1_metrics, val_2_metrics)['Average across tIoUs']
+            if cfg.to_log and avg is not None:
                 for name, tag in (('METEOR', 'meteor'), ('Bleu_4', 'bleu4'),
                                   ('Bleu_3', 'bleu3'),
                                   ('Precision', 'precision'),
@@ -201,9 +204,7 @@ def train_cap(cfg: Config):
                                       epoch)
 
         is_best = False
-        if val_1_metrics is not None:
-            avg = average_metrics_in_two_dicts(
-                val_1_metrics, val_2_metrics)['Average across tIoUs']
+        if avg is not None:
             is_best = best_metric < avg['METEOR']
             if is_best:
                 best_metric = avg['METEOR']
@@ -222,6 +223,8 @@ def train_cap(cfg: Config):
                 'vocab_itos': train_ds.train_vocab.itos,
                 'best_metric': best_metric,
                 'unchanged': unchanged,
+                'scheduler': (scheduler.state_dict()
+                              if scheduler is not None else None),
             }
             # rolling checkpoint every epoch: a crash before the first
             # 1-by-1 validation still resumes from the latest epoch

@@ -87,8 +87,12 @@ def validate_next_word(val_step, params, dataset, epoch: int,
     total, n = 0.0, 0
     for batch in dataset.batches(epoch=0, shuffle=False):
         B = dataset.batch_size
+        n_valid = len(batch['video_ids'])
         batch = _pad_batch_to(batch, B)
         dev = _device_batch(batch, ('src', 'caption'))
+        # repeat-padded tail rows are masked out of the loss so they are
+        # not double-counted (same 'row_valid' contract as the train step)
+        dev['row_valid'] = np.arange(B) < n_valid
         if dp is not None:
             dev = dp.shard(dev)
         total += float(val_step(params, dev))

@@ -119,6 +119,17 @@ class ReduceLROnPlateau:
                 self.bad_epochs = 0
         return self.lr
 
+    def state_dict(self) -> dict:
+        '''Host state for checkpointing (resume must not reset a reduced
+        LR back to the initial one).'''
+        return {'lr': self.lr, 'best': self.best,
+                'bad_epochs': self.bad_epochs}
+
+    def load_state_dict(self, d: dict) -> None:
+        self.lr = d['lr']
+        self.best = d['best']
+        self.bad_epochs = d['bad_epochs']
+
 
 def freeze_mask(params, predicate: Callable[[tuple], bool]):
     '''Build a boolean mask pytree: predicate(path_tuple) -> frozen?'''

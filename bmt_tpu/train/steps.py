@@ -95,6 +95,10 @@ def make_cap_val_step(dims: CapModelDims, smoothing: float, pad_idx: int,
     def step(params, batch):
         caption = batch['caption']
         cap_x, cap_y = caption[:, :-1], caption[:, 1:]
+        # see make_cap_train_step: repeat-padded tail rows are excluded
+        if 'row_valid' in batch:
+            cap_y = jnp.where(batch['row_valid'].astype(bool)[:, None],
+                              cap_y, pad_idx)
         src = jax.tree.map(lambda x: x.astype(compute_dtype), batch['src'])
         masks = make_masks(batch['src'], cap_x, dims.modality, pad_idx)
         n_tokens = jnp.maximum(jnp.sum(cap_y != pad_idx), 1)

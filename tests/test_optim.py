@@ -72,3 +72,18 @@ def test_reduce_lr_on_plateau_max_mode():
     assert s.step(1.0) == 1.0
     assert s.step(2.0) == 1.0
     assert s.step(1.5) == 0.1       # patience 0 -> immediate
+
+
+def test_reduce_lr_on_plateau_state_roundtrip():
+    '''A resumed scheduler continues from the reduced LR instead of
+    resetting to the initial one.'''
+    s = ReduceLROnPlateau(1.0, factor=0.5, patience=0, mode='min')
+    s.step(10.0)
+    s.step(11.0)                    # -> reduce to 0.5
+    assert s.lr == 0.5
+
+    fresh = ReduceLROnPlateau(1.0, factor=0.5, patience=0, mode='min')
+    fresh.load_state_dict(s.state_dict())
+    # an improving metric must keep the REDUCED lr, not the initial 1.0
+    assert fresh.step(9.0) == 0.5
+    assert fresh.best == 9.0
