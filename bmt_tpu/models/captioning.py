@@ -161,7 +161,7 @@ def bimodal_transformer_forward(params, dims: CapModelDims, src: dict,
                                 dims.dout_p, rngs, deterministic,
                                 attention_impl)
     logits = linear(params['generator'], C)
-    return jax.nn.log_softmax(logits, axis=-1)
+    return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 
 
 def bimodal_decode_init(params, dims: CapModelDims, Av, Va, max_len: int):
@@ -180,7 +180,7 @@ def bimodal_decode_step(params, dims: CapModelDims, state, token, step,
     c_t, state = bimodal_decoder_step(params['decoder'], state, c_t, A_mask,
                                       V_mask, step, dims.H, attention_impl)
     logits = linear(params['generator'], c_t[:, 0, :])
-    return jax.nn.log_softmax(logits, axis=-1), state
+    return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1), state
 
 
 # ---------------------------------------------------------------------------
@@ -223,7 +223,7 @@ def unimodal_decode_step(params, dims: CapModelDims, state, token, step,
     c_t, state = unimodal_decoder_step(params['decoder'], state, c_t,
                                        src_mask, step, dims.H, attention_impl)
     logits = linear(params['generator'], c_t[:, 0, :])
-    return jax.nn.log_softmax(logits, axis=-1), state
+    return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1), state
 
 
 def init_unimodal_transformer(key, dims: CapModelDims,
@@ -278,4 +278,4 @@ def unimodal_transformer_forward(params, dims: CapModelDims, src: dict,
                           dims.H, dims.dout_p, rngs, deterministic,
                           attention_impl)
     logits = linear(params['generator'], out)
-    return jax.nn.log_softmax(logits, axis=-1)
+    return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

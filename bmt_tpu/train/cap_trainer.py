@@ -31,8 +31,8 @@ from bmt_tpu.train.loops import (train_epoch_cap, validate_next_word,
                                  validation_1by1)
 from bmt_tpu.train.optim import (ReduceLROnPlateau, build_optimizer,
                                  freeze_mask, set_learning_rate)
-from bmt_tpu.train.steps import (init_train_state, make_cap_train_step,
-                                 make_cap_val_step)
+from bmt_tpu.train.steps import (cast_tree, init_train_state,
+                                 make_cap_train_step, make_cap_val_step)
 from bmt_tpu.utils.logging import MetricsLogger, NullLogger
 from bmt_tpu.utils.misc import average_metrics_in_two_dicts, timer
 
@@ -188,9 +188,16 @@ def train_cap(cfg: Config):
 
         val_1_metrics = val_2_metrics = avg = None
         if epoch >= cfg.one_by_one_starts_at:
-            val_1_metrics = validation_1by1(cfg, state.params, greedy_fn,
+            # decode in the configured compute dtype (params cast once,
+            # features per batch inside the wrapper)
+            decode_params = cast_tree(state.params, compute_dtype)
+
+            def decode_fn(p, src):
+                return greedy_fn(p, cast_tree(src, compute_dtype))
+
+            val_1_metrics = validation_1by1(cfg, decode_params, decode_fn,
                                             val_1_ds, epoch, logger)
-            val_2_metrics = validation_1by1(cfg, state.params, greedy_fn,
+            val_2_metrics = validation_1by1(cfg, decode_params, decode_fn,
                                             val_2_ds, epoch, logger)
             if val_1_metrics is not None:
                 avg = average_metrics_in_two_dicts(

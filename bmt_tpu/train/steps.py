@@ -34,6 +34,16 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
+def cast_tree(tree, dtype):
+    '''Cast fp32 leaves to ``dtype`` (classic mixed precision: fp32 master
+    params/optimizer state, low-precision compute). No-op for fp32.'''
+    if dtype == jnp.float32:
+        return tree
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, 'dtype') and x.dtype == jnp.float32 else x, tree)
+
+
 def init_train_state(params, optimizer, seed: int = 0) -> TrainState:
     return TrainState(params=params,
                       opt_state=optimizer.init(params),
@@ -70,8 +80,11 @@ def make_cap_train_step(dims: CapModelDims, optimizer, smoothing: float,
         n_tokens = jnp.maximum(jnp.sum(cap_y != pad_idx), 1)
 
         def loss_fn(p):
-            log_probs = fwd(p, dims, src, cap_x, masks, rng=rng,
-                            deterministic=False, attention_impl=attention_impl)
+            # true mixed precision: compute in compute_dtype, fp32 master
+            # params outside (the cast's VJP returns fp32 gradients)
+            log_probs = fwd(cast_tree(p, compute_dtype), dims, src, cap_x,
+                            masks, rng=rng, deterministic=False,
+                            attention_impl=attention_impl)
             return label_smoothing_kl(log_probs, cap_y, smoothing,
                                       pad_idx) / n_tokens
 
@@ -102,7 +115,8 @@ def make_cap_val_step(dims: CapModelDims, smoothing: float, pad_idx: int,
         src = jax.tree.map(lambda x: x.astype(compute_dtype), batch['src'])
         masks = make_masks(batch['src'], cap_x, dims.modality, pad_idx)
         n_tokens = jnp.maximum(jnp.sum(cap_y != pad_idx), 1)
-        log_probs = fwd(params, dims, src, cap_x, masks, deterministic=True,
+        log_probs = fwd(cast_tree(params, compute_dtype), dims, src, cap_x,
+                        masks, deterministic=True,
                         attention_impl=attention_impl)
         return label_smoothing_kl(log_probs, cap_y, smoothing,
                                   pad_idx) / n_tokens
@@ -129,8 +143,9 @@ def make_prop_train_step(dims: PropModelDims, optimizer, pad_idx: int,
         targets = (batch['centers'], batch['lengths'], batch['valid'])
 
         def loss_fn(p):
-            out = fwd(p, dims, src, targets, masks, rng=rng,
-                      deterministic=False, attention_impl=attention_impl)
+            out = fwd(cast_tree(p, compute_dtype), dims, src, targets, masks,
+                      rng=rng, deterministic=False,
+                      attention_impl=attention_impl)
             if dims.modality == 'audio_video':
                 _, loss, losses_A, losses_V = out
                 return loss, (losses_A, losses_V)
@@ -160,7 +175,7 @@ def make_prop_inference_step(dims: PropModelDims, pad_idx: int,
     def step(params, batch):
         src = jax.tree.map(lambda x: x.astype(compute_dtype), batch['src'])
         masks = make_masks(batch['src'], None, dims.modality, pad_idx)
-        out = fwd(params, dims, src, None, masks, deterministic=True,
-                  attention_impl=attention_impl)
+        out = fwd(cast_tree(params, compute_dtype), dims, src, None, masks,
+                  deterministic=True, attention_impl=attention_impl)
         return out[0].astype(jnp.float32)
     return step
