@@ -144,6 +144,7 @@ class Config:
         self.compute_dtype = getattr(args, 'compute_dtype', 'bfloat16')
         self.remat = getattr(args, 'remat', False)
         self.attention_impl = getattr(args, 'attention_impl', 'xla')
+        self.ckpt_format = getattr(args, 'ckpt_format', 'npz')
         self.decode_strategy = getattr(args, 'decode_strategy', 'greedy')
         self.profile_steps = getattr(args, 'profile_steps', 0)
         self.beam_size = getattr(args, 'beam_size', 4)
@@ -297,6 +298,11 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=['bfloat16', 'float32'])
     parser.add_argument('--attention_impl', type=str, default='xla',
                         choices=['xla', 'pallas'])
+    parser.add_argument('--ckpt_format', type=str, default='npz',
+                        choices=['npz', 'orbax'],
+                        help='native checkpoint backend: flat npz (default) '
+                             'or orbax (atomic commits, async IO, '
+                             'distributed pod save/restore)')
     parser.add_argument('--remat', action='store_true', default=False,
                         help='rematerialize encoder layers in the backward '
                              'pass (jax.checkpoint) to save HBM')

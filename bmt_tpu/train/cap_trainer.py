@@ -25,8 +25,9 @@ from bmt_tpu.models import (CapModelDims, init_bimodal_transformer,
                             init_unimodal_transformer)
 from bmt_tpu.parallel import DataParallel
 from bmt_tpu.parallel.mesh import maybe_init_distributed
-from bmt_tpu.train.checkpoint import (import_prop_model, load_checkpoint,
-                                      load_torch_checkpoint, save_checkpoint)
+from bmt_tpu.train.checkpoint import (checkpoint_exists, get_checkpoint_io,
+                                      import_prop_model,
+                                      load_torch_checkpoint)
 from bmt_tpu.train.loops import (train_epoch_cap, validate_next_word,
                                  validation_1by1)
 from bmt_tpu.train.optim import (ReduceLROnPlateau, build_optimizer,
@@ -150,11 +151,12 @@ def train_cap(cfg: Config):
     start_epoch = 0
 
     # resume if a checkpoint exists in the log dir
+    ckpt_fmt = getattr(cfg, 'ckpt_format', 'npz')
+    save_ckpt, load_ckpt = get_checkpoint_io(ckpt_fmt)
     ckpt_dir = cfg.model_checkpoint_path if cfg.to_log else None
-    if ckpt_dir and os.path.exists(
-            os.path.join(ckpt_dir, 'last_cap_model.params.npz')):
-        p, meta, opt = load_checkpoint(ckpt_dir, state.params,
-                                       state.opt_state, 'last_cap_model')
+    if ckpt_dir and checkpoint_exists(ckpt_dir, 'last_cap_model', ckpt_fmt):
+        p, meta, opt = load_ckpt(ckpt_dir, state.params,
+                                 state.opt_state, 'last_cap_model')
         state = state._replace(params=p, opt_state=opt or state.opt_state)
         start_epoch = meta.get('epoch', -1) + 1
         best_metric = meta.get('best_metric', 0.0)
@@ -235,11 +237,11 @@ def train_cap(cfg: Config):
             }
             # rolling checkpoint every epoch: a crash before the first
             # 1-by-1 validation still resumes from the latest epoch
-            save_checkpoint(ckpt_dir, state.params, meta,
-                            state.opt_state, 'last_cap_model')
+            save_ckpt(ckpt_dir, state.params, meta,
+                      state.opt_state, 'last_cap_model')
             if is_best:
-                save_checkpoint(ckpt_dir, state.params, meta,
-                                state.opt_state, 'best_cap_model')
+                save_ckpt(ckpt_dir, state.params, meta,
+                          state.opt_state, 'best_cap_model')
 
     print(f'{cfg.curr_time}')
     print(f'best_metric: {best_metric}')

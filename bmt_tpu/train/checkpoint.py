@@ -89,6 +89,56 @@ def load_checkpoint(ckpt_dir: str, params_like, opt_state_like=None,
 
 
 # ---------------------------------------------------------------------------
+# orbax backend (same call contract as the npz pair above)
+# ---------------------------------------------------------------------------
+#
+# Orbax is the idiomatic JAX checkpointer: atomic directory commits, async
+# IO, and — on a pod — per-host distributed save/restore of sharded arrays,
+# none of which the flat npz writer provides. meta stays a sidecar JSON so
+# resume logic is format-agnostic. Select with --ckpt_format orbax.
+
+def save_checkpoint_orbax(ckpt_dir: str, params, meta: dict, opt_state=None,
+                          name: str = 'best_cap_model'):
+    import orbax.checkpoint as ocp
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = os.path.abspath(os.path.join(ckpt_dir, f'{name}.orbax'))
+    item = {'params': params}
+    if opt_state is not None:
+        item['opt_state'] = opt_state
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, item, force=True)
+    with open(os.path.join(ckpt_dir, f'{name}.meta.json'), 'w') as f:
+        json.dump(meta, f, default=str)
+
+
+def load_checkpoint_orbax(ckpt_dir: str, params_like, opt_state_like=None,
+                          name: str = 'best_cap_model'):
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(os.path.join(ckpt_dir, f'{name}.orbax'))
+    target = {'params': params_like}
+    if opt_state_like is not None:
+        target['opt_state'] = opt_state_like
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(path, target)
+    with open(os.path.join(ckpt_dir, f'{name}.meta.json')) as f:
+        meta = json.load(f)
+    return restored['params'], meta, restored.get('opt_state')
+
+
+def checkpoint_exists(ckpt_dir: str, name: str, fmt: str = 'npz') -> bool:
+    if fmt == 'orbax':
+        return os.path.exists(os.path.join(ckpt_dir, f'{name}.orbax'))
+    return os.path.exists(os.path.join(ckpt_dir, f'{name}.params.npz'))
+
+
+def get_checkpoint_io(fmt: str = 'npz'):
+    '''(save_fn, load_fn) for the configured checkpoint format.'''
+    if fmt == 'orbax':
+        return save_checkpoint_orbax, load_checkpoint_orbax
+    return save_checkpoint, load_checkpoint
+
+
+# ---------------------------------------------------------------------------
 # reference torch .pt import
 # ---------------------------------------------------------------------------
 

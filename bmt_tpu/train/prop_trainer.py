@@ -18,7 +18,8 @@ from bmt_tpu.models import (PropModelDims,
 from bmt_tpu.parallel import DataParallel
 from bmt_tpu.parallel.mesh import maybe_init_distributed
 from bmt_tpu.train.checkpoint import (import_cap_model,
-                                      load_torch_checkpoint, save_checkpoint)
+                                      get_checkpoint_io,
+                                      load_torch_checkpoint)
 from bmt_tpu.train.loops import train_epoch_prop, validate_prop
 from bmt_tpu.train.optim import (ReduceLROnPlateau, build_optimizer,
                                  freeze_mask, set_learning_rate)
@@ -149,8 +150,10 @@ def train_prop(cfg: Config):
                     'val_anet_metrics': metrics,
                     'best_metric': float(best_metric),
                 }
-                save_checkpoint(cfg.log_path, state.params, meta,
-                                state.opt_state, 'best_prop_model')
+                save_ckpt, _ = get_checkpoint_io(
+                    getattr(cfg, 'ckpt_format', 'npz'))
+                save_ckpt(cfg.log_path, state.params, meta,
+                          state.opt_state, 'best_prop_model')
                 print(f'Saved model @ {epoch} epoch. '
                       f'Best metric: {best_metric:.5f}')
         else:

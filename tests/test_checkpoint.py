@@ -45,6 +45,31 @@ def test_native_checkpoint_roundtrip(tmp_path):
     assert meta2['epoch'] == 7
 
 
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    '''The orbax backend (--ckpt_format orbax) restores params, optax
+    NamedTuple opt_state, and the JSON meta identically to npz.'''
+    from bmt_tpu.train.checkpoint import (checkpoint_exists,
+                                          get_checkpoint_io)
+    params = init_bimodal_transformer(jax.random.PRNGKey(0), SMALL)
+    meta = {'epoch': 3, 'best_metric': 0.2, 'config': {'d_model': 16}}
+    import optax
+    tx = optax.adam(1e-4)
+    opt_state = tx.init(params)
+
+    save_fn, load_fn = get_checkpoint_io('orbax')
+    assert not checkpoint_exists(str(tmp_path), 'last_cap_model', 'orbax')
+    save_fn(str(tmp_path), params, meta, opt_state, 'last_cap_model')
+    assert checkpoint_exists(str(tmp_path), 'last_cap_model', 'orbax')
+    # force=True: overwriting the rolling checkpoint must work
+    save_fn(str(tmp_path), params, meta, opt_state, 'last_cap_model')
+
+    params2, meta2, opt2 = load_fn(str(tmp_path), params, opt_state,
+                                   'last_cap_model')
+    _trees_equal(params, params2)
+    _trees_equal(opt_state, opt2)
+    assert meta2['epoch'] == 3
+
+
 def test_torch_cap_checkpoint_import_roundtrip(tmp_path):
     '''params -> reference-keyed state_dict -> torch.save -> load -> import
     reproduces the original pytree, exercising the DataParallel 'module.'

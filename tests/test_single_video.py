@@ -62,11 +62,13 @@ def test_single_video_prediction_cli(mini_data, tmp_path):  # noqa: F811
 
 
 @pytest.mark.slow
-def test_train_cap_resume(mini_data, tmp_path):  # noqa: F811
+@pytest.mark.parametrize('ckpt_format', ['npz', 'orbax'])
+def test_train_cap_resume(mini_data, tmp_path, ckpt_format):  # noqa: F811
     '''Interrupted training resumes from the rolling checkpoint.'''
     from bmt_tpu.train.cap_trainer import train_cap
 
     cfg = _mini_cfg(mini_data, tmp_path, 'train_cap')
+    cfg.ckpt_format = ckpt_format
     train_cap(cfg)  # epoch 0 completes, last_cap_model written
 
     meta_path = os.path.join(cfg.model_checkpoint_path,
@@ -76,6 +78,7 @@ def test_train_cap_resume(mini_data, tmp_path):  # noqa: F811
 
     # second run with more epochs reuses the same log dir -> resumes at 1
     cfg2 = _mini_cfg(mini_data, tmp_path, 'train_cap')
+    cfg2.ckpt_format = ckpt_format
     cfg2.log_path = cfg.log_path
     cfg2.model_checkpoint_path = cfg.model_checkpoint_path
     cfg2.epoch_num = 2
