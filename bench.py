@@ -177,7 +177,8 @@ def main():
         step_fn = jax.jit(make_cap_train_step(dims, optimizer, 0.7, 1,
                                               attention_impl=impl,
                                               compute_dtype=bf16))
-        state = init_train_state(params, optimizer)
+        # rbg = the trainers' default dropout PRNG (hardware RNG on TPU)
+        state = init_train_state(params, optimizer, prng_impl='rbg')
         try:
             if impl == 'xla':
                 try:

@@ -130,7 +130,8 @@ def train_cap(cfg: Config):
             dims, cfg.max_len, train_ds.start_idx, train_ds.end_idx,
             train_ds.pad_idx, cfg.attention_impl)
 
-    state = init_train_state(params, optimizer, seed)
+    state = init_train_state(params, optimizer, seed,
+                             getattr(cfg, 'prng_impl', 'rbg'))
     state = state._replace(params=dp.replicate_tree(state.params),
                            opt_state=dp.replicate_tree(state.opt_state))
 

@@ -104,7 +104,8 @@ def train_prop(cfg: Config):
     inference_step = jax.jit(make_prop_inference_step(
         dims, pad_idx, cfg.attention_impl, compute_dtype))
 
-    state = init_train_state(params, optimizer, seed)
+    state = init_train_state(params, optimizer, seed,
+                             getattr(cfg, 'prng_impl', 'rbg'))
     state = state._replace(params=dp.replicate_tree(state.params),
                            opt_state=dp.replicate_tree(state.opt_state))
 
