@@ -192,11 +192,15 @@ def train_cap(cfg: Config):
         val_1_metrics = val_2_metrics = avg = None
         if epoch >= cfg.one_by_one_starts_at:
             # decode in the configured compute dtype (params cast once,
-            # features per batch inside the wrapper)
+            # features per batch inside the wrapper); features sharded
+            # over the dp mesh so validation decode uses every chip
             decode_params = cast_tree(state.params, compute_dtype)
 
             def decode_fn(p, src):
-                return greedy_fn(p, cast_tree(src, compute_dtype))
+                src = cast_tree(src, compute_dtype)
+                if dp.n_dp > 1:
+                    src = dp.shard(src)
+                return greedy_fn(p, src)
 
             val_1_metrics = validation_1by1(cfg, decode_params, decode_fn,
                                             val_1_ds, epoch, logger)

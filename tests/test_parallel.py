@@ -58,6 +58,25 @@ def test_dp8_matches_dp1(rng):
         np.testing.assert_allclose(b, a, atol=1e-4)
 
 
+def test_dp8_greedy_decode_matches_dp1(rng):
+    '''Sharding the feature stacks over a dp=8 mesh partitions the whole
+    KV-cached greedy decode (encoder + while_loop steps) and produces the
+    identical tokens as single-device decode — the pod-scale batched
+    decode path used by validation_1by1.'''
+    from bmt_tpu.decode import greedy_decode_bimodal
+
+    assert len(jax.devices()) >= 8
+    params = init_bimodal_transformer(jax.random.PRNGKey(0), DIMS)
+    src = _batch(rng)['src']
+
+    single = np.asarray(greedy_decode_bimodal(params, DIMS, src, 6, 2, 3, 1))
+
+    dp = DataParallel(dp=8)
+    sharded = np.asarray(greedy_decode_bimodal(
+        dp.replicate_tree(params), DIMS, dp.shard(src), 6, 2, 3, 1))
+    np.testing.assert_array_equal(sharded, single)
+
+
 def test_mesh_has_room_for_model_parallel_axis():
     mesh = make_mesh(dp=4, mp=2)
     assert mesh.shape == {'dp': 4, 'mp': 2}
