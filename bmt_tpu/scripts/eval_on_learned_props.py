@@ -140,7 +140,26 @@ def eval_on_learned_props(args_cfg: Config):
             dims, cfg.max_len, train_ds.start_idx, train_ds.end_idx,
             train_ds.pad_idx, getattr(cfg, 'attention_impl', 'xla'))
 
-    metrics = validation_1by1(cfg, params, greedy_fn, pred_prop_ds, epoch,
-                              logger=None, phase='learned_props')
+    # decode dtype follows the CHECKPOINT's training config (imported
+    # reference .pt checkpoints carry no compute_dtype -> fp32, the
+    # parity-safe choice); features sharded over the dp mesh so the
+    # headline eval decodes on every chip
+    import jax.numpy as jnp
+    from bmt_tpu.parallel import DataParallel
+    from bmt_tpu.train.steps import cast_tree
+    compute_dtype = (jnp.bfloat16
+                     if getattr(cfg, 'compute_dtype', 'float32') == 'bfloat16'
+                     else jnp.float32)
+    dp = DataParallel(getattr(args_cfg, 'dp_devices', None))
+    decode_params = cast_tree(dp.replicate_tree(params), compute_dtype)
+
+    def decode_fn(p, src):
+        src = cast_tree(src, compute_dtype)
+        if dp.n_dp > 1:
+            src = dp.shard(src)
+        return greedy_fn(p, src)
+
+    metrics = validation_1by1(cfg, decode_params, decode_fn, pred_prop_ds,
+                              epoch, logger=None, phase='learned_props')
     print(metrics)
     return metrics
