@@ -141,9 +141,10 @@ def main():
         return np.asarray(trg)
 
     _warmup(uncached_decode)
-    t0 = time.perf_counter()
-    uncached_decode()
-    uncached_sec = time.perf_counter() - t0
+    # best-of-3 like the cached path, so vs_baseline is not dominated by
+    # the tunnel's run-to-run variance on a single baseline sample
+    uncached_sec = min(_time_best(uncached_decode, iters=1, reps=1)
+                       for _ in range(3))
     baseline_caps_per_sec = B / uncached_sec
 
     # ---- teacher-forced train step: samples/sec + MFU ---------------------
