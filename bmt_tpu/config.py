@@ -146,6 +146,7 @@ class Config:
         self.attention_impl = getattr(args, 'attention_impl', 'xla')
         self.ckpt_format = getattr(args, 'ckpt_format', 'npz')
         self.prng_impl = getattr(args, 'prng_impl', 'rbg')
+        self.grad_accum_steps = getattr(args, 'grad_accum_steps', 1)
         self.decode_strategy = getattr(args, 'decode_strategy', 'greedy')
         self.profile_steps = getattr(args, 'profile_steps', 0)
         self.beam_size = getattr(args, 'beam_size', 4)
@@ -309,6 +310,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help='dropout PRNG: rbg (TPU hardware RNG, ~30%% '
                              'faster train step) or threefry2x32 '
                              '(bit-stable across shardings)')
+    parser.add_argument('--grad_accum_steps', type=int, default=1,
+                        help='microbatches per optimizer step (exact '
+                             'full-batch gradient at 1/k activation '
+                             'memory); B must be divisible by it')
     parser.add_argument('--remat', action='store_true', default=False,
                         help='rematerialize encoder layers in the backward '
                              'pass (jax.checkpoint) to save HBM')

@@ -111,7 +111,8 @@ def train_cap(cfg: Config):
                      else jnp.float32)
     train_step = dp.jit_step(make_cap_train_step(
         dims, optimizer, cfg.smoothing, train_ds.pad_idx,
-        cfg.attention_impl, compute_dtype), donate_state=True)
+        cfg.attention_impl, compute_dtype,
+        accum_steps=getattr(cfg, 'grad_accum_steps', 1)), donate_state=True)
     val_step = jax.jit(make_cap_val_step(
         dims, cfg.smoothing, train_ds.pad_idx, cfg.attention_impl,
         compute_dtype))

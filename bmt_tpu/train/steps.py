@@ -66,36 +66,77 @@ def _cap_forward(dims: CapModelDims):
 
 def make_cap_train_step(dims: CapModelDims, optimizer, smoothing: float,
                         pad_idx: int, attention_impl: str = 'xla',
-                        compute_dtype=jnp.float32):
+                        compute_dtype=jnp.float32, accum_steps: int = 1):
     '''Teacher-forced captioning train step
-    (reference: captioning_epoch_loops.py:122-149).'''
+    (reference: captioning_epoch_loops.py:122-149).
+
+    accum_steps > 1 splits the batch into that many microbatches and
+    lax.scans over them, accumulating the raw (summed-KL) gradients and
+    the token counts, normalizing once at the end — mathematically the
+    full-batch gradient (the loss is a row-sum, so grads are linear in
+    it), at 1/accum_steps the activation memory.
+    '''
     fwd = _cap_forward(dims)
 
-    def step(state: TrainState, batch):
-        rng = jax.random.fold_in(state.rng, state.step)
-        caption = batch['caption']
+    def _masked_targets(caption, row_valid):
         cap_x, cap_y = caption[:, :-1], caption[:, 1:]
         # Tail batches are repeat-padded to the full batch size on the host;
         # 'row_valid' marks the real rows. Forcing padded rows' targets to
         # pad_idx zeroes their loss rows and drops them from n_tokens, so
         # the gradient matches training on the unpadded tail exactly.
-        if 'row_valid' in batch:
-            cap_y = jnp.where(batch['row_valid'].astype(bool)[:, None],
-                              cap_y, pad_idx)
-        src = jax.tree.map(lambda x: x.astype(compute_dtype), batch['src'])
-        masks = make_masks(batch['src'], cap_x, dims.modality, pad_idx)
-        n_tokens = jnp.maximum(jnp.sum(cap_y != pad_idx), 1)
+        if row_valid is not None:
+            cap_y = jnp.where(row_valid.astype(bool)[:, None], cap_y,
+                              pad_idx)
+        return cap_x, cap_y
 
-        def loss_fn(p):
-            # true mixed precision: compute in compute_dtype, fp32 master
-            # params outside (the cast's VJP returns fp32 gradients)
-            log_probs = fwd(cast_tree(p, compute_dtype), dims, src, cap_x,
-                            masks, rng=rng, deterministic=False,
-                            attention_impl=attention_impl)
-            return label_smoothing_kl(log_probs, cap_y, smoothing,
-                                      pad_idx) / n_tokens
+    def _raw_loss(p, src_raw, caption, row_valid, rng):
+        '''(summed KL, n_tokens) for one (micro)batch.'''
+        cap_x, cap_y = _masked_targets(caption, row_valid)
+        src = jax.tree.map(lambda x: x.astype(compute_dtype), src_raw)
+        masks = make_masks(src_raw, cap_x, dims.modality, pad_idx)
+        log_probs = fwd(cast_tree(p, compute_dtype), dims, src, cap_x,
+                        masks, rng=rng, deterministic=False,
+                        attention_impl=attention_impl)
+        kl = label_smoothing_kl(log_probs, cap_y, smoothing, pad_idx)
+        return kl, jnp.sum(cap_y != pad_idx)
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    def step(state: TrainState, batch):
+        rng = jax.random.fold_in(state.rng, state.step)
+        row_valid = batch.get('row_valid')
+
+        if accum_steps == 1:
+            def loss_fn(p):
+                kl, n = _raw_loss(p, batch['src'], batch['caption'],
+                                  row_valid, rng)
+                return kl / jnp.maximum(n, 1)
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        else:
+            def split(x):
+                return x.reshape(accum_steps, x.shape[0] // accum_steps,
+                                 *x.shape[1:])
+            micro = {'src': jax.tree.map(split, batch['src']),
+                     'caption': split(batch['caption']),
+                     'row_valid': (split(row_valid)
+                                   if row_valid is not None else None)}
+
+            def body(carry, mb):
+                acc_g, acc_kl, acc_n, i = carry
+                (kl, n), g = jax.value_and_grad(
+                    _raw_loss, has_aux=True)(
+                        state.params, mb['src'], mb['caption'],
+                        mb['row_valid'], jax.random.fold_in(rng, i))
+                return (jax.tree.map(jnp.add, acc_g, g), acc_kl + kl,
+                        acc_n + n, i + 1), None
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (grads, kl, n, _), _ = jax.lax.scan(
+                body, (zeros, jnp.zeros((), jnp.float32),
+                       jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)),
+                micro)
+            n = jnp.maximum(n, 1)
+            grads = jax.tree.map(lambda g: g / n, grads)
+            loss = kl / n
+
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
