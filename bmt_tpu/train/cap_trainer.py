@@ -180,9 +180,9 @@ def train_cap(cfg: Config):
             profile_dir=(os.path.join(cfg.log_path, 'profile')
                          if cfg.log_path else None))
         val_1_loss = validate_next_word(val_step, state.params, val_1_ds,
-                                        epoch)
+                                        epoch, dp)
         val_2_loss = validate_next_word(val_step, state.params, val_2_ds,
-                                        epoch)
+                                        epoch, dp)
         val_avg = (val_1_loss + val_2_loss) / 2
         logger.add_scalar('debug/val_loss_avg', val_avg, epoch)
 

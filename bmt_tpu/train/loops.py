@@ -209,7 +209,7 @@ def train_epoch_prop(train_step, state, dataset, epoch: int, logger=None,
 
 
 def validate_prop(cfg, inference_step, params, dataset, epoch: int,
-                  logger=None):
+                  logger=None, dp=None):
     '''Proposal validation -> AnetPredictions -> detection P/R/F1
     (reference: proposal_epoch_loops.py:99-140). Returns avg F1.'''
     from bmt_tpu.utils.proposal_utils import AnetPredictions, calculate_f1
@@ -217,8 +217,10 @@ def validate_prop(cfg, inference_step, params, dataset, epoch: int,
     for batch in dataset.batches(epoch=0, shuffle=False):
         n_valid = len(batch['video_ids'])
         padded = _pad_batch_to(batch, dataset.batch_size)
-        preds = np.asarray(inference_step(
-            params, _device_batch(padded, ('src',))))[:n_valid]
+        dev = _device_batch(padded, ('src',))
+        if dp is not None:
+            dev = dp.shard(dev)
+        preds = np.asarray(inference_step(params, dev))[:n_valid]
         anet.add_new_predictions(preds, batch)
     anet.write_anet_predictions_to_json()
     metrics = anet.evaluate_predictions()

@@ -134,7 +134,7 @@ def train_prop(cfg: Config):
         state, _ = train_epoch_prop(train_step, state, train_ds, epoch,
                                     logger, dp, seed)
         avg_f1, metrics = validate_prop(cfg, inference_step, state.params,
-                                        valid_ds, epoch, logger)
+                                        valid_ds, epoch, logger, dp)
 
         if scheduler is not None:
             state = state._replace(opt_state=set_learning_rate(
