@@ -143,8 +143,7 @@ def main():
     _warmup(uncached_decode)
     # best-of-3 like the cached path, so vs_baseline is not dominated by
     # the tunnel's run-to-run variance on a single baseline sample
-    uncached_sec = min(_time_best(uncached_decode, iters=1, reps=1)
-                       for _ in range(3))
+    uncached_sec = _time_best(uncached_decode, iters=1, reps=3)
     baseline_caps_per_sec = B / uncached_sec
 
     # ---- teacher-forced train step: samples/sec + MFU ---------------------

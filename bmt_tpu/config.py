@@ -311,9 +311,10 @@ def build_parser() -> argparse.ArgumentParser:
                              'faster train step) or threefry2x32 '
                              '(bit-stable across shardings)')
     parser.add_argument('--grad_accum_steps', type=int, default=1,
-                        help='microbatches per optimizer step (exact '
-                             'full-batch gradient at 1/k activation '
-                             'memory); B must be divisible by it')
+                        help='train_cap only: microbatches per optimizer '
+                             'step (exact full-batch gradient at 1/k '
+                             'activation memory); B must be divisible '
+                             'by it')
     parser.add_argument('--remat', action='store_true', default=False,
                         help='rematerialize encoder layers in the backward '
                              'pass (jax.checkpoint) to save HBM')

@@ -17,7 +17,7 @@ from bmt_tpu.config import Config
 from bmt_tpu.data.captioning import CaptioningDataset
 from bmt_tpu.decode import make_bimodal_beam_fn, make_bimodal_greedy_fn
 from bmt_tpu.models import CapModelDims
-from bmt_tpu.train.checkpoint import (import_cap_model, load_pytree_npz,
+from bmt_tpu.train.checkpoint import (import_cap_model, load_model_params,
                                       load_torch_checkpoint)
 from bmt_tpu.train.loops import validation_1by1
 
@@ -68,13 +68,12 @@ def load_cap_checkpoint_any(path: str, params_like=None):
                 if k not in ('model_state_dict', 'optimizer_state_dict')}
         meta['config'] = cfg_dict
         return params, cfg_dict, meta
-    # native: path is a dir containing best_cap_model.*
+    # native: path is a dir containing best_cap_model.* (npz or orbax)
     with open(os.path.join(path, 'best_cap_model.meta.json')) as f:
         meta = json.load(f)
     cfg_dict = meta['config']
     assert params_like is not None, 'native load needs a params template'
-    params = load_pytree_npz(
-        os.path.join(path, 'best_cap_model.params.npz'), params_like)
+    params = load_model_params(path, 'best_cap_model', params_like)
     return params, cfg_dict, meta
 
 
@@ -127,8 +126,7 @@ def eval_on_learned_props(args_cfg: Config):
     if params is None:
         from bmt_tpu.models import init_bimodal_transformer
         template = init_bimodal_transformer(jax.random.PRNGKey(0), dims)
-        params = load_pytree_npz(
-            os.path.join(path, 'best_cap_model.params.npz'), template)
+        params = load_model_params(path, 'best_cap_model', template)
 
     if getattr(args_cfg, 'decode_strategy', 'greedy') == 'beam':
         greedy_fn = make_bimodal_beam_fn(
@@ -146,18 +144,14 @@ def eval_on_learned_props(args_cfg: Config):
     # headline eval decodes on every chip
     import jax.numpy as jnp
     from bmt_tpu.parallel import DataParallel
+    from bmt_tpu.train.loops import make_decode_fn
     from bmt_tpu.train.steps import cast_tree
     compute_dtype = (jnp.bfloat16
                      if getattr(cfg, 'compute_dtype', 'float32') == 'bfloat16'
                      else jnp.float32)
     dp = DataParallel(getattr(args_cfg, 'dp_devices', None))
     decode_params = cast_tree(dp.replicate_tree(params), compute_dtype)
-
-    def decode_fn(p, src):
-        src = cast_tree(src, compute_dtype)
-        if dp.n_dp > 1:
-            src = dp.shard(src)
-        return greedy_fn(p, src)
+    decode_fn = make_decode_fn(greedy_fn, dp, compute_dtype)
 
     metrics = validation_1by1(cfg, decode_params, decode_fn, pred_prop_ds,
                               epoch, logger=None, phase='learned_props')

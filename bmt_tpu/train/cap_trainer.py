@@ -25,11 +25,11 @@ from bmt_tpu.models import (CapModelDims, init_bimodal_transformer,
                             init_unimodal_transformer)
 from bmt_tpu.parallel import DataParallel
 from bmt_tpu.parallel.mesh import maybe_init_distributed
-from bmt_tpu.train.checkpoint import (checkpoint_exists, get_checkpoint_io,
-                                      import_prop_model,
+from bmt_tpu.train.checkpoint import (detect_checkpoint_format,
+                                      get_checkpoint_io, import_prop_model,
                                       load_torch_checkpoint)
-from bmt_tpu.train.loops import (train_epoch_cap, validate_next_word,
-                                 validation_1by1)
+from bmt_tpu.train.loops import (make_decode_fn, train_epoch_cap,
+                                 validate_next_word, validation_1by1)
 from bmt_tpu.train.optim import (ReduceLROnPlateau, build_optimizer,
                                  freeze_mask, set_learning_rate)
 from bmt_tpu.train.steps import (cast_tree, init_train_state,
@@ -152,11 +152,18 @@ def train_cap(cfg: Config):
     unchanged = 0
     start_epoch = 0
 
-    # resume if a checkpoint exists in the log dir
+    # resume if a checkpoint exists in the log dir (either format — a
+    # changed --ckpt_format must not silently restart from epoch 0)
     ckpt_fmt = getattr(cfg, 'ckpt_format', 'npz')
-    save_ckpt, load_ckpt = get_checkpoint_io(ckpt_fmt)
+    save_ckpt, _ = get_checkpoint_io(ckpt_fmt)
     ckpt_dir = cfg.model_checkpoint_path if cfg.to_log else None
-    if ckpt_dir and checkpoint_exists(ckpt_dir, 'last_cap_model', ckpt_fmt):
+    on_disk_fmt = (detect_checkpoint_format(ckpt_dir, 'last_cap_model',
+                                            ckpt_fmt) if ckpt_dir else None)
+    if on_disk_fmt is not None:
+        if on_disk_fmt != ckpt_fmt:
+            print(f'Resuming from a {on_disk_fmt} checkpoint '
+                  f'(--ckpt_format is {ckpt_fmt}; new saves use {ckpt_fmt})')
+        _, load_ckpt = get_checkpoint_io(on_disk_fmt)
         p, meta, opt = load_ckpt(ckpt_dir, state.params,
                                  state.opt_state, 'last_cap_model')
         state = state._replace(params=p, opt_state=opt or state.opt_state)
@@ -196,13 +203,7 @@ def train_cap(cfg: Config):
             # features per batch inside the wrapper); features sharded
             # over the dp mesh so validation decode uses every chip
             decode_params = cast_tree(state.params, compute_dtype)
-
-            def decode_fn(p, src):
-                src = cast_tree(src, compute_dtype)
-                if dp.n_dp > 1:
-                    src = dp.shard(src)
-                return greedy_fn(p, src)
-
+            decode_fn = make_decode_fn(greedy_fn, dp, compute_dtype)
             val_1_metrics = validation_1by1(cfg, decode_params, decode_fn,
                                             val_1_ds, epoch, logger)
             val_2_metrics = validation_1by1(cfg, decode_params, decode_fn,

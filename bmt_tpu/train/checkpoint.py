@@ -66,7 +66,14 @@ def load_pytree_npz(path: str, like):
 
 def save_checkpoint(ckpt_dir: str, params, meta: dict, opt_state=None,
                     name: str = 'best_cap_model'):
-    '''meta: JSON-serializable dict (config, epoch, metrics, vocab itos...).'''
+    '''meta: JSON-serializable dict (config, epoch, metrics, vocab itos...).
+
+    Multi-host: params/opt_state are replicated (hence addressable on every
+    host), so only process 0 writes — the others would race on the shared
+    checkpoint dir.'''
+    import jax
+    if jax.process_index() != 0:
+        return
     os.makedirs(ckpt_dir, exist_ok=True)
     save_pytree_npz(os.path.join(ckpt_dir, f'{name}.params.npz'), params)
     if opt_state is not None:
@@ -99,30 +106,42 @@ def load_checkpoint(ckpt_dir: str, params_like, opt_state_like=None,
 
 def save_checkpoint_orbax(ckpt_dir: str, params, meta: dict, opt_state=None,
                           name: str = 'best_cap_model'):
+    '''Params and opt_state go to separate orbax directories (mirroring
+    the npz layout) so eval/serving consumers can restore the model
+    without an optimizer-state template.'''
+    import jax
     import orbax.checkpoint as ocp
     os.makedirs(ckpt_dir, exist_ok=True)
-    path = os.path.abspath(os.path.join(ckpt_dir, f'{name}.orbax'))
-    item = {'params': params}
-    if opt_state is not None:
-        item['opt_state'] = opt_state
+    # the array saves are collectives: EVERY process participates (orbax
+    # coordinates shard writes); the meta sidecar is host-side and must be
+    # written by exactly one process
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, item, force=True)
-    with open(os.path.join(ckpt_dir, f'{name}.meta.json'), 'w') as f:
-        json.dump(meta, f, default=str)
+        ckptr.save(os.path.abspath(os.path.join(ckpt_dir, f'{name}.orbax')),
+                   params, force=True)
+        if opt_state is not None:
+            ckptr.save(os.path.abspath(
+                os.path.join(ckpt_dir, f'{name}.opt.orbax')),
+                opt_state, force=True)
+    if jax.process_index() == 0:
+        with open(os.path.join(ckpt_dir, f'{name}.meta.json'), 'w') as f:
+            json.dump(meta, f, default=str)
 
 
 def load_checkpoint_orbax(ckpt_dir: str, params_like, opt_state_like=None,
                           name: str = 'best_cap_model'):
     import orbax.checkpoint as ocp
-    path = os.path.abspath(os.path.join(ckpt_dir, f'{name}.orbax'))
-    target = {'params': params_like}
-    if opt_state_like is not None:
-        target['opt_state'] = opt_state_like
     with ocp.StandardCheckpointer() as ckptr:
-        restored = ckptr.restore(path, target)
+        params = ckptr.restore(
+            os.path.abspath(os.path.join(ckpt_dir, f'{name}.orbax')),
+            params_like)
+        opt_state = None
+        opt_path = os.path.join(ckpt_dir, f'{name}.opt.orbax')
+        if opt_state_like is not None and os.path.exists(opt_path):
+            opt_state = ckptr.restore(os.path.abspath(opt_path),
+                                      opt_state_like)
     with open(os.path.join(ckpt_dir, f'{name}.meta.json')) as f:
         meta = json.load(f)
-    return restored['params'], meta, restored.get('opt_state')
+    return params, meta, opt_state
 
 
 def checkpoint_exists(ckpt_dir: str, name: str, fmt: str = 'npz') -> bool:
@@ -131,11 +150,38 @@ def checkpoint_exists(ckpt_dir: str, name: str, fmt: str = 'npz') -> bool:
     return os.path.exists(os.path.join(ckpt_dir, f'{name}.params.npz'))
 
 
+def detect_checkpoint_format(ckpt_dir: str, name: str,
+                             preferred: str = 'npz'):
+    '''Format of the on-disk checkpoint, probing ``preferred`` first.
+    Returns 'npz' / 'orbax' / None — so switching --ckpt_format mid-run
+    resumes from whatever exists instead of silently restarting.'''
+    other = 'orbax' if preferred == 'npz' else 'npz'
+    for fmt in (preferred, other):
+        if checkpoint_exists(ckpt_dir, name, fmt):
+            return fmt
+    return None
+
+
 def get_checkpoint_io(fmt: str = 'npz'):
     '''(save_fn, load_fn) for the configured checkpoint format.'''
     if fmt == 'orbax':
         return save_checkpoint_orbax, load_checkpoint_orbax
     return save_checkpoint, load_checkpoint
+
+
+def load_model_params(ckpt_dir: str, name: str, params_like):
+    '''Format-agnostic model-params load for eval/serving consumers: reads
+    ``{name}.orbax`` or ``{name}.params.npz``, whichever exists.'''
+    fmt = detect_checkpoint_format(ckpt_dir, name)
+    if fmt is None:
+        raise FileNotFoundError(
+            f'no {name} checkpoint (npz or orbax) under {ckpt_dir}')
+    if fmt == 'orbax':
+        params, _, _ = load_checkpoint_orbax(ckpt_dir, params_like,
+                                             None, name)
+        return params
+    return load_pytree_npz(os.path.join(ckpt_dir, f'{name}.params.npz'),
+                           params_like)
 
 
 # ---------------------------------------------------------------------------

@@ -100,6 +100,24 @@ def validate_next_word(val_step, params, dataset, epoch: int,
     return total / max(n, 1)
 
 
+def make_decode_fn(greedy_fn, dp=None, compute_dtype=None):
+    '''Decode wrapper shared by the trainer and the eval driver: casts the
+    feature stacks to the compute dtype and shards them over the dp mesh
+    when the batch divides evenly (odd eval batches fall back to
+    single-device rather than erroring mid-run).'''
+    from bmt_tpu.train.steps import cast_tree
+
+    def decode_fn(params, src):
+        if compute_dtype is not None:
+            src = cast_tree(src, compute_dtype)
+        if dp is not None and dp.n_dp > 1:
+            B = next(iter(src.values())).shape[0]
+            if B % dp.n_dp == 0:
+                src = dp.shard(src)
+        return greedy_fn(params, src)
+    return decode_fn
+
+
 def ints_to_sentence(ints, vocab, end_token='</s>') -> str:
     '''Token ids -> cleaned sentence (reference:
     captioning_epoch_loops.py:217-240): drop <s>, cut at first </s>, join,

@@ -111,6 +111,12 @@ def make_cap_train_step(dims: CapModelDims, optimizer, smoothing: float,
                 return kl / jnp.maximum(n, 1)
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
         else:
+            B = batch['caption'].shape[0]
+            if B % accum_steps:
+                raise ValueError(
+                    f'batch size {B} not divisible by '
+                    f'grad_accum_steps={accum_steps}')
+
             def split(x):
                 return x.reshape(accum_steps, x.shape[0] // accum_steps,
                                  *x.shape[1:])

@@ -34,7 +34,8 @@ from bmt_tpu.models import (CapModelDims, PropModelDims,
                             multimodal_proposal_forward)
 from bmt_tpu.ops.masks import make_masks
 from bmt_tpu.train.checkpoint import (import_cap_model, import_prop_model,
-                                      load_pytree_npz, load_torch_checkpoint)
+                                      load_model_params,
+                                      load_torch_checkpoint)
 from bmt_tpu.train.loops import ints_to_sentence
 from bmt_tpu.utils.proposal_utils import (get_corner_coords,
                                           non_max_suppression,
@@ -80,9 +81,8 @@ def load_prop_model(prop_generator_model_path: str, max_prop_per_vid: int):
             (cfg_dict['anchors_num_audio'],), jnp.float32)
         template['anchors_V'] = jnp.zeros(
             (cfg_dict['anchors_num_video'],), jnp.float32)
-        params = load_pytree_npz(
-            os.path.join(prop_generator_model_path,
-                         'best_prop_model.params.npz'), template)
+        params = load_model_params(prop_generator_model_path,
+                                   'best_prop_model', template)
     cfg_dict['max_prop_per_vid'] = max_prop_per_vid
     cfg = Config.from_dict(cfg_dict)
     dims = PropModelDims.from_config(cfg)
@@ -111,9 +111,8 @@ def load_cap_model(pretrained_cap_model_path: str, train_meta_path: str):
         vocab = Vocab(meta['vocab_itos'])
         dims = CapModelDims.from_config(cfg, len(vocab))
         template = init_bimodal_transformer(jax.random.PRNGKey(0), dims)
-        params = load_pytree_npz(
-            os.path.join(pretrained_cap_model_path,
-                         'best_cap_model.params.npz'), template)
+        params = load_model_params(pretrained_cap_model_path,
+                                   'best_cap_model', template)
         return cfg, dims, params, vocab
     dims = CapModelDims.from_config(cfg, params['emb_C']['table'].shape[0])
     return cfg, dims, params, vocab

@@ -69,6 +69,16 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     _trees_equal(opt_state, opt2)
     assert meta2['epoch'] == 3
 
+    # eval/serving consumers read either format through one entry point,
+    # and a changed --ckpt_format still finds the on-disk checkpoint
+    from bmt_tpu.train.checkpoint import (detect_checkpoint_format,
+                                          load_model_params)
+    _trees_equal(params, load_model_params(str(tmp_path), 'last_cap_model',
+                                           params))
+    assert detect_checkpoint_format(str(tmp_path), 'last_cap_model',
+                                    preferred='npz') == 'orbax'
+    assert detect_checkpoint_format(str(tmp_path), 'missing') is None
+
 
 def test_torch_cap_checkpoint_import_roundtrip(tmp_path):
     '''params -> reference-keyed state_dict -> torch.save -> load -> import
