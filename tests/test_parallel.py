@@ -77,6 +77,26 @@ def test_dp8_greedy_decode_matches_dp1(rng):
     np.testing.assert_array_equal(sharded, single)
 
 
+def test_dp8_beam_search_matches_dp1(rng):
+    '''Beam search (batch tiled x K beams inside) also partitions cleanly
+    over the dp mesh: same best tokens and scores as single-device.'''
+    from bmt_tpu.decode import beam_search_bimodal
+
+    assert len(jax.devices()) >= 8
+    params = init_bimodal_transformer(jax.random.PRNGKey(0), DIMS)
+    src = _batch(rng)['src']
+
+    toks1, scores1 = beam_search_bimodal(params, DIMS, src, 6, 2, 3, 1,
+                                         beam_size=3)
+    dp = DataParallel(dp=8)
+    toks8, scores8 = beam_search_bimodal(dp.replicate_tree(params), DIMS,
+                                         dp.shard(src), 6, 2, 3, 1,
+                                         beam_size=3)
+    np.testing.assert_array_equal(np.asarray(toks8), np.asarray(toks1))
+    np.testing.assert_allclose(np.asarray(scores8), np.asarray(scores1),
+                               rtol=1e-5)
+
+
 def test_mesh_has_room_for_model_parallel_axis():
     mesh = make_mesh(dp=4, mp=2)
     assert mesh.shape == {'dp': 4, 'mp': 2}
