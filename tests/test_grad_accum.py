@@ -9,7 +9,6 @@ microbatch rng streams legitimately differ).
 '''
 import numpy as np
 import jax
-import jax.numpy as jnp
 import pytest
 
 from tests.test_drivers import mini_data, _mini_cfg  # noqa: F401
