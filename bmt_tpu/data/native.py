@@ -42,12 +42,23 @@ def _try_build() -> bool:
         return False
 
 
+def _so_stale() -> bool:
+    cc = os.path.join(_NATIVE_DIR, 'bmt_io.cc')
+    try:
+        return os.path.getmtime(_SO_PATH) < os.path.getmtime(cc)
+    except OSError:
+        return True
+
+
 def get_lib() -> Optional[ctypes.CDLL]:
     global _lib
     with _lib_lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_SO_PATH) and not _try_build():
+        # rebuild when the source is newer than the binary, not only when
+        # the binary is missing (stale .so would silently serve old code)
+        if (not os.path.exists(_SO_PATH) or _so_stale()) and \
+                not _try_build():
             return None
         try:
             lib = ctypes.CDLL(_SO_PATH)
