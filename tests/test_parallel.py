@@ -97,6 +97,28 @@ def test_dp8_beam_search_matches_dp1(rng):
                                rtol=1e-5)
 
 
+def test_make_decode_fn_shards_only_divisible_batches(rng):
+    '''The shared decode wrapper shards over dp when the batch divides the
+    mesh and silently falls back to single-device otherwise (odd eval
+    tails must not error mid-run).'''
+    from bmt_tpu.train.loops import make_decode_fn
+
+    dp = DataParallel(dp=8)
+    seen = []
+
+    def fake_greedy(params, src):
+        seen.append(len(src['rgb'].sharding.device_set))
+        return jnp.zeros((src['rgb'].shape[0], 3), jnp.int32)
+
+    fn = make_decode_fn(fake_greedy, dp, jnp.float32)
+    src8 = {k: jnp.asarray(v) for k, v in _batch(rng, B=8)['src'].items()}
+    src6 = {k: jnp.asarray(v) for k, v in _batch(rng, B=6)['src'].items()}
+    fn(None, src8)
+    fn(None, src6)
+    assert seen[0] == 8          # sharded over the whole mesh
+    assert seen[1] == 1          # fallback: single device
+
+
 def test_mesh_has_room_for_model_parallel_axis():
     mesh = make_mesh(dp=4, mp=2)
     assert mesh.shape == {'dp': 4, 'mp': 2}
