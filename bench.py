@@ -14,6 +14,7 @@ four timings are reported as extra fields of the ONE output JSON line:
 
 {"metric", "value", "unit", "vs_baseline",
  "decode_xla_caps_per_sec", "decode_pallas_caps_per_sec", "decode_impl",
+ "decode_int8kv_caps_per_sec",
  "train_samples_per_sec", "train_step_ms", "train_mfu",
  "train_xla_ms", "train_pallas_ms", "train_impl"}
 
@@ -115,6 +116,21 @@ def main():
         raise RuntimeError('every decode impl failed; see stderr above')
     decode_impl = max(decode_caps, key=decode_caps.get)
     captions_per_sec = decode_caps[decode_impl]
+
+    # optional int8 cross-KV cache (--kv_cache_int8): reported as a field,
+    # NOT the headline — it perturbs logits by quantization noise, and the
+    # headline number must reflect reference-parity decoding.
+    decode_q8 = None
+    try:
+        def q8_decode():
+            return greedy_decode_bimodal(params_bf16, dims, stacks, MAX_LEN,
+                                         2, END_IDX, 1, kv_int8=True)
+        _warmup(q8_decode)
+        _warmup(q8_decode)
+        decode_q8 = B / _time_best(q8_decode, iters=10, reps=4)
+    except Exception as e:
+        print(f'decode[int8kv] failed: {type(e).__name__}: {e}',
+              file=sys.stderr)
 
     # ---- reference decode algorithm on the same chip ----------------------
     # Full re-encode of the whole prefix each step, no KV cache
@@ -223,6 +239,8 @@ def main():
                                                           2)
         if impl in train_ms:
             result[f'train_{impl}_ms'] = round(train_ms[impl], 3)
+    if decode_q8 is not None:
+        result['decode_int8kv_caps_per_sec'] = round(decode_q8, 2)
     print(json.dumps(result))
 
 

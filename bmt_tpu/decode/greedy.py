@@ -28,23 +28,30 @@ from bmt_tpu.ops.masks import make_masks
 
 
 @partial(jax.jit, static_argnames=('dims', 'max_len', 'start_idx', 'end_idx',
-                                   'pad_idx', 'attention_impl'))
+                                   'pad_idx', 'attention_impl', 'kv_int8'))
 def greedy_decode_bimodal(params, dims: CapModelDims, feature_stacks: dict,
                           max_len: int, start_idx: int, end_idx: int,
-                          pad_idx: int, attention_impl: str = 'xla'):
+                          pad_idx: int, attention_impl: str = 'xla',
+                          kv_int8: bool = False):
     '''Batched KV-cached greedy decode.
 
     feature_stacks: {'rgb','flow','audio'} (B, S, D) padded segments.
     Returns tokens (B, max_len + 1) int32, row = [<s>, w1, ..., </s>, ...];
     positions after a batch-wide early stop hold ``end_idx`` (stripped by the
     string conversion anyway, matching reference semantics).
+
+    ``kv_int8`` stores the precomputed cross-attention K/V int8 (the decode
+    loop's dominant HBM traffic — ~25% faster batch decode at flagship
+    shapes, at the cost of ~1e-2 relative logit error; see
+    ``ops.attention.precompute_kv``).
     '''
     masks = make_masks(feature_stacks, None, 'audio_video', pad_idx)
     A_mask, V_mask = masks['A_mask'], masks['V_mask']
 
     Av, Va = bimodal_encode(params, dims, feature_stacks, masks,
                             deterministic=True, attention_impl=attention_impl)
-    state = bimodal_decode_init(params, dims, Av, Va, max_len)
+    state = bimodal_decode_init(params, dims, Av, Va, max_len,
+                                kv_int8=kv_int8)
 
     B = Av.shape[0]
     tokens = jnp.full((B, max_len + 1), end_idx, jnp.int32)
@@ -72,20 +79,22 @@ def greedy_decode_bimodal(params, dims: CapModelDims, feature_stacks: dict,
 
 def make_bimodal_greedy_fn(dims: CapModelDims, max_len: int, start_idx: int,
                            end_idx: int, pad_idx: int,
-                           attention_impl: str = 'xla'):
+                           attention_impl: str = 'xla',
+                           kv_int8: bool = False):
     '''Bind the static arguments once; returns fn(params, feature_stacks).'''
     def fn(params, feature_stacks):
         return greedy_decode_bimodal(params, dims, feature_stacks, max_len,
                                      start_idx, end_idx, pad_idx,
-                                     attention_impl)
+                                     attention_impl, kv_int8)
     return fn
 
 
 @partial(jax.jit, static_argnames=('dims', 'max_len', 'start_idx', 'end_idx',
-                                   'pad_idx', 'attention_impl'))
+                                   'pad_idx', 'attention_impl', 'kv_int8'))
 def greedy_decode_unimodal(params, dims: CapModelDims, feature_stacks: dict,
                            max_len: int, start_idx: int, end_idx: int,
-                           pad_idx: int, attention_impl: str = 'xla'):
+                           pad_idx: int, attention_impl: str = 'xla',
+                           kv_int8: bool = False):
     '''KV-cached greedy decode for the uni-modal Transformer ablation models
     (same structure as the bi-modal decoder; single encoder memory).'''
     from bmt_tpu.models.captioning import (unimodal_decode_init,
@@ -96,7 +105,8 @@ def greedy_decode_unimodal(params, dims: CapModelDims, feature_stacks: dict,
 
     memory = unimodal_encode(params, dims, feature_stacks, src_mask,
                              attention_impl)
-    state = unimodal_decode_init(params, dims, memory, max_len)
+    state = unimodal_decode_init(params, dims, memory, max_len,
+                                 kv_int8=kv_int8)
 
     B = memory.shape[0]
     tokens = jnp.full((B, max_len + 1), end_idx, jnp.int32)
@@ -125,12 +135,13 @@ def greedy_decode_unimodal(params, dims: CapModelDims, feature_stacks: dict,
 
 def make_unimodal_greedy_fn(dims: CapModelDims, max_len: int, start_idx: int,
                             end_idx: int, pad_idx: int,
-                            attention_impl: str = 'xla'):
+                            attention_impl: str = 'xla',
+                            kv_int8: bool = False):
     '''Bind statics; returns fn(params, feature_stacks).'''
     def fn(params, feature_stacks):
         return greedy_decode_unimodal(params, dims, feature_stacks, max_len,
                                       start_idx, end_idx, pad_idx,
-                                      attention_impl)
+                                      attention_impl, kv_int8)
     return fn
 
 

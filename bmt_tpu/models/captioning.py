@@ -164,10 +164,11 @@ def bimodal_transformer_forward(params, dims: CapModelDims, src: dict,
     return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 
 
-def bimodal_decode_init(params, dims: CapModelDims, Av, Va, max_len: int):
+def bimodal_decode_init(params, dims: CapModelDims, Av, Va, max_len: int,
+                        kv_int8: bool = False):
     '''Allocate the KV-cache decode state from encoder memories.'''
     return init_decode_state(params['decoder'], Av, Va, dims.H, max_len,
-                             dtype=Av.dtype)
+                             dtype=Av.dtype, kv_int8=kv_int8)
 
 
 def bimodal_decode_step(params, dims: CapModelDims, state, token, step,
@@ -207,10 +208,12 @@ def unimodal_encode(params, dims: CapModelDims, src: dict, src_mask,
                            attention_impl=attention_impl)
 
 
-def unimodal_decode_init(params, dims: CapModelDims, memory, max_len: int):
+def unimodal_decode_init(params, dims: CapModelDims, memory, max_len: int,
+                         kv_int8: bool = False):
     from bmt_tpu.models.decoders import init_unimodal_decode_state
     return init_unimodal_decode_state(params['decoder'], memory, dims.H,
-                                      max_len, dtype=memory.dtype)
+                                      max_len, dtype=memory.dtype,
+                                      kv_int8=kv_int8)
 
 
 def unimodal_decode_step(params, dims: CapModelDims, state, token, step,

@@ -145,7 +145,7 @@ def bimodal_decoder_forward(params, C, Av, Va, A_mask, V_mask, C_mask, H,
 # ---------------------------------------------------------------------------
 
 def init_unimodal_decode_state(params, memory, H: int, max_len: int,
-                               dtype=jnp.float32):
+                               dtype=jnp.float32, kv_int8: bool = False):
     '''KV-cache decode state for the uni-modal decoder: precomputed
     encoder-attention K/V plus empty self-attention caches per layer.'''
     B = memory.shape[0]
@@ -154,7 +154,8 @@ def init_unimodal_decode_state(params, memory, H: int, max_len: int,
         d_model = p['self_att']['k2d']['w'].shape[1]
         d_k = d_model // H
         state.append({
-            'kv_mem': precompute_kv(p['enc_att'], memory, H),
+            'kv_mem': precompute_kv(p['enc_att'], memory, H,
+                                    quantize=kv_int8),
             'cache_k': jnp.zeros((B, H, max_len, d_k), dtype),
             'cache_v': jnp.zeros((B, H, max_len, d_k), dtype),
         })
@@ -183,9 +184,14 @@ def unimodal_decoder_step(params, state, c_t, src_mask, step, H: int,
     return c_t, new_state
 
 
-def init_decode_state(params, Av, Va, H: int, max_len: int, dtype=jnp.float32):
+def init_decode_state(params, Av, Va, H: int, max_len: int, dtype=jnp.float32,
+                      kv_int8: bool = False):
     '''Precompute per-layer cross-attention K/V from the encoder memories and
     allocate empty self-attention caches.
+
+    ``kv_int8`` stores the (large, re-read every step) cross-attention K/V
+    int8 with per-channel scales — see ``bmt_tpu.ops.attention.precompute_kv``.
+    The (tiny) self-attention caches always stay in ``dtype``.
 
     Returns a pytree: list over layers of
       {'kvA', 'kvV': (k, v) precomputed, 'cache_k', 'cache_v': (B,H,T,d_k)}.
@@ -196,8 +202,8 @@ def init_decode_state(params, Av, Va, H: int, max_len: int, dtype=jnp.float32):
         d_model = p['self_att']['k2d']['w'].shape[1]
         d_k = d_model // H
         state.append({
-            'kvA': precompute_kv(p['enc_att_A'], Av, H),
-            'kvV': precompute_kv(p['enc_att_V'], Va, H),
+            'kvA': precompute_kv(p['enc_att_A'], Av, H, quantize=kv_int8),
+            'kvV': precompute_kv(p['enc_att_V'], Va, H, quantize=kv_int8),
             'cache_k': jnp.zeros((B, H, max_len, d_k), dtype),
             'cache_v': jnp.zeros((B, H, max_len, d_k), dtype),
         })

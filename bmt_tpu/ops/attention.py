@@ -105,30 +105,75 @@ def multi_head_attention(params: dict, q: jnp.ndarray, k: jnp.ndarray,
 # KV-cache variants for autoregressive decoding
 # ---------------------------------------------------------------------------
 
-def precompute_kv(params: dict, memory: jnp.ndarray, H: int):
+def precompute_kv(params: dict, memory: jnp.ndarray, H: int,
+                  quantize: bool = False):
     '''Project encoder memory into per-head K/V once per segment; reused at
     every decode step (replaces the reference's full re-encode per token,
-    reference: captioning_epoch_loops.py:58-63).'''
+    reference: captioning_epoch_loops.py:58-63).
+
+    With ``quantize=True`` the K/V are stored int8 with per-(batch, head,
+    channel) symmetric scales. The decode loop is bandwidth-bound on exactly
+    these reads (at B=64/Sa=256/Sv=96 they are ~180 MB per decode step,
+    ~6.7 ms of the ~12 ms batch decode at v5e HBM speed), so halving their
+    width buys ~25% decode throughput. Per-channel scales make the
+    dequantization *exact* to fold into the surrounding matmuls — see
+    ``cross_attention_step``.'''
     k = _split_heads(linear(params['k2d'], memory), H)
     v = _split_heads(linear(params['v2d'], memory), H)
-    return k, v
+    if not quantize:
+        return k, v
+    return {'k': _quantize_per_channel(k), 'v': _quantize_per_channel(v)}
+
+
+def _quantize_per_channel(x: jnp.ndarray):
+    '''Symmetric int8 quantization of (B, H, S, d_k) along S: one scale per
+    (batch, head, channel), so every stored value is exactly
+    ``q * scale``.'''
+    x32 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=2, keepdims=True)    # (B, H, 1, d_k)
+    scale = jnp.maximum(amax / 127.0, 1e-12)
+    q = jnp.round(x32 / scale).astype(jnp.int8)
+    return q, scale
+
+
+def _cross_attention_q8(qp, kv, mask):
+    '''Sq=1 cross-attention over int8 K/V with the per-channel scales folded
+    into the matmuls (no dequantized K/V ever materializes in HBM):
+
+      logits = (q * k_scale) @ K8^T        — K8 read as int8, cast on-chip
+      out    = (weights @ V8) * v_scale
+    '''
+    (k8, k_s), (v8, v_s) = kv['k'], kv['v']
+    d_k = qp.shape[-1]
+    qf = (qp.astype(jnp.float32) * k_s).astype(jnp.bfloat16)
+    logits = jnp.einsum('bhqd,bhkd->bhqk', qf, k8.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+    logits = logits / math.sqrt(d_k)
+    if mask is not None:
+        logits = jnp.where(mask, logits, _NEG_INF)
+    weights = jax.nn.softmax(logits, axis=-1).astype(jnp.bfloat16)
+    out = jnp.einsum('bhqk,bhkd->bhqd', weights, v8.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    return (out * v_s).astype(qp.dtype)
 
 
 def cross_attention_step(params: dict, q: jnp.ndarray, kv, mask, H: int,
                          attention_impl: str = 'xla') -> jnp.ndarray:
     '''Attention of the current token(s) over precomputed memory K/V.
 
-    q: (B, 1, Dq); kv: (k, v) each (B, H, Sk, d_k); mask: (B, 1, Sk) or None.
+    q: (B, 1, Dq); kv: (k, v) each (B, H, Sk, d_k), or the int8 dict from
+    ``precompute_kv(quantize=True)``; mask: (B, 1, Sk) or None.
     '''
-    k, v = kv
     qp = _split_heads(linear(params['q2d'], q), H)
     if mask is not None:
         mask = mask[:, None, :, :]
-    if attention_impl == 'pallas':
+    if isinstance(kv, dict):
+        out = _cross_attention_q8(qp, kv, mask)
+    elif attention_impl == 'pallas':
         from bmt_tpu.ops.pallas_attention import flash_attention
-        out = flash_attention(qp, k, v, mask)
+        out = flash_attention(qp, kv[0], kv[1], mask)
     else:
-        out = scaled_dot_attention(qp, k, v, mask)
+        out = scaled_dot_attention(qp, kv[0], kv[1], mask)
     return linear(params['d2q'], _merge_heads(out))
 
 

@@ -136,7 +136,8 @@ def eval_on_learned_props(args_cfg: Config):
     else:
         greedy_fn = make_bimodal_greedy_fn(
             dims, cfg.max_len, train_ds.start_idx, train_ds.end_idx,
-            train_ds.pad_idx, getattr(cfg, 'attention_impl', 'xla'))
+            train_ds.pad_idx, getattr(cfg, 'attention_impl', 'xla'),
+            getattr(args_cfg, 'kv_cache_int8', False))
 
     # decode dtype follows the CHECKPOINT's training config (imported
     # reference .pt checkpoints carry no compute_dtype -> fp32, the

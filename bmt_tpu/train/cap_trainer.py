@@ -125,11 +125,13 @@ def train_cap(cfg: Config):
     elif cfg.modality == 'audio_video':
         greedy_fn = make_bimodal_greedy_fn(
             dims, cfg.max_len, train_ds.start_idx, train_ds.end_idx,
-            train_ds.pad_idx, cfg.attention_impl)
+            train_ds.pad_idx, cfg.attention_impl,
+            getattr(cfg, 'kv_cache_int8', False))
     else:
         greedy_fn = make_unimodal_greedy_fn(
             dims, cfg.max_len, train_ds.start_idx, train_ds.end_idx,
-            train_ds.pad_idx, cfg.attention_impl)
+            train_ds.pad_idx, cfg.attention_impl,
+            getattr(cfg, 'kv_cache_int8', False))
 
     state = init_train_state(params, optimizer, seed,
                              getattr(cfg, 'prng_impl', 'rbg'))

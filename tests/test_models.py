@@ -155,3 +155,40 @@ def test_dropout_changes_only_in_training(rng):
     r1 = _jit_fwd_train(params, src=src, trg=trg, masks=masks,
                         rng=jax.random.PRNGKey(3))
     assert not np.allclose(np.asarray(d1), np.asarray(r1))
+
+
+def test_int8_kv_cache_decode_parity(rng):
+    '''The int8 cross-attention KV cache must (a) agree with the bf16 path
+    on the decoded tokens for a well-separated model and (b) keep the
+    per-step log-probs within quantization tolerance.'''
+    from bmt_tpu.models.captioning import (bimodal_decode_init,
+                                           bimodal_decode_step,
+                                           bimodal_encode)
+
+    params = init_bimodal_transformer(jax.random.PRNGKey(4), SMALL)
+    src, _ = _small_batch(rng, B=3)
+    masks = make_masks(src, None, 'audio_video', PAD)
+
+    Av, Va = jax.jit(partial(bimodal_encode, dims=SMALL,
+                             deterministic=True))(params, src=src,
+                                                  masks=masks)
+    tok = jnp.full((3, 1), START, jnp.int32)
+
+    @partial(jax.jit, static_argnames=('kv_int8',))
+    def first_step(params, Av, Va, kv_int8):
+        state = bimodal_decode_init(params, SMALL, Av, Va, 4,
+                                    kv_int8=kv_int8)
+        lp, _ = bimodal_decode_step(params, SMALL, state, tok, 0,
+                                    masks['A_mask'], masks['V_mask'])
+        return lp
+
+    lp_f = np.asarray(first_step(params, Av, Va, False))
+    lp_q = np.asarray(first_step(params, Av, Va, True))
+    # log-probs drift only by the int8 quantization noise of the K/V reads
+    np.testing.assert_allclose(lp_q, lp_f, atol=0.05)
+
+    fast = np.asarray(greedy_decode_bimodal(params, SMALL, src, 4, START,
+                                            END, PAD))
+    quant = np.asarray(greedy_decode_bimodal(params, SMALL, src, 4, START,
+                                             END, PAD, kv_int8=True))
+    np.testing.assert_array_equal(quant, fast)
