@@ -5,11 +5,15 @@ Standard length-penalized beam search (Wu et al. 2016 penalty
 ((5 + len) / 6)^alpha, alpha = 0 -> pure log-prob sum), implemented as a
 single jit-compiled ``lax.while_loop`` with early exit:
 
-- the encoder runs once; memories / masks / caches are tiled to (B * K),
+- the encoder runs once; the precomputed cross-attention K/V stay at B
+  rows and are SHARED across beams (``cross_attention_step`` folds the K
+  beams into the query positions) — only the small per-beam self-attention
+  caches are allocated at (B * K),
 - each step advances the KV-cached decoder one token for every live beam,
 - finished beams are frozen by masking their continuations to a single
   zero-cost </s> extension,
-- beam reordering gathers the self-attention caches along the batch axis.
+- beam reordering gathers only the self-attention caches along the batch
+  axis; the cross K/V never move.
 
 Greedy is the special case K = 1 (tested equal to the greedy decoder).
 Both the flagship bi-modal captioner and the uni-modal ablation models are
@@ -29,11 +33,6 @@ from bmt_tpu.models.captioning import (CapModelDims, bimodal_decode_init,
 from bmt_tpu.ops.masks import make_masks
 
 _NEG_INF = -1e9
-
-
-def _tile(x, K):
-    '''(B, ...) -> (B*K, ...) repeating each row K times.'''
-    return jnp.repeat(x, K, axis=0)
 
 
 def _beam_core(step_closure, state, B: int, K: int, V: int, max_len: int,
@@ -77,9 +76,15 @@ def _beam_core(step_closure, state, B: int, K: int, V: int, max_len: int,
             tokens, word[:, :, None], step + 1, axis=2)
         done = jnp.take_along_axis(done, parent, axis=1) | (word == end_idx)
 
+        # reorder ONLY the per-beam self-attention caches; the precomputed
+        # cross-attention K/V live at B rows (shared across beams, see
+        # ops.attention.cross_attention_step) and never move
         flat_parent = (jnp.arange(B)[:, None] * K + parent).reshape(-1)
-        new_state = jax.tree.map(
-            lambda x: jnp.take(x, flat_parent, axis=0), new_state)
+        new_state = [
+            {**s,
+             'cache_k': jnp.take(s['cache_k'], flat_parent, axis=0),
+             'cache_v': jnp.take(s['cache_v'], flat_parent, axis=0)}
+            for s in new_state]
 
         return step + 1, tokens, new_scores, done, new_state
 
@@ -104,28 +109,34 @@ def _beam_core(step_closure, state, B: int, K: int, V: int, max_len: int,
 
 @partial(jax.jit, static_argnames=('dims', 'max_len', 'start_idx', 'end_idx',
                                    'pad_idx', 'beam_size', 'length_penalty',
-                                   'attention_impl'))
+                                   'attention_impl', 'kv_int8'))
 def beam_search_bimodal(params, dims: CapModelDims, feature_stacks: dict,
                         max_len: int, start_idx: int, end_idx: int,
                         pad_idx: int, beam_size: int = 4,
                         length_penalty: float = 0.0,
-                        attention_impl: str = 'xla'):
+                        attention_impl: str = 'xla', kv_int8: bool = False):
     '''Returns (tokens (B, max_len + 1) int32, scores (B,)) — the best beam
-    per batch element, rows formatted like the greedy decoder's output.'''
+    per batch element, rows formatted like the greedy decoder's output.
+
+    The precomputed cross-attention K/V (the dominant per-step HBM reads)
+    are NOT tiled per beam: ``cross_attention_step`` folds the K beams into
+    the query positions, so memories are read once per step regardless of
+    beam width, and beam reordering only gathers the small self-attention
+    caches.
+    '''
     K = beam_size
     masks = make_masks(feature_stacks, None, 'audio_video', pad_idx)
     Av, Va = bimodal_encode(params, dims, feature_stacks, masks,
                             deterministic=True, attention_impl=attention_impl)
     B = Av.shape[0]
 
-    A_mask = _tile(masks['A_mask'], K)
-    V_mask = _tile(masks['V_mask'], K)
-    state = bimodal_decode_init(params, dims, _tile(Av, K), _tile(Va, K),
-                                max_len)
+    state = bimodal_decode_init(params, dims, Av, Va, max_len,
+                                kv_int8=kv_int8, cache_batch=B * K)
 
     def step_closure(state, cur, step):
-        return bimodal_decode_step(params, dims, state, cur, step, A_mask,
-                                   V_mask, attention_impl)
+        return bimodal_decode_step(params, dims, state, cur, step,
+                                   masks['A_mask'], masks['V_mask'],
+                                   attention_impl)
 
     return _beam_core(step_closure, state, B, K, dims.voc_size, max_len,
                       start_idx, end_idx, length_penalty)
@@ -133,12 +144,12 @@ def beam_search_bimodal(params, dims: CapModelDims, feature_stacks: dict,
 
 @partial(jax.jit, static_argnames=('dims', 'max_len', 'start_idx', 'end_idx',
                                    'pad_idx', 'beam_size', 'length_penalty',
-                                   'attention_impl'))
+                                   'attention_impl', 'kv_int8'))
 def beam_search_unimodal(params, dims: CapModelDims, feature_stacks: dict,
                          max_len: int, start_idx: int, end_idx: int,
                          pad_idx: int, beam_size: int = 4,
                          length_penalty: float = 0.0,
-                         attention_impl: str = 'xla'):
+                         attention_impl: str = 'xla', kv_int8: bool = False):
     '''Beam search for the uni-modal ablation captioners.'''
     K = beam_size
     masks = make_masks(feature_stacks, None, dims.modality, pad_idx)
@@ -147,12 +158,12 @@ def beam_search_unimodal(params, dims: CapModelDims, feature_stacks: dict,
                              attention_impl)
     B = memory.shape[0]
 
-    src_mask_t = _tile(src_mask, K)
-    state = unimodal_decode_init(params, dims, _tile(memory, K), max_len)
+    state = unimodal_decode_init(params, dims, memory, max_len,
+                                 kv_int8=kv_int8, cache_batch=B * K)
 
     def step_closure(state, cur, step):
         return unimodal_decode_step(params, dims, state, cur, step,
-                                    src_mask_t, attention_impl)
+                                    src_mask, attention_impl)
 
     return _beam_core(step_closure, state, B, K, dims.voc_size, max_len,
                       start_idx, end_idx, length_penalty)
@@ -161,7 +172,7 @@ def beam_search_unimodal(params, dims: CapModelDims, feature_stacks: dict,
 def make_bimodal_beam_fn(dims: CapModelDims, max_len: int, start_idx: int,
                          end_idx: int, pad_idx: int, beam_size: int = 4,
                          length_penalty: float = 0.0,
-                         attention_impl: str = 'xla'):
+                         attention_impl: str = 'xla', kv_int8: bool = False):
     '''Bind statics; returns fn(params, feature_stacks) -> tokens, matching
     the greedy decoder's interface for the validation loops.'''
     search = (beam_search_bimodal if dims.modality == 'audio_video'
@@ -170,6 +181,6 @@ def make_bimodal_beam_fn(dims: CapModelDims, max_len: int, start_idx: int,
     def fn(params, feature_stacks):
         toks, _ = search(params, dims, feature_stacks, max_len, start_idx,
                          end_idx, pad_idx, beam_size, length_penalty,
-                         attention_impl)
+                         attention_impl, kv_int8)
         return toks
     return fn

@@ -145,10 +145,11 @@ def bimodal_decoder_forward(params, C, Av, Va, A_mask, V_mask, C_mask, H,
 # ---------------------------------------------------------------------------
 
 def init_unimodal_decode_state(params, memory, H: int, max_len: int,
-                               dtype=jnp.float32, kv_int8: bool = False):
+                               dtype=jnp.float32, kv_int8: bool = False,
+                               cache_batch: int | None = None):
     '''KV-cache decode state for the uni-modal decoder: precomputed
     encoder-attention K/V plus empty self-attention caches per layer.'''
-    B = memory.shape[0]
+    B = cache_batch if cache_batch is not None else memory.shape[0]
     state = []
     for p in params['layers']:
         d_model = p['self_att']['k2d']['w'].shape[1]
@@ -185,7 +186,7 @@ def unimodal_decoder_step(params, state, c_t, src_mask, step, H: int,
 
 
 def init_decode_state(params, Av, Va, H: int, max_len: int, dtype=jnp.float32,
-                      kv_int8: bool = False):
+                      kv_int8: bool = False, cache_batch: int | None = None):
     '''Precompute per-layer cross-attention K/V from the encoder memories and
     allocate empty self-attention caches.
 
@@ -193,10 +194,15 @@ def init_decode_state(params, Av, Va, H: int, max_len: int, dtype=jnp.float32,
     int8 with per-channel scales — see ``bmt_tpu.ops.attention.precompute_kv``.
     The (tiny) self-attention caches always stay in ``dtype``.
 
+    ``cache_batch`` sizes the self-attention caches independently of the
+    memory batch (beam search: caches are per-beam B*K while the
+    cross-attention K/V stay per-segment B and are shared across beams —
+    see ``ops.attention.cross_attention_step``).
+
     Returns a pytree: list over layers of
       {'kvA', 'kvV': (k, v) precomputed, 'cache_k', 'cache_v': (B,H,T,d_k)}.
     '''
-    B = Av.shape[0]
+    B = cache_batch if cache_batch is not None else Av.shape[0]
     state = []
     for p in params['layers']:
         d_model = p['self_att']['k2d']['w'].shape[1]

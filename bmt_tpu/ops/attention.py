@@ -161,19 +161,37 @@ def cross_attention_step(params: dict, q: jnp.ndarray, kv, mask, H: int,
                          attention_impl: str = 'xla') -> jnp.ndarray:
     '''Attention of the current token(s) over precomputed memory K/V.
 
-    q: (B, 1, Dq); kv: (k, v) each (B, H, Sk, d_k), or the int8 dict from
-    ``precompute_kv(quantize=True)``; mask: (B, 1, Sk) or None.
+    q: (B, 1, Dq); kv: (k, v) each (Bm, H, Sk, d_k), or the int8 dict from
+    ``precompute_kv(quantize=True)``; mask: (Bm, 1, Sk) or None.
+
+    Beam sharing: when ``q`` has B = Bm * K rows (K beams tiled
+    ``jnp.repeat``-style over a Bm-row memory), the K beams are folded into
+    the query's Sq axis — cross-attention has no causal structure and the
+    key-padding mask is q-position-independent, so beams are just extra
+    query rows. The big K/V tensors are then read ONCE per step for all
+    beams instead of being tiled (and re-gathered on every beam reorder).
     '''
-    qp = _split_heads(linear(params['q2d'], q), H)
+    k0 = kv['k'][0] if isinstance(kv, dict) else kv[0]
+    Bm = k0.shape[0]
+    qp = _split_heads(linear(params['q2d'], q), H)        # (B, H, Sq, d_k)
+    B, _, Sq, d_k = qp.shape
+    folded = B != Bm
+    if folded:
+        assert Sq == 1 and B % Bm == 0, (qp.shape, k0.shape)
+        K = B // Bm
+        # (Bm*K, H, 1, d_k) -> (Bm, H, K, d_k): beams become query positions
+        qp = qp.reshape(Bm, K, H, d_k).transpose(0, 2, 1, 3)
     if mask is not None:
         mask = mask[:, None, :, :]
     if isinstance(kv, dict):
         out = _cross_attention_q8(qp, kv, mask)
-    elif attention_impl == 'pallas':
+    elif attention_impl == 'pallas' and not folded:
         from bmt_tpu.ops.pallas_attention import flash_attention
         out = flash_attention(qp, kv[0], kv[1], mask)
     else:
         out = scaled_dot_attention(qp, kv[0], kv[1], mask)
+    if folded:
+        out = out.transpose(0, 2, 1, 3).reshape(B, H, 1, d_k)
     return linear(params['d2q'], _merge_heads(out))
 
 

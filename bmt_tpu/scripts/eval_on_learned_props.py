@@ -132,7 +132,8 @@ def eval_on_learned_props(args_cfg: Config):
         greedy_fn = make_bimodal_beam_fn(
             dims, cfg.max_len, train_ds.start_idx, train_ds.end_idx,
             train_ds.pad_idx, args_cfg.beam_size, args_cfg.length_penalty,
-            getattr(cfg, 'attention_impl', 'xla'))
+            getattr(cfg, 'attention_impl', 'xla'),
+            getattr(args_cfg, 'kv_cache_int8', False))
     else:
         greedy_fn = make_bimodal_greedy_fn(
             dims, cfg.max_len, train_ds.start_idx, train_ds.end_idx,

@@ -121,7 +121,7 @@ def train_cap(cfg: Config):
         greedy_fn = make_bimodal_beam_fn(
             dims, cfg.max_len, train_ds.start_idx, train_ds.end_idx,
             train_ds.pad_idx, cfg.beam_size, cfg.length_penalty,
-            cfg.attention_impl)
+            cfg.attention_impl, getattr(cfg, 'kv_cache_int8', False))
     elif cfg.modality == 'audio_video':
         greedy_fn = make_bimodal_greedy_fn(
             dims, cfg.max_len, train_ds.start_idx, train_ds.end_idx,
