@@ -131,7 +131,9 @@ def beam_search_bimodal(params, dims: CapModelDims, feature_stacks: dict,
     B = Av.shape[0]
 
     state = bimodal_decode_init(params, dims, Av, Va, max_len,
-                                kv_int8=kv_int8, cache_batch=B * K)
+                                kv_int8=kv_int8, cache_batch=B * K,
+                                A_mask=masks['A_mask'],
+                                V_mask=masks['V_mask'])
 
     def step_closure(state, cur, step):
         return bimodal_decode_step(params, dims, state, cur, step,
@@ -159,7 +161,8 @@ def beam_search_unimodal(params, dims: CapModelDims, feature_stacks: dict,
     B = memory.shape[0]
 
     state = unimodal_decode_init(params, dims, memory, max_len,
-                                 kv_int8=kv_int8, cache_batch=B * K)
+                                 kv_int8=kv_int8, cache_batch=B * K,
+                                 src_mask=src_mask)
 
     def step_closure(state, cur, step):
         return unimodal_decode_step(params, dims, state, cur, step,

@@ -51,7 +51,8 @@ def greedy_decode_bimodal(params, dims: CapModelDims, feature_stacks: dict,
     Av, Va = bimodal_encode(params, dims, feature_stacks, masks,
                             deterministic=True, attention_impl=attention_impl)
     state = bimodal_decode_init(params, dims, Av, Va, max_len,
-                                kv_int8=kv_int8)
+                                kv_int8=kv_int8, A_mask=A_mask,
+                                V_mask=V_mask)
 
     B = Av.shape[0]
     tokens = jnp.full((B, max_len + 1), end_idx, jnp.int32)
@@ -106,7 +107,7 @@ def greedy_decode_unimodal(params, dims: CapModelDims, feature_stacks: dict,
     memory = unimodal_encode(params, dims, feature_stacks, src_mask,
                              attention_impl)
     state = unimodal_decode_init(params, dims, memory, max_len,
-                                 kv_int8=kv_int8)
+                                 kv_int8=kv_int8, src_mask=src_mask)
 
     B = memory.shape[0]
     tokens = jnp.full((B, max_len + 1), end_idx, jnp.int32)

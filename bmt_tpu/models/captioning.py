@@ -165,11 +165,13 @@ def bimodal_transformer_forward(params, dims: CapModelDims, src: dict,
 
 
 def bimodal_decode_init(params, dims: CapModelDims, Av, Va, max_len: int,
-                        kv_int8: bool = False, cache_batch: int | None = None):
+                        kv_int8: bool = False, cache_batch: int | None = None,
+                        A_mask=None, V_mask=None):
     '''Allocate the KV-cache decode state from encoder memories.'''
     return init_decode_state(params['decoder'], Av, Va, dims.H, max_len,
                              dtype=Av.dtype, kv_int8=kv_int8,
-                             cache_batch=cache_batch)
+                             cache_batch=cache_batch, A_mask=A_mask,
+                             V_mask=V_mask)
 
 
 def bimodal_decode_step(params, dims: CapModelDims, state, token, step,
@@ -211,12 +213,13 @@ def unimodal_encode(params, dims: CapModelDims, src: dict, src_mask,
 
 def unimodal_decode_init(params, dims: CapModelDims, memory, max_len: int,
                          kv_int8: bool = False,
-                         cache_batch: int | None = None):
+                         cache_batch: int | None = None, src_mask=None):
     from bmt_tpu.models.decoders import init_unimodal_decode_state
     return init_unimodal_decode_state(params['decoder'], memory, dims.H,
                                       max_len, dtype=memory.dtype,
                                       kv_int8=kv_int8,
-                                      cache_batch=cache_batch)
+                                      cache_batch=cache_batch,
+                                      src_mask=src_mask)
 
 
 def unimodal_decode_step(params, dims: CapModelDims, state, token, step,

@@ -146,7 +146,8 @@ def bimodal_decoder_forward(params, C, Av, Va, A_mask, V_mask, C_mask, H,
 
 def init_unimodal_decode_state(params, memory, H: int, max_len: int,
                                dtype=jnp.float32, kv_int8: bool = False,
-                               cache_batch: int | None = None):
+                               cache_batch: int | None = None,
+                               src_mask: jnp.ndarray | None = None):
     '''KV-cache decode state for the uni-modal decoder: precomputed
     encoder-attention K/V plus empty self-attention caches per layer.'''
     B = cache_batch if cache_batch is not None else memory.shape[0]
@@ -156,7 +157,7 @@ def init_unimodal_decode_state(params, memory, H: int, max_len: int,
         d_k = d_model // H
         state.append({
             'kv_mem': precompute_kv(p['enc_att'], memory, H,
-                                    quantize=kv_int8),
+                                    quantize=kv_int8, mask=src_mask),
             'cache_k': jnp.zeros((B, H, max_len, d_k), dtype),
             'cache_v': jnp.zeros((B, H, max_len, d_k), dtype),
         })
@@ -186,7 +187,9 @@ def unimodal_decoder_step(params, state, c_t, src_mask, step, H: int,
 
 
 def init_decode_state(params, Av, Va, H: int, max_len: int, dtype=jnp.float32,
-                      kv_int8: bool = False, cache_batch: int | None = None):
+                      kv_int8: bool = False, cache_batch: int | None = None,
+                      A_mask: jnp.ndarray | None = None,
+                      V_mask: jnp.ndarray | None = None):
     '''Precompute per-layer cross-attention K/V from the encoder memories and
     allocate empty self-attention caches.
 
@@ -199,6 +202,10 @@ def init_decode_state(params, Av, Va, H: int, max_len: int, dtype=jnp.float32,
     cross-attention K/V stay per-segment B and are shared across beams —
     see ``ops.attention.cross_attention_step``).
 
+    ``A_mask``/``V_mask`` ((B, 1, S) key padding) only affect the int8
+    path: masked positions are zeroed before quantization so padding can't
+    inflate the per-channel scales.
+
     Returns a pytree: list over layers of
       {'kvA', 'kvV': (k, v) precomputed, 'cache_k', 'cache_v': (B,H,T,d_k)}.
     '''
@@ -208,8 +215,10 @@ def init_decode_state(params, Av, Va, H: int, max_len: int, dtype=jnp.float32,
         d_model = p['self_att']['k2d']['w'].shape[1]
         d_k = d_model // H
         state.append({
-            'kvA': precompute_kv(p['enc_att_A'], Av, H, quantize=kv_int8),
-            'kvV': precompute_kv(p['enc_att_V'], Va, H, quantize=kv_int8),
+            'kvA': precompute_kv(p['enc_att_A'], Av, H, quantize=kv_int8,
+                                 mask=A_mask),
+            'kvV': precompute_kv(p['enc_att_V'], Va, H, quantize=kv_int8,
+                                 mask=V_mask),
             'cache_k': jnp.zeros((B, H, max_len, d_k), dtype),
             'cache_v': jnp.zeros((B, H, max_len, d_k), dtype),
         })

@@ -106,7 +106,7 @@ def multi_head_attention(params: dict, q: jnp.ndarray, k: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def precompute_kv(params: dict, memory: jnp.ndarray, H: int,
-                  quantize: bool = False):
+                  quantize: bool = False, mask: jnp.ndarray | None = None):
     '''Project encoder memory into per-head K/V once per segment; reused at
     every decode step (replaces the reference's full re-encode per token,
     reference: captioning_epoch_loops.py:58-63).
@@ -117,11 +117,20 @@ def precompute_kv(params: dict, memory: jnp.ndarray, H: int,
     ~6.7 ms of the ~12 ms batch decode at v5e HBM speed), so halving their
     width buys ~25% decode throughput. Per-channel scales make the
     dequantization *exact* to fold into the surrounding matmuls — see
-    ``cross_attention_step``.'''
+    ``cross_attention_step``.
+
+    ``mask`` ((B, 1, Sk) key-padding, True = attend) only matters when
+    quantizing: padded positions are zeroed first so they cannot inflate the
+    per-channel amax and waste int8 resolution on keys the softmax masks out
+    anyway.'''
     k = _split_heads(linear(params['k2d'], memory), H)
     v = _split_heads(linear(params['v2d'], memory), H)
     if not quantize:
         return k, v
+    if mask is not None:
+        keep = mask[:, None, :, :].transpose(0, 1, 3, 2)   # (B, 1, Sk, 1)
+        k = jnp.where(keep, k, 0)
+        v = jnp.where(keep, v, 0)
     return {'k': _quantize_per_channel(k), 'v': _quantize_per_channel(v)}
 
 
@@ -170,6 +179,11 @@ def cross_attention_step(params: dict, q: jnp.ndarray, kv, mask, H: int,
     key-padding mask is q-position-independent, so beams are just extra
     query rows. The big K/V tensors are then read ONCE per step for all
     beams instead of being tiled (and re-gathered on every beam reorder).
+
+    NB: ``attention_impl='pallas'`` applies only to the plain (unfolded,
+    bf16) case; the beam-folded and int8 paths always use the XLA
+    formulation — at Sq∈{1, K} the fused kernel loses to XLA anyway
+    (docs/DESIGN.md §6), so this is a deliberate, documented fallback.
     '''
     k0 = kv['k'][0] if isinstance(kv, dict) else kv[0]
     Bm = k0.shape[0]

@@ -96,3 +96,21 @@ def test_unimodal_beam1_equals_greedy(rng):
         g = greedy[b].tolist()
         cut = g.index(END) + 1 if END in g else len(g)
         assert g[:cut] == beam[b].tolist()[:cut]
+
+
+def test_beam_int8_kv_close_to_bf16(rng):
+    '''The folded int8 cross-attention path (beams as query positions over
+    quantized K/V) must track the float beam search: identical or
+    near-identical tokens and scores within quantization tolerance.'''
+    params = init_bimodal_transformer(jax.random.PRNGKey(5), DIMS)
+    stacks = _stacks(rng, B=4)
+    toks_f, scores_f = beam_search_bimodal(params, DIMS, stacks, 6, START,
+                                           END, PAD, beam_size=4)
+    toks_q, scores_q = beam_search_bimodal(params, DIMS, stacks, 6, START,
+                                           END, PAD, beam_size=4,
+                                           kv_int8=True)
+    agreement = (np.asarray(toks_q) == np.asarray(toks_f)).mean()
+    assert agreement >= 0.9, (agreement, np.asarray(toks_f),
+                              np.asarray(toks_q))
+    np.testing.assert_allclose(np.asarray(scores_q), np.asarray(scores_f),
+                               atol=0.1)
