@@ -32,6 +32,13 @@ import numpy as np
 PEAK_FLOPS = float(os.environ.get('BMT_PEAK_FLOPS', 197e12))
 
 
+def _env_int(name, default):
+    '''Shape/iteration overrides so tests can smoke the REAL bench script
+    on CPU with tiny shapes (tests/test_driver_deliverables.py). Defaults
+    are the measured flagship configuration.'''
+    return int(os.environ.get(name, default))
+
+
 def _warmup(fn, attempts=3):
     '''The remote-compile tunnel occasionally drops mid-compile; retry
     (the persistent cache resumes from completed compiles).'''
@@ -79,8 +86,13 @@ def main():
     # (inference_batch_size = 64 at B=32); realistic val segment lengths.
     # end_idx is set to an unreachable token so BOTH paths decode the full
     # 30 steps (random weights would otherwise early-stop unrepresentatively)
-    VOC = 10172
-    B, Sa, Sv, MAX_LEN = 64, 256, 96, 30
+    VOC = _env_int('BMT_BENCH_VOC', 10172)
+    B = _env_int('BMT_BENCH_B', 64)
+    Sa = _env_int('BMT_BENCH_SA', 256)
+    Sv = _env_int('BMT_BENCH_SV', 96)
+    MAX_LEN = _env_int('BMT_BENCH_MAX_LEN', 30)
+    ITERS = _env_int('BMT_BENCH_ITERS', 10)
+    REPS = _env_int('BMT_BENCH_REPS', 4)
     END_IDX = -1
     dims = CapModelDims(voc_size=VOC)
     params = init_bimodal_transformer(jax.random.PRNGKey(0), dims)
@@ -107,8 +119,8 @@ def main():
             _warmup(cached_decode)
             _warmup(cached_decode)  # 2nd: first real exec can include the
             # one-time weight upload over the device tunnel
-            decode_caps[impl] = B / _time_best(cached_decode, iters=10,
-                                               reps=4)
+            decode_caps[impl] = B / _time_best(cached_decode,
+                                               iters=ITERS, reps=REPS)
         except Exception as e:
             print(f'decode[{impl}] failed: {type(e).__name__}: {e}',
                   file=sys.stderr)
@@ -127,7 +139,7 @@ def main():
                                          2, END_IDX, 1, kv_int8=True)
         _warmup(q8_decode)
         _warmup(q8_decode)
-        decode_q8 = B / _time_best(q8_decode, iters=10, reps=4)
+        decode_q8 = B / _time_best(q8_decode, iters=ITERS, reps=REPS)
     except Exception as e:
         print(f'decode[int8kv] failed: {type(e).__name__}: {e}',
               file=sys.stderr)
@@ -159,13 +171,15 @@ def main():
     _warmup(uncached_decode)
     # best-of-3 like the cached path, so vs_baseline is not dominated by
     # the tunnel's run-to-run variance on a single baseline sample
-    uncached_sec = _time_best(uncached_decode, iters=1, reps=3)
+    uncached_sec = _time_best(uncached_decode, iters=1,
+                              reps=min(REPS, 3))
     baseline_caps_per_sec = B / uncached_sec
 
     # ---- teacher-forced train step: samples/sec + MFU ---------------------
     # Reference training batch (B=32, scripts/train_captioning_module.py),
     # bf16 compute / fp32 params+optimizer like the real trainer.
-    TB, Sc = 32, 22
+    TB = _env_int('BMT_BENCH_TB', 32)
+    Sc = _env_int('BMT_BENCH_SC', 22)
 
     class _Cfg:
         optimizer = 'adam'
@@ -211,7 +225,8 @@ def main():
                 return metrics['loss']
             _warmup(train_once)
             _warmup(train_once)
-            train_ms[impl] = _time_best(train_once, iters=10, reps=4) * 1e3
+            train_ms[impl] = _time_best(train_once, iters=ITERS,
+                                        reps=REPS) * 1e3
         except Exception as e:
             print(f'train[{impl}] failed: {type(e).__name__}: {e}',
                   file=sys.stderr)
