@@ -104,7 +104,9 @@ def _mini_cfg(mini_data, tmp_path, procedure, **overrides):
 @pytest.mark.slow
 def test_train_cap_end_to_end(mini_data, tmp_path):
     from bmt_tpu.train.cap_trainer import train_cap
-    cfg = _mini_cfg(mini_data, tmp_path, 'train_cap')
+    # kv_cache_int8 exercises the quantized-KV plumbing through the full
+    # driver (validation 1-by-1 decode path)
+    cfg = _mini_cfg(mini_data, tmp_path, 'train_cap', kv_cache_int8=None)
     best = train_cap(cfg)
     # a full epoch ran: metrics computed and checkpoints written
     assert best >= 0
