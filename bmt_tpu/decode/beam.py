@@ -76,15 +76,17 @@ def _beam_core(step_closure, state, B: int, K: int, V: int, max_len: int,
             tokens, word[:, :, None], step + 1, axis=2)
         done = jnp.take_along_axis(done, parent, axis=1) | (word == end_idx)
 
-        # reorder ONLY the per-beam self-attention caches; the precomputed
-        # cross-attention K/V live at B rows (shared across beams, see
-        # ops.attention.cross_attention_step) and never move
+        # reorder every per-beam state leaf (leading dim B*K — the
+        # self-attention caches); the precomputed cross-attention K/V live
+        # at B rows (shared across beams, see
+        # ops.attention.cross_attention_step) and never move. The shape
+        # rule keeps this generic over future per-beam state entries.
+        # (At K=1 the gather is an identity on every leaf — harmless.)
         flat_parent = (jnp.arange(B)[:, None] * K + parent).reshape(-1)
-        new_state = [
-            {**s,
-             'cache_k': jnp.take(s['cache_k'], flat_parent, axis=0),
-             'cache_v': jnp.take(s['cache_v'], flat_parent, axis=0)}
-            for s in new_state]
+        new_state = jax.tree.map(
+            lambda x: (jnp.take(x, flat_parent, axis=0)
+                       if x.ndim and x.shape[0] == B * K else x),
+            new_state)
 
         return step + 1, tokens, new_scores, done, new_state
 

@@ -41,7 +41,7 @@ def greedy_decode_bimodal(params, dims: CapModelDims, feature_stacks: dict,
     string conversion anyway, matching reference semantics).
 
     ``kv_int8`` stores the precomputed cross-attention K/V int8 (the decode
-    loop's dominant HBM traffic — ~25% faster batch decode at flagship
+    loop's dominant HBM traffic — ~17% faster batch decode at flagship
     shapes, at the cost of ~1e-2 relative logit error; see
     ``ops.attention.precompute_kv``).
     '''

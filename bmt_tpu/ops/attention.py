@@ -115,9 +115,9 @@ def precompute_kv(params: dict, memory: jnp.ndarray, H: int,
     channel) symmetric scales. The decode loop is bandwidth-bound on exactly
     these reads (at B=64/Sa=256/Sv=96 they are ~180 MB per decode step,
     ~6.7 ms of the ~12 ms batch decode at v5e HBM speed), so halving their
-    width buys ~25% decode throughput. Per-channel scales make the
-    dequantization *exact* to fold into the surrounding matmuls — see
-    ``cross_attention_step``.
+    width buys ~17% measured decode throughput (docs/DESIGN.md §6a).
+    Per-channel scales make the dequantization *exact* to fold into the
+    surrounding matmuls — see ``cross_attention_step``.
 
     ``mask`` ((B, 1, Sk) key-padding, True = attend) only matters when
     quantizing: padded positions are zeroed first so they cannot inflate the
@@ -146,24 +146,29 @@ def _quantize_per_channel(x: jnp.ndarray):
 
 
 def _cross_attention_q8(qp, kv, mask):
-    '''Sq=1 cross-attention over int8 K/V with the per-channel scales folded
-    into the matmuls (no dequantized K/V ever materializes in HBM):
+    '''Small-Sq cross-attention over int8 K/V with the per-channel scales
+    folded into the matmuls (no dequantized K/V ever materializes in HBM):
 
       logits = (q * k_scale) @ K8^T        — K8 read as int8, cast on-chip
       out    = (weights @ V8) * v_scale
+
+    Activations stay in the query's dtype (bf16 decode keeps bf16 matmuls
+    for MXU throughput; an fp32 eval keeps fp32 so the only error added by
+    the flag is the int8 quantization itself).
     '''
     (k8, k_s), (v8, v_s) = kv['k'], kv['v']
+    act = qp.dtype
     d_k = qp.shape[-1]
-    qf = (qp.astype(jnp.float32) * k_s).astype(jnp.bfloat16)
-    logits = jnp.einsum('bhqd,bhkd->bhqk', qf, k8.astype(jnp.bfloat16),
+    qf = (qp.astype(jnp.float32) * k_s).astype(act)
+    logits = jnp.einsum('bhqd,bhkd->bhqk', qf, k8.astype(act),
                         preferred_element_type=jnp.float32)
     logits = logits / math.sqrt(d_k)
     if mask is not None:
         logits = jnp.where(mask, logits, _NEG_INF)
-    weights = jax.nn.softmax(logits, axis=-1).astype(jnp.bfloat16)
-    out = jnp.einsum('bhqk,bhkd->bhqd', weights, v8.astype(jnp.bfloat16),
+    weights = jax.nn.softmax(logits, axis=-1).astype(act)
+    out = jnp.einsum('bhqk,bhkd->bhqd', weights, v8.astype(act),
                      preferred_element_type=jnp.float32)
-    return (out * v_s).astype(qp.dtype)
+    return (out * v_s).astype(act)
 
 
 def cross_attention_step(params: dict, q: jnp.ndarray, kv, mask, H: int,
