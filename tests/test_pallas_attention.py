@@ -101,3 +101,82 @@ def test_flash_attention_in_cached_decode(rng):
     pal = np.asarray(greedy_decode_bimodal(params, dims, src, 8, 2, 3, 1,
                                            attention_impl='pallas'))
     np.testing.assert_array_equal(pal, xla)
+
+
+# ---------------------------------------------------------------------------
+# tiled online-softmax kernel (forced via block_k)
+# ---------------------------------------------------------------------------
+
+def test_tiled_flash_attention_key_padding_nondivisible(rng):
+    '''Tiled path with Sk not a multiple of block_k: the final partial
+    block's out-of-bounds columns must not leak into the result.'''
+    B, H, Sq, Sk, d = 2, 2, 16, 200, 8
+    q, k, v = _rand_qkv(rng, B, H, Sq, Sk, d)
+    key_mask = np.ones((B, 1, 1, Sk), bool)
+    key_mask[0, ..., 150:] = False
+    m = jnp.asarray(key_mask)
+    ours = flash_attention(q, k, v, m, block_k=128)    # 2 blocks, 56 padded
+    ref = scaled_dot_attention(q, k, v, m)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
+
+
+def test_tiled_flash_attention_causal(rng):
+    B, H, S, d = 2, 2, 140, 8
+    q, k, v = _rand_qkv(rng, B, H, S, S, d)
+    pad = np.ones((B, 1, S), bool)
+    pad[1, 0, 100:] = False
+    causal = np.asarray(subsequent_mask(S))
+    full = (pad[:, :, None, :] & causal[None])[:, 0]
+    m = jnp.asarray(full)[:, None, :, :]
+    ours = np.asarray(flash_attention(q, k, v, m, block_k=128))
+    ref = np.asarray(scaled_dot_attention(q, k, v, m))
+    np.testing.assert_allclose(ours[0], ref[0], atol=1e-5)
+    np.testing.assert_allclose(ours[1, :, :100], ref[1, :, :100], atol=1e-5)
+
+
+def test_tiled_flash_attention_fully_masked_rows_nan(rng):
+    '''Fully-masked rows produce NaN (0/0), matching the single-block
+    kernel and the torch-parity XLA path.'''
+    B, H, Sq, Sk, d = 1, 1, 8, 256, 8
+    q, k, v = _rand_qkv(rng, B, H, Sq, Sk, d)
+    m = jnp.zeros((B, 1, 1, Sk), bool)
+    out = np.asarray(flash_attention(q, k, v, m, block_k=128))
+    assert np.isnan(out).all()
+
+
+def test_tiled_flash_attention_matches_single_block_grads(rng):
+    '''Gradients flow through the forced-tiled forward (custom VJP reuses
+    the same XLA backward).'''
+    B, H, Sq, Sk, d = 1, 2, 8, 160, 8
+    q, k, v = _rand_qkv(rng, B, H, Sq, Sk, d)
+    key_mask = np.ones((B, 1, 1, Sk), bool)
+    key_mask[0, ..., 130:] = False
+    m = jnp.asarray(key_mask)
+
+    def loss_tiled(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, m, block_k=128) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(scaled_dot_attention(q, k, v, m) ** 2)
+
+    g_t = jax.grad(loss_tiled, argnums=(0, 1, 2))(q, k, v)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_t, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_auto_dispatch_picks_tiled_beyond_vmem_limit(rng):
+    '''Above _SINGLE_BLOCK_MAX_LOGITS the default dispatch must route to
+    the tiled kernel and still match the XLA reference.'''
+    from bmt_tpu.ops import pallas_attention as pa
+    old = pa._SINGLE_BLOCK_MAX_LOGITS
+    pa._SINGLE_BLOCK_MAX_LOGITS = 16 * 128              # force the switch
+    try:
+        B, H, Sq, Sk, d = 1, 1, 17, 300, 8
+        q, k, v = _rand_qkv(rng, B, H, Sq, Sk, d)
+        ours = flash_attention(q, k, v, None)
+        ref = scaled_dot_attention(q, k, v, None)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   atol=1e-5)
+    finally:
+        pa._SINGLE_BLOCK_MAX_LOGITS = old
