@@ -24,8 +24,6 @@ from typing import Iterator, List, Optional
 
 import numpy as np
 
-from bmt_tpu.data.features import (fill_missing_features,
-                                   load_features_from_npy)
 from bmt_tpu.data.native import batch_load, npy_shape
 from bmt_tpu.data.tokenizer import tokenize_en
 from bmt_tpu.data.vocab import Vocab, build_vocab_from_meta, read_meta_csv
@@ -105,25 +103,6 @@ class CaptioningDataset:
 
     # -- batch assembly ----------------------------------------------------
 
-    def _load_row_features(self, row):
-        stacks = load_features_from_npy(
-            self.cfg, self.feature_names_list, row['video_id'], row['start'],
-            row['end'], row['duration'], self.pad_idx, get_full_feat=False)
-        out = {}
-        if 'video' in self.cfg.modality:
-            rgb, flow = stacks['rgb'], stacks['flow']
-            assert (rgb is None) == (flow is None)
-            if rgb is None:
-                rgb = fill_missing_features('zero', self.cfg.d_vid)
-                flow = fill_missing_features('zero', self.cfg.d_vid)
-            out['rgb'], out['flow'] = rgb, flow
-        if 'audio' in self.cfg.modality:
-            audio = stacks['audio']
-            if audio is None:
-                audio = fill_missing_features('zero', self.cfg.d_aud)
-            out['audio'] = audio
-        return out
-
     def _crop_len(self, path: str, row) -> int:
         '''Length of the proportional crop without loading data
         (reference crop rule: load_features.py:14-28).'''
@@ -146,7 +125,11 @@ class CaptioningDataset:
         Sc = bucket_len(max(len(c) for c in captions), CAPTION_BUCKETS)
         cap = np.full((len(rows), Sc), self.pad_idx, np.int32)
         for i, c in enumerate(captions):
-            c = c[:Sc]
+            if len(c) > Sc:
+                # caption exceeds the largest bucket: truncate but KEEP the
+                # terminator so the training target still ends with </s>
+                # (the reference pads dynamically and never truncates)
+                c = list(c[:Sc - 1]) + [c[-1]]
             cap[i, :len(c)] = c
 
         starts = [r['start'] for r in rows]
@@ -208,22 +191,39 @@ def _prefetched(make_batch, index_batches, depth: int):
 
     q: queue.Queue = queue.Queue(maxsize=depth)
     _SENTINEL = object()
+    abandoned = threading.Event()
+
+    def put_or_abandon(item) -> bool:
+        '''Bounded put with an abandon check: if the consumer left
+        mid-epoch (train step raised), give up instead of blocking forever
+        with assembled batches pinned in memory.'''
+        while not abandoned.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for idx in index_batches:
-                q.put(make_batch(idx))
+                if not put_or_abandon(make_batch(idx)):
+                    return
         except BaseException as e:  # surface worker errors to the consumer
-            q.put(e)
-        q.put(_SENTINEL)
+            put_or_abandon(e)
+        put_or_abandon(_SENTINEL)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
-    t.join()
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        t.join()
+    finally:
+        abandoned.set()

@@ -133,8 +133,7 @@ class ProposalDataset:
         }
 
     def batches(self, epoch: int = 0, shuffle: Optional[bool] = None,
-                seed: int = 0, prefetch: int = 2,
-                pad_last: bool = False) -> Iterator[dict]:
+                seed: int = 0, prefetch: int = 2) -> Iterator[dict]:
         from bmt_tpu.data.captioning import _prefetched
         if shuffle is None:
             shuffle = self.phase == 'train'

@@ -15,6 +15,7 @@ Replicates torchtext 0.3.1 vocabulary construction as used by the reference
 from __future__ import annotations
 
 import csv
+import hashlib
 import json
 import os
 from collections import Counter
@@ -103,12 +104,15 @@ def build_vocab_from_meta(train_meta_path: str, start_token: str = '<s>',
 def load_glove(glove_txt_path: str, vocab: Vocab, dim: int = 300,
                cache_dir: Optional[str] = None) -> np.ndarray:
     '''Align GloVe vectors to a vocab: (len(vocab), dim) fp32, zeros for OOV
-    (torchtext default). Caches the aligned matrix as .npy next to the vocab
-    size + file mtime.'''
+    (torchtext default). Caches the aligned matrix as .npy keyed by the
+    vocab CONTENT (md5 of itos), dim and the GloVe file mtime — two
+    different vocabs of equal size must not share a cache entry.'''
     cache_path = None
     if cache_dir:
         os.makedirs(cache_dir, exist_ok=True)
-        tag = f'{len(vocab)}_{dim}_{int(os.path.getmtime(glove_txt_path))}'
+        content = hashlib.md5(
+            '\n'.join(vocab.itos).encode('utf-8')).hexdigest()[:12]
+        tag = f'{content}_{dim}_{int(os.path.getmtime(glove_txt_path))}'
         cache_path = os.path.join(cache_dir, f'glove_aligned_{tag}.npy')
         if os.path.exists(cache_path):
             return np.load(cache_path)

@@ -36,6 +36,7 @@ and the Java subprocess path is used instead for bit-parity.
 '''
 from __future__ import annotations
 
+import atexit
 import json
 import os
 import subprocess
@@ -303,28 +304,56 @@ def compute_meteor(gts: Dict, res: Dict) -> Tuple[float, List[float]]:
     return agg.score(), per_key
 
 
+# One persistent JVM shared by every compute_meteor call (the densevid
+# protocol scores per video — thousands of calls per validation — so a
+# fresh JVM per call would dominate wall-clock), exactly like
+# pycocoevalcap's Meteor wrapper keeps one live subprocess.
+_java_proc = None
+_java_lock = threading.Lock()
+
+
+def _java_meteor_proc(jar: str):
+    global _java_proc
+    if _java_proc is None or _java_proc.poll() is not None:
+        cmd = ['java', '-jar', '-Xmx2G', jar, '-', '-', '-stdio', '-l',
+               'en', '-norm']
+        _java_proc = subprocess.Popen(cmd, stdin=subprocess.PIPE,
+                                      stdout=subprocess.PIPE, text=True)
+        atexit.register(_kill_java_proc)
+    return _java_proc
+
+
+def _kill_java_proc():
+    global _java_proc
+    if _java_proc is not None and _java_proc.poll() is None:
+        _java_proc.kill()
+    _java_proc = None
+
+
 def _compute_meteor_java(jar: str, gts: Dict, res: Dict):
     '''Subprocess protocol of pycocoevalcap's Meteor wrapper (SCORE/EVAL
-    lines on stdin) for bit-parity when the jar exists.'''
+    lines on stdin) for bit-parity when the jar exists. The JVM persists
+    across calls; on a protocol error it is killed (not leaked) and the
+    next call restarts it.'''
     keys = sorted(gts.keys(), key=str)
-    cmd = ['java', '-jar', '-Xmx2G', jar, '-', '-', '-stdio', '-l', 'en',
-           '-norm']
-    proc = subprocess.Popen(cmd, stdin=subprocess.PIPE,
-                            stdout=subprocess.PIPE, text=True)
-    lock = threading.Lock()
-    with lock:
-        eval_line = 'EVAL'
-        for k in keys:
-            refs = [r.replace('|||', '').replace('  ', ' ') for r in gts[k]]
-            hypo = res[k][0].replace('|||', '').replace('  ', ' ')
-            score_line = ' ||| '.join(('SCORE', ' ||| '.join(refs), hypo))
-            proc.stdin.write(score_line + '\n')
+    with _java_lock:
+        proc = _java_meteor_proc(jar)
+        try:
+            eval_line = 'EVAL'
+            for k in keys:
+                refs = [r.replace('|||', '').replace('  ', ' ')
+                        for r in gts[k]]
+                hypo = res[k][0].replace('|||', '').replace('  ', ' ')
+                score_line = ' ||| '.join(('SCORE', ' ||| '.join(refs),
+                                           hypo))
+                proc.stdin.write(score_line + '\n')
+                proc.stdin.flush()
+                eval_line += ' ||| ' + proc.stdout.readline().strip()
+            proc.stdin.write(eval_line + '\n')
             proc.stdin.flush()
-            eval_line += ' ||| ' + proc.stdout.readline().strip()
-        proc.stdin.write(eval_line + '\n')
-        proc.stdin.flush()
-        per_key = [float(proc.stdout.readline().strip()) for _ in keys]
-        avg = float(proc.stdout.readline().strip())
-    proc.stdin.close()
-    proc.wait()
+            per_key = [float(proc.stdout.readline().strip()) for _ in keys]
+            avg = float(proc.stdout.readline().strip())
+        except Exception:
+            _kill_java_proc()
+            raise
     return avg, per_key

@@ -19,19 +19,22 @@ def _lcs_len(a: List[str], b: List[str]) -> int:
 
 
 def rouge_l_sentence(hyp: str, refs: List[str]) -> float:
+    '''pycocoevalcap Rouge.calc_score: the max precision and max recall are
+    taken INDEPENDENTLY across references before combining into F (not a
+    max over per-reference F-scores).'''
     hyp_toks = hyp.split()
-    scores = []
+    precs, recs = [], []
     for ref in refs:
         ref_toks = ref.split()
         lcs = _lcs_len(hyp_toks, ref_toks)
-        prec = lcs / len(hyp_toks) if hyp_toks else 0.0
-        rec = lcs / len(ref_toks) if ref_toks else 0.0
-        if prec and rec:
-            scores.append(((1 + BETA ** 2) * prec * rec)
-                          / (rec + BETA ** 2 * prec))
-        else:
-            scores.append(0.0)
-    return max(scores) if scores else 0.0
+        precs.append(lcs / len(hyp_toks) if hyp_toks else 0.0)
+        recs.append(lcs / len(ref_toks) if ref_toks else 0.0)
+    prec_max = max(precs) if precs else 0.0
+    rec_max = max(recs) if recs else 0.0
+    if prec_max and rec_max:
+        return ((1 + BETA ** 2) * prec_max * rec_max
+                / (rec_max + BETA ** 2 * prec_max))
+    return 0.0
 
 
 def compute_rouge(gts: Dict, res: Dict) -> Tuple[float, List[float]]:

@@ -78,9 +78,12 @@ def train_cap(cfg: Config):
 
     glove = None
     if getattr(cfg, 'glove_path', None):
+        # always keep the full pretrained width: when it differs from
+        # d_model_caps, init_vocab_embedder adds the reference's trained
+        # Linear+ReLU adapter (blocks.py:57-63) rather than truncating the
+        # vectors to meaningless prefixes
         glove = load_glove(cfg.glove_path, train_ds.train_vocab,
-                           dim=min(cfg.d_model_caps, 300),
-                           cache_dir='./tmp')
+                           dim=300, cache_dir='./tmp')
 
     key = jax.random.PRNGKey(seed)
     if cfg.modality == 'audio_video':

@@ -204,6 +204,9 @@ def make_prop_train_step(dims: PropModelDims, optimizer, pad_idx: int,
                 _, loss, losses_A, losses_V = out
                 return loss, (losses_A, losses_V)
             _, loss, losses = out
+            # label the single modality's loss terms correctly
+            if dims.modality == 'video':
+                return loss, ({}, losses)
             return loss, (losses, {})
 
         (loss, (lA, lV)), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -137,3 +137,12 @@ def test_golden_reference_e26_bleu():
     # the offline scorer reads ~1.1 low — deviation documented in
     # bmt_tpu/evaluation/meteor.py
     assert abs(avg['METEOR'] * 100 - 9.67) < 0.15, avg['METEOR']
+
+
+def test_rouge_multi_ref_max_prec_recall_independently():
+    '''pycocoevalcap Rouge.calc_score takes max precision and max recall
+    across references INDEPENDENTLY before combining into F.'''
+    from bmt_tpu.evaluation.rouge import rouge_l_sentence
+    # ref 'a' gives rec=1 (prec=0.5); ref 'a b c d' gives prec=1 (rec=0.5)
+    # -> prec_max = rec_max = 1 -> F = 1.0 (a max over per-ref F would not)
+    assert rouge_l_sentence('a b', ['a', 'a b c d']) == 1.0
