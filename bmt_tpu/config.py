@@ -220,7 +220,12 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=['train_cap', 'train_prop', 'evaluate'])
     parser.add_argument('--device_ids', type=int, nargs='+', default=[0])
     parser.add_argument('--dp_devices', type=int, default=None,
-                        help='data-parallel mesh size (defaults to all local devices)')
+                        help='data-parallel mesh size; defaults to '
+                             'len(--device_ids) = 1, matching the '
+                             'reference\'s single-default-GPU semantics '
+                             '(total batch = B * dp_devices). A warning is '
+                             'printed when more chips are visible than '
+                             'used.')
     parser.add_argument('--start_token', type=str, default='<s>')
     parser.add_argument('--end_token', type=str, default='</s>')
     parser.add_argument('--pad_token', type=str, default='<blank>')

@@ -60,6 +60,15 @@ def make_mesh(dp: Optional[int] = None, mp: int = 1,
     devices = devices if devices is not None else jax.devices()
     if dp is None:
         dp = len(devices) // mp
+    if dp * mp > len(devices):
+        raise ValueError(
+            f'mesh dp={dp} x mp={mp} needs {dp * mp} devices but only '
+            f'{len(devices)} are available (check --dp_devices)')
+    if dp * mp < len(devices):
+        import sys
+        print(f'NOTE: building a dp{dp}xmp{mp} mesh on {dp * mp} of '
+              f'{len(devices)} visible devices; pass --dp_devices '
+              f'{len(devices) // mp} to use all of them', file=sys.stderr)
     devices = np.asarray(devices[:dp * mp]).reshape(dp, mp)
     return Mesh(devices, axis_names=('dp', 'mp'))
 

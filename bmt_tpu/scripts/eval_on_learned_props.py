@@ -58,25 +58,6 @@ def convert_props_in_json_to_csv(prop_pred_path: str, val_1_json_path: str,
     return pred_csv_path
 
 
-def load_cap_checkpoint_any(path: str, params_like=None):
-    '''Load a captioning checkpoint: reference .pt or native npz dir.
-    Returns (params, cfg_dict, meta).'''
-    if path.endswith('.pt'):
-        cpt = load_torch_checkpoint(path)
-        params, cfg_dict = import_cap_model(cpt)
-        meta = {k: v for k, v in cpt.items()
-                if k not in ('model_state_dict', 'optimizer_state_dict')}
-        meta['config'] = cfg_dict
-        return params, cfg_dict, meta
-    # native: path is a dir containing best_cap_model.* (npz or orbax)
-    with open(os.path.join(path, 'best_cap_model.meta.json')) as f:
-        meta = json.load(f)
-    cfg_dict = meta['config']
-    assert params_like is not None, 'native load needs a params template'
-    params = load_model_params(path, 'best_cap_model', params_like)
-    return params, cfg_dict, meta
-
-
 def eval_on_learned_props(args_cfg: Config):
     '''reference: eval_on_learned_props.py:85-135. args_cfg carries the CLI
     args; the model config comes from the checkpoint.'''
@@ -84,6 +65,7 @@ def eval_on_learned_props(args_cfg: Config):
     enable_compile_cache()
     path = args_cfg.pretrained_cap_model_path
 
+    ckpt_vocab = None
     if path.endswith('.pt'):
         cpt = load_torch_checkpoint(path)
         params, cfg_dict = import_cap_model(cpt)
@@ -93,6 +75,12 @@ def eval_on_learned_props(args_cfg: Config):
             meta = json.load(f)
         cfg_dict, epoch = meta['config'], meta.get('epoch', 0)
         params = None  # loaded below once the template exists
+        # decode with the vocab the checkpoint was TRAINED with: rebuilding
+        # from the CLI's train meta could yield a same-size vocab with
+        # different token order -> silently garbled captions
+        if meta.get('vocab_itos'):
+            from bmt_tpu.data.vocab import Vocab
+            ckpt_vocab = Vocab(meta['vocab_itos'])
 
     cfg = Config.from_dict({**cfg_dict})
     # CLI overrides (reference: eval_on_learned_props.py:88-95)
@@ -117,7 +105,7 @@ def eval_on_learned_props(args_cfg: Config):
         args_cfg.prop_pred_path, cfg.reference_paths[0], cfg.avail_mp4_path)
     print(cfg.log_path)
 
-    train_ds = CaptioningDataset(cfg, 'train')
+    train_ds = CaptioningDataset(cfg, 'train', vocab=ckpt_vocab)
     pred_prop_ds = CaptioningDataset(cfg, 'learned_props',
                                      vocab=train_ds.train_vocab)
     print(f'Loader will use: {pred_prop_ds.meta_path}')

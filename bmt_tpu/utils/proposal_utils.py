@@ -240,7 +240,10 @@ class AnetPredictions:
     def write_anet_predictions_to_json(self):
         if self.phase != 'val_1':
             raise NotImplementedError('proposals are only dumped for val_1')
-        folder = os.path.join(self.cfg.log_path, 'submissions')
+        # the scorer consumes this file even when logging is disabled
+        # (--dont_log leaves cfg.log_path = None): fall back to ./tmp
+        base = self.cfg.log_path if self.cfg.log_path else './tmp'
+        folder = os.path.join(base, 'submissions')
         filename = (f'prop_results_{self.phase}_e{self.epoch}'
                     f'_maxprop{self.cfg.max_prop_per_vid}.json')
         self.submission_path = os.path.join(folder, filename)

@@ -31,6 +31,10 @@ if __name__ == '__main__':
     pprint(vars(args))
     cfg = Config(args)
     if args.debug:
-        pass
+        # reference quirk (main.py:178-182): --debug is a hook for ad-hoc
+        # experiments with a fully-built Config and runs NO procedure. Say
+        # so instead of exiting 0 silently.
+        print('--debug: config built, no procedure run '
+              '(reference main.py:178-182 semantics)')
     else:
         main(cfg)

@@ -62,10 +62,21 @@ bool parse_header(const char* hdr, size_t hdr_len, int64_t* rows,
   size_t p1 = h.find('(', sp);
   size_t p2 = h.find(')', p1);
   std::string shape = h.substr(p1 + 1, p2 - p1 - 1);
+  // accept only 1-D "(n,)" or 2-D "(n, m)" shapes; a 3-D tuple must be
+  // rejected (sscanf would silently truncate it to its first two dims)
+  int commas = 0;
+  for (char ch : shape)
+    if (ch == ',') ++commas;
+  bool trailing_comma = !shape.empty() &&
+      shape.find_last_not_of(' ') != std::string::npos &&
+      shape[shape.find_last_not_of(' ')] == ',';
+  int ndims = commas + (trailing_comma ? 0 : 1);
+  if (ndims > 2) return false;
   long long r = 0, c = 1;
   int n = sscanf(shape.c_str(), "%lld , %lld", &r, &c);
   if (n < 1) return false;
   if (n == 1) c = 1;
+  if (r < 0 || c <= 0) return false;
   *rows = r;
   *cols = c;
   return true;
@@ -92,10 +103,23 @@ NpyView open_npy(const char* path) {
            (static_cast<size_t>(p[11]) << 24);
     hoff = 12;
   }
+  // header and data must lie within the mapped file, or a truncated /
+  // corrupt .npy would read past the mapping (SIGBUS) instead of taking
+  // the clean missing-file zero-fill path
+  if (hoff + hlen > static_cast<size_t>(st.st_size)) {
+    munmap(base, st.st_size);
+    return v;
+  }
   int64_t rows, cols;
   int dsize;
   if (!parse_header(reinterpret_cast<const char*>(p + hoff), hlen, &rows,
                     &cols, &dsize)) {
+    munmap(base, st.st_size);
+    return v;
+  }
+  if (hoff + hlen +
+          static_cast<size_t>(rows) * cols * dsize >
+      static_cast<size_t>(st.st_size)) {
     munmap(base, st.st_size);
     return v;
   }
@@ -146,8 +170,11 @@ class ThreadPool {
     for (auto& w : workers_) w.join();
   }
   void run(std::vector<std::function<void()>> jobs) {
-    std::atomic<size_t> next{0};
-    std::atomic<size_t> done{0};
+    // The completion count is mutated and checked UNDER done_mu: with an
+    // atomic counter incremented outside the lock, the waiter could observe
+    // completion and return (destroying done_mu/done_cv/jobs) while the
+    // last worker was still about to lock the mutex — use-after-scope.
+    size_t done = 0;
     size_t total = jobs.size();
     std::mutex done_mu;
     std::condition_variable done_cv;
@@ -156,16 +183,14 @@ class ThreadPool {
       for (size_t j = 0; j < total; ++j) {
         queue_.push([&, j] {
           jobs[j]();
-          if (done.fetch_add(1) + 1 == total) {
-            std::unique_lock<std::mutex> dlk(done_mu);
-            done_cv.notify_one();
-          }
+          std::unique_lock<std::mutex> dlk(done_mu);
+          if (++done == total) done_cv.notify_one();
         });
       }
     }
     cv_.notify_all();
     std::unique_lock<std::mutex> dlk(done_mu);
-    done_cv.wait(dlk, [&] { return done.load() == total; });
+    done_cv.wait(dlk, [&] { return done == total; });
   }
 
  private:

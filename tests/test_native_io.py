@@ -75,3 +75,24 @@ def test_native_throughput_sanity(npy_files):
                              [1] * B, 1.0, 40, 16)
     assert out.shape[0] == B
     assert np.all(status == 0)
+
+
+@pytest.mark.skipif(not native_available(), reason='no native lib')
+def test_native_rejects_truncated_and_3d_npy(tmp_path):
+    '''Corrupt .npy files must take the clean zero-fill path, not read past
+    the mapping; 3-D stacks must not be silently misparsed as 2-D.'''
+    # truncated file: header promises 64x16 f4 but data is cut short
+    good = np.random.default_rng(0).normal(size=(64, 16)).astype(np.float32)
+    p_trunc = tmp_path / 'trunc.npy'
+    np.save(p_trunc, good)
+    raw = p_trunc.read_bytes()
+    p_trunc.write_bytes(raw[:len(raw) // 2])
+    # 3-D file
+    p_3d = tmp_path / 'cube.npy'
+    np.save(p_3d, np.zeros((8, 1, 16), np.float32))
+
+    out, status = batch_load([str(p_trunc), str(p_3d)], [0.0] * 2,
+                             [1.0] * 2, [2.0] * 2, [1, 1],
+                             pad_value=1.0, out_len=4, cols=16)
+    assert status.tolist() == [1, 1]          # both zero-filled as missing
+    np.testing.assert_allclose(out[:, 0], np.zeros((2, 16)))
