@@ -1,0 +1,114 @@
+'''Caption-serving CLI: load a captioning checkpoint, warm the shape grid,
+serve HTTP.
+
+    python -m bmt_tpu.scripts.serve \
+        --pretrained_cap_model_path ./ckpts  (npz dir or reference .pt) \
+        --port 8000 [--train_meta_path data/train.csv for .pt vocabs]
+
+API:
+    POST /caption  {"features": {"rgb": [[..]], "flow": [[..]],
+                                 "audio": [[..]]}}  -> {"sentence": "..."}
+    GET  /healthz  -> {"status": "ok"}
+    GET  /stats    -> batching counters
+
+The reference has no serving path (its closest surface is the one-shot
+sample/single_video_prediction.py CLI); this is a beyond-reference
+subsystem built on the same checkpoint/vocab machinery.
+'''
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+
+from bmt_tpu.config import Config
+from bmt_tpu.data.vocab import Vocab, build_vocab_from_meta
+from bmt_tpu.models import CapModelDims, init_bimodal_transformer
+from bmt_tpu.serve import CaptionEngine, CaptionHTTPServer
+from bmt_tpu.train.checkpoint import (import_cap_model, load_model_params,
+                                      load_torch_checkpoint)
+from bmt_tpu.utils.misc import enable_compile_cache
+
+
+def load_cap_checkpoint(path: str, train_meta_path: str = None):
+    '''(cfg, dims, params, vocab) from a native npz dir or reference .pt
+    (same dual-format logic as sample/single_video_prediction.py).'''
+    if path.endswith('.pt'):
+        cpt = load_torch_checkpoint(path)
+        params, cfg_dict = import_cap_model(cpt)
+        cfg = Config.from_dict(cfg_dict)
+        assert train_meta_path, '.pt checkpoints need --train_meta_path'
+        vocab = build_vocab_from_meta(train_meta_path, cfg.start_token,
+                                      cfg.end_token, cfg.pad_token,
+                                      cfg.min_freq_caps)
+        dims = CapModelDims.from_config(cfg,
+                                        params['emb_C']['table'].shape[0])
+        return cfg, dims, params, vocab
+    with open(os.path.join(path, 'best_cap_model.meta.json')) as f:
+        meta = json.load(f)
+    cfg = Config.from_dict(meta['config'])
+    vocab = Vocab(meta['vocab_itos'])
+    dims = CapModelDims.from_config(cfg, len(vocab))
+    template = init_bimodal_transformer(jax.random.PRNGKey(0), dims)
+    params = load_model_params(path, 'best_cap_model', template)
+    return cfg, dims, params, vocab
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument('--pretrained_cap_model_path', required=True)
+    p.add_argument('--train_meta_path', default='./data/train.csv')
+    p.add_argument('--host', default='127.0.0.1')
+    p.add_argument('--port', type=int, default=8000)
+    p.add_argument('--max_batch', type=int, default=64)
+    p.add_argument('--max_wait_ms', type=float, default=5.0)
+    p.add_argument('--attention_impl', default='xla',
+                   choices=['xla', 'pallas'])
+    p.add_argument('--kv_cache_int8', action='store_true')
+    p.add_argument('--compute_dtype', default='bfloat16',
+                   choices=['bfloat16', 'float32'])
+    p.add_argument('--warmup_shapes', default='96x256',
+                   help='comma-separated SvxSa pairs to precompile '
+                        '(default: the dominant val_1 decode shape)')
+    p.add_argument('--warmup_batches', default='1,8,32,64')
+    return p
+
+
+def main(argv=None, block=True):
+    '''Start the server. ``block=False`` returns the (running-ready)
+    CaptionHTTPServer instead of serving forever — used by tests and by
+    embedding applications.'''
+    args = build_parser().parse_args(argv)
+    enable_compile_cache()
+    cfg, dims, params, vocab = load_cap_checkpoint(
+        args.pretrained_cap_model_path, args.train_meta_path)
+    engine = CaptionEngine(
+        params, dims, vocab, max_len=cfg.max_len,
+        start_token=cfg.start_token, end_token=cfg.end_token,
+        pad_token=cfg.pad_token, max_batch=args.max_batch,
+        attention_impl=args.attention_impl, kv_int8=args.kv_cache_int8,
+        compute_dtype=jnp.bfloat16
+        if args.compute_dtype == 'bfloat16' else None)
+
+    shapes = [tuple(int(x) for x in s.split('x'))
+              for s in args.warmup_shapes.split(',') if s]
+    batches = [int(b) for b in args.warmup_batches.split(',') if b]
+    n = engine.warmup(batch_sizes=batches, shapes=shapes)
+    print(f'warmed {n} executables over shapes={shapes} batches={batches}')
+
+    server = CaptionHTTPServer((args.host, args.port), engine,
+                               max_wait_ms=args.max_wait_ms)
+    print(f'serving on http://{args.host}:{server.server_address[1]}')
+    if not block:
+        return server
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+if __name__ == '__main__':
+    main()

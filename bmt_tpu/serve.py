@@ -1,0 +1,338 @@
+'''Production serving for the captioning model.
+
+The reference has no serving story: its only inference surface is a
+one-shot CLI (reference: sample/single_video_prediction.py:279-316) that
+re-loads the model per invocation and decodes segments one by one. This
+module turns the KV-cached batched decoder into a deployable service:
+
+- ``CaptionEngine``   — shape-bucketed batched greedy decode with ahead-of-
+                        time warmup: every (batch, Sv, Sa) bucket is
+                        compiled once, then every request hits a cached
+                        executable (no recompiles in steady state).
+- ``MicroBatcher``    — coalesces concurrent single-segment requests into
+                        device batches (latency-bounded micro-batching),
+                        the standard recipe for high TPU utilization under
+                        many small requests.
+- ``CaptionHTTPServer`` — stdlib ThreadingHTTPServer JSON API
+                        (POST /caption, GET /healthz, GET /stats).
+- ``export_decode`` / ``load_exported_decode`` — `jax.export` serialization
+  of the jitted decode for a fixed shape: a deployment artifact that runs
+  without the model-building Python on the serving host.
+
+Design notes. The decoder is already a single jitted ``lax.while_loop``
+(decode/greedy.py) so a request costs one dispatch; the engine only has to
+guarantee static shapes (bucket menus shared with the training data
+pipeline) and batch admission. Per-row independence of the decode (pad
+rows/keys are masked) makes batch padding semantically free.
+'''
+from __future__ import annotations
+
+import json
+import threading
+import time
+from concurrent.futures import Future
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from bmt_tpu.data.captioning import (AUDIO_BUCKETS, VIDEO_BUCKETS,
+                                     bucket_len)
+from bmt_tpu.data.features import pad_stack_batch
+from bmt_tpu.decode import greedy_decode_bimodal
+from bmt_tpu.train.loops import ints_to_sentence
+
+BATCH_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128)
+
+
+class CaptionEngine:
+    '''Batched, bucket-compiled greedy captioning over feature crops.
+
+    ``caption_crops`` takes a list of per-segment feature dicts
+    ({'rgb','flow','audio'}: (s, D) float arrays, ragged lengths), pads them
+    to bucket shapes and returns one sentence per crop.
+    '''
+
+    def __init__(self, params, dims, vocab, *, max_len: int = 30,
+                 start_token: str = '<s>', end_token: str = '</s>',
+                 pad_token: str = '<blank>', max_batch: int = 64,
+                 attention_impl: str = 'xla', kv_int8: bool = False,
+                 compute_dtype=None):
+        self.dims = dims
+        self.vocab = vocab
+        self.max_len = max_len
+        self.end_token = end_token
+        self.start_idx = vocab[start_token]
+        self.end_idx = vocab[end_token]
+        self.pad_idx = vocab[pad_token]
+        self.max_batch = max_batch
+        self.attention_impl = attention_impl
+        self.kv_int8 = kv_int8
+        if compute_dtype is not None:
+            params = jax.tree.map(
+                lambda x: x.astype(compute_dtype)
+                if hasattr(x, 'dtype') and x.dtype == jnp.float32 else x,
+                params)
+        self.params = params
+        self.compute_dtype = compute_dtype
+        self._lock = threading.Lock()  # device dispatch is serialized
+        # counters (read by /stats)
+        self.n_requests = 0
+        self.n_batches = 0
+        self.n_rows_padded = 0
+
+    # -- shape plumbing ---------------------------------------------------
+
+    def _bucket_batch(self, n: int) -> int:
+        for b in BATCH_BUCKETS:
+            if b >= n:
+                return min(b, self.max_batch)
+        return self.max_batch
+
+    def _pad_batch(self, crops: Sequence[dict], Bb: int, Sv: int, Sa: int):
+        rgb = pad_stack_batch([c['rgb'] for c in crops], self.pad_idx, Sv)
+        flow = pad_stack_batch([c['flow'] for c in crops], 0.0, Sv)
+        audio = pad_stack_batch([c['audio'] for c in crops], self.pad_idx,
+                                Sa)
+        if len(crops) < Bb:
+            # repeat row 0 so pad rows decode over real masks; results are
+            # sliced away. (An all-pad audio row would decode fine too, but
+            # keeping rows real avoids the all-masked softmax edge case.)
+            def fill(x):
+                reps = np.repeat(x[:1], Bb - x.shape[0], axis=0)
+                return np.concatenate([x, reps], axis=0)
+            rgb, flow, audio = fill(rgb), fill(flow), fill(audio)
+        dt = self.compute_dtype or jnp.float32
+        return {'rgb': jnp.asarray(rgb, dt), 'flow': jnp.asarray(flow, dt),
+                'audio': jnp.asarray(audio, dt)}
+
+    # -- public API -------------------------------------------------------
+
+    def caption_tokens(self, crops: Sequence[dict]) -> np.ndarray:
+        '''Decode a list of crops; returns (len(crops), max_len+1) int32.'''
+        out = []
+        for lo in range(0, len(crops), self.max_batch):
+            chunk = crops[lo:lo + self.max_batch]
+            Bb = self._bucket_batch(len(chunk))
+            Sv = bucket_len(max(c['rgb'].shape[0] for c in chunk),
+                            VIDEO_BUCKETS)
+            Sa = bucket_len(max(c['audio'].shape[0] for c in chunk),
+                            AUDIO_BUCKETS)
+            batch = self._pad_batch(chunk, Bb, Sv, Sa)
+            with self._lock:
+                toks = greedy_decode_bimodal(
+                    self.params, self.dims, batch, self.max_len,
+                    self.start_idx, self.end_idx, self.pad_idx,
+                    attention_impl=self.attention_impl,
+                    kv_int8=self.kv_int8)
+                toks = np.asarray(toks)[:len(chunk)]
+                self.n_batches += 1
+                self.n_requests += len(chunk)
+                self.n_rows_padded += Bb - len(chunk)
+            out.append(toks)
+        return np.concatenate(out, axis=0)
+
+    def caption_crops(self, crops: Sequence[dict]) -> List[str]:
+        toks = self.caption_tokens(crops)
+        return [ints_to_sentence(row, self.vocab, self.end_token)
+                for row in toks]
+
+    def warmup(self, batch_sizes: Sequence[int] = (1, 8, 32, 64),
+               shapes: Sequence[tuple] = ((96, 256),)) -> int:
+        '''Compile the (batch, Sv, Sa) grid ahead of traffic. ``shapes`` is
+        (Sv, Sa) pairs — the real val_1 menu collapses to ~5 of them
+        (docs/DESIGN.md §2). Returns the number of executables compiled.'''
+        n = 0
+        for Sv, Sa in shapes:
+            for b in batch_sizes:
+                if b > self.max_batch:
+                    continue
+                crop = {'rgb': np.zeros((Sv, self.dims.d_vid), np.float32),
+                        'flow': np.zeros((Sv, self.dims.d_vid), np.float32),
+                        'audio': np.zeros((Sa, self.dims.d_aud), np.float32)}
+                self.caption_tokens([crop] * b)
+                n += 1
+        return n
+
+    def stats(self) -> dict:
+        return {'requests': self.n_requests, 'batches': self.n_batches,
+                'rows_padded': self.n_rows_padded,
+                'avg_batch': round(self.n_requests / self.n_batches, 2)
+                if self.n_batches else 0.0}
+
+
+class MicroBatcher:
+    '''Coalesce concurrent caption requests into engine batches.
+
+    ``submit(crop)`` returns a Future resolving to the sentence. A worker
+    thread drains the queue: it waits at most ``max_wait_ms`` after the
+    first pending request (latency bound), then decodes everything pending
+    up to ``engine.max_batch`` in one device batch (throughput bound).
+    '''
+
+    def __init__(self, engine: CaptionEngine, max_wait_ms: float = 5.0):
+        self.engine = engine
+        self.max_wait = max_wait_ms / 1e3
+        self._pending: List[tuple] = []
+        self._mu = threading.Condition()
+        self._closed = False
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, crop: dict) -> 'Future[str]':
+        fut: Future = Future()
+        with self._mu:
+            if self._closed:
+                raise RuntimeError('batcher is closed')
+            self._pending.append((crop, fut))
+            self._mu.notify()
+        return fut
+
+    def caption(self, crop: dict, timeout: Optional[float] = None) -> str:
+        return self.submit(crop).result(timeout)
+
+    def _run(self):
+        while True:
+            with self._mu:
+                while not self._pending and not self._closed:
+                    self._mu.wait()
+                if self._closed and not self._pending:
+                    return
+                deadline = time.monotonic() + self.max_wait
+                while (len(self._pending) < self.engine.max_batch
+                       and not self._closed):
+                    left = deadline - time.monotonic()
+                    if left <= 0:
+                        break
+                    self._mu.wait(timeout=left)
+                batch, self._pending = self._pending, []
+            crops = [c for c, _ in batch]
+            try:
+                sentences = self.engine.caption_crops(crops)
+                for (_, fut), s in zip(batch, sentences):
+                    fut.set_result(s)
+            except Exception as e:  # propagate to every waiter
+                for _, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+    def close(self):
+        with self._mu:
+            self._closed = True
+            self._mu.notify_all()
+        self._worker.join()
+
+
+# -- HTTP front-end -------------------------------------------------------
+
+
+def _crop_from_json(obj: dict, dims) -> dict:
+    feats = obj.get('features', obj)
+    crop = {}
+    for key, d in (('rgb', dims.d_vid), ('flow', dims.d_vid),
+                   ('audio', dims.d_aud)):
+        if key not in feats:
+            raise ValueError(f'missing feature: {key}')
+        arr = np.asarray(feats[key], np.float32)
+        if arr.ndim != 2 or arr.shape[1] != d:
+            raise ValueError(
+                f'{key}: expected (s, {d}), got {list(arr.shape)}')
+        crop[key] = arr
+    return crop
+
+
+class _CaptionHandler(BaseHTTPRequestHandler):
+    # instantiated per request by ThreadingHTTPServer; the server object
+    # carries the batcher/engine
+    def _reply(self, code: int, payload: dict):
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header('Content-Type', 'application/json')
+        self.send_header('Content-Length', str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path == '/healthz':
+            self._reply(200, {'status': 'ok'})
+        elif self.path == '/stats':
+            self._reply(200, self.server.engine.stats())
+        else:
+            self._reply(404, {'error': f'unknown path {self.path}'})
+
+    def do_POST(self):
+        if self.path != '/caption':
+            self._reply(404, {'error': f'unknown path {self.path}'})
+            return
+        try:
+            length = int(self.headers.get('Content-Length', 0))
+            obj = json.loads(self.rfile.read(length))
+            crop = _crop_from_json(obj, self.server.engine.dims)
+        except (ValueError, KeyError, json.JSONDecodeError) as e:
+            self._reply(400, {'error': str(e)})
+            return
+        try:
+            sentence = self.server.batcher.caption(
+                crop, timeout=self.server.request_timeout)
+        except Exception as e:
+            self._reply(500, {'error': f'{type(e).__name__}: {e}'})
+            return
+        self._reply(200, {'sentence': sentence})
+
+    def log_message(self, *args):  # quiet by default
+        pass
+
+
+class CaptionHTTPServer(ThreadingHTTPServer):
+    daemon_threads = True
+
+    def __init__(self, addr, engine: CaptionEngine,
+                 max_wait_ms: float = 5.0, request_timeout: float = 120.0):
+        super().__init__(addr, _CaptionHandler)
+        self.engine = engine
+        self.batcher = MicroBatcher(engine, max_wait_ms)
+        self.request_timeout = request_timeout
+
+    def shutdown(self):
+        super().shutdown()
+        self.batcher.close()
+
+
+# -- AOT export -----------------------------------------------------------
+
+
+def export_decode(params, dims, batch: int, Sv: int, Sa: int,
+                  max_len: int = 30, start_idx: int = 2, end_idx: int = 3,
+                  pad_idx: int = 1, attention_impl: str = 'xla',
+                  kv_int8: bool = False) -> bytes:
+    '''Serialize the jitted greedy decode for one fixed shape via
+    ``jax.export``. The blob replays on any host with a compatible jax —
+    no bmt_tpu model code needed at serving time. Weights stay an input
+    (same pytree structure), so one artifact serves every checkpoint of an
+    architecture.'''
+    from jax import export as jax_export
+
+    def fn(params, stacks):
+        return greedy_decode_bimodal(params, dims, stacks, max_len,
+                                     start_idx, end_idx, pad_idx,
+                                     attention_impl, kv_int8)
+
+    p_spec = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), params)
+    dt = next(iter(jax.tree.leaves(params))).dtype
+    s_spec = {'rgb': jax.ShapeDtypeStruct((batch, Sv, dims.d_vid), dt),
+              'flow': jax.ShapeDtypeStruct((batch, Sv, dims.d_vid), dt),
+              'audio': jax.ShapeDtypeStruct((batch, Sa, dims.d_aud), dt)}
+    exported = jax_export.export(jax.jit(fn))(p_spec, s_spec)
+    return bytes(exported.serialize())
+
+
+def load_exported_decode(blob: bytes):
+    '''Deserialize an ``export_decode`` artifact; returns
+    fn(params, stacks) -> (B, max_len+1) tokens.'''
+    from jax import export as jax_export
+    exported = jax_export.deserialize(blob)
+    return lambda params, stacks: exported.call(params, stacks)

@@ -1,0 +1,221 @@
+'''Serving subsystem: engine batching parity, micro-batcher coalescing,
+HTTP API, and jax.export round-trip (all CPU, tiny dims).'''
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bmt_tpu.data.vocab import Vocab
+from bmt_tpu.decode import greedy_decode_bimodal
+from bmt_tpu.models import CapModelDims, init_bimodal_transformer
+from bmt_tpu.serve import (CaptionEngine, CaptionHTTPServer, MicroBatcher,
+                           export_decode, load_exported_decode)
+
+DIMS = CapModelDims(voc_size=23, d_model_A=8, d_model_V=12, d_model_C=10,
+                    d_model=16, H=2, N=2, d_ff_A=16, d_ff_V=24, d_ff_C=20,
+                    dout_p=0.1, d_vid=20, d_aud=6, use_linear_embedder=True)
+PAD, START, END = 1, 2, 3
+MAX_LEN = 6
+
+
+def _vocab():
+    itos = ['<unk>', '<blank>', '<s>', '</s>'] + [f'w{i}' for i in range(19)]
+    return Vocab(itos)
+
+
+@pytest.fixture(scope='module')
+def engine():
+    params = init_bimodal_transformer(jax.random.PRNGKey(0), DIMS)
+    return CaptionEngine(params, DIMS, _vocab(), max_len=MAX_LEN,
+                        max_batch=8)
+
+
+def _crop(rng, sv, sa):
+    return {'rgb': rng.normal(size=(sv, DIMS.d_vid)).astype(np.float32),
+            'flow': rng.normal(size=(sv, DIMS.d_vid)).astype(np.float32),
+            'audio': rng.normal(size=(sa, DIMS.d_aud)).astype(np.float32)}
+
+
+def test_engine_matches_direct_decode(engine):
+    '''Ragged crops through the engine == a hand-padded decode at the same
+    bucket shapes: validates the engine's padding, batch-fill and slicing.
+    (Exact-length vs bucket-padded token parity is a different property —
+    masked keys contribute exactly zero, but XLA's reduction grouping over
+    the real keys changes with the padded length, so tokens are only
+    compared at identical shapes, as everywhere else in the suite.)'''
+    from bmt_tpu.data.captioning import bucket_len as _bl
+    from bmt_tpu.data.captioning import AUDIO_BUCKETS, VIDEO_BUCKETS
+    rng = np.random.default_rng(0)
+    crops = [_crop(rng, sv, sa)
+             for sv, sa in [(5, 9), (11, 3), (7, 7), (3, 12), (9, 5)]]
+    got = engine.caption_tokens(crops)
+    assert got.shape == (5, MAX_LEN + 1)
+
+    Bb = engine._bucket_batch(len(crops))
+    Sv = _bl(max(c['rgb'].shape[0] for c in crops), VIDEO_BUCKETS)
+    Sa = _bl(max(c['audio'].shape[0] for c in crops), AUDIO_BUCKETS)
+    batch = engine._pad_batch(crops, Bb, Sv, Sa)
+    want = np.asarray(greedy_decode_bimodal(
+        engine.params, DIMS, batch, MAX_LEN, START, END, PAD))[:len(crops)]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_engine_chunks_oversized_batches(engine):
+    rng = np.random.default_rng(1)
+    crops = [_crop(rng, 4, 6) for _ in range(19)]  # max_batch=8 -> 3 chunks
+    before = engine.n_batches
+    toks = engine.caption_tokens(crops)
+    assert toks.shape == (19, MAX_LEN + 1)
+    assert engine.n_batches - before == 3
+
+
+def test_microbatcher_coalesces_and_resolves(engine):
+    rng = np.random.default_rng(2)
+    crops = [_crop(rng, 6, 6) for _ in range(8)]
+    direct = engine.caption_crops(crops)
+
+    batcher = MicroBatcher(engine, max_wait_ms=200.0)
+    before = engine.n_batches
+    try:
+        futs = [batcher.submit(c) for c in crops]
+        got = [f.result(timeout=60) for f in futs]
+    finally:
+        batcher.close()
+    assert got == direct
+    # 8 concurrent requests must ride fewer device batches than requests
+    assert engine.n_batches - before < 8
+
+
+def test_microbatcher_propagates_errors(engine):
+    batcher = MicroBatcher(engine, max_wait_ms=1.0)
+    try:
+        bad = {'rgb': np.zeros((4, 999), np.float32),
+               'flow': np.zeros((4, DIMS.d_vid), np.float32),
+               'audio': np.zeros((4, DIMS.d_aud), np.float32)}
+        with pytest.raises(Exception):
+            batcher.caption(bad, timeout=60)
+        # batcher survives the failure and still serves good requests
+        rng = np.random.default_rng(3)
+        assert isinstance(batcher.caption(_crop(rng, 4, 4), timeout=60), str)
+    finally:
+        batcher.close()
+
+
+def test_http_server_roundtrip(engine):
+    server = CaptionHTTPServer(('127.0.0.1', 0), engine, max_wait_ms=1.0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+                f'http://127.0.0.1:{port}/healthz', timeout=30) as r:
+            assert json.load(r) == {'status': 'ok'}
+
+        rng = np.random.default_rng(4)
+        crop = _crop(rng, 5, 7)
+        body = json.dumps(
+            {'features': {k: v.tolist() for k, v in crop.items()}}).encode()
+        req = urllib.request.Request(
+            f'http://127.0.0.1:{port}/caption', data=body,
+            headers={'Content-Type': 'application/json'})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            sentence = json.load(r)['sentence']
+        assert sentence == engine.caption_crops([crop])[0]
+
+        # malformed feature shape -> 400, not a crash
+        bad = json.dumps({'features': {'rgb': [[1.0]], 'flow': [[1.0]],
+                                       'audio': [[1.0]]}}).encode()
+        req = urllib.request.Request(
+            f'http://127.0.0.1:{port}/caption', data=bad,
+            headers={'Content-Type': 'application/json'})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
+
+        with urllib.request.urlopen(
+                f'http://127.0.0.1:{port}/stats', timeout=30) as r:
+            stats = json.load(r)
+        assert stats['requests'] >= 1
+    finally:
+        server.shutdown()
+
+
+def test_export_decode_roundtrip(engine):
+    '''jax.export blob reproduces the live decode exactly.'''
+    blob = export_decode(engine.params, DIMS, batch=2, Sv=4, Sa=6,
+                         max_len=MAX_LEN, start_idx=START, end_idx=END,
+                         pad_idx=PAD)
+    assert isinstance(blob, bytes) and len(blob) > 0
+    fn = load_exported_decode(blob)
+
+    rng = np.random.default_rng(5)
+    stacks = {
+        'rgb': jnp.asarray(rng.normal(size=(2, 4, DIMS.d_vid)), jnp.float32),
+        'flow': jnp.asarray(rng.normal(size=(2, 4, DIMS.d_vid)),
+                            jnp.float32),
+        'audio': jnp.asarray(rng.normal(size=(2, 6, DIMS.d_aud)),
+                             jnp.float32),
+    }
+    want = np.asarray(greedy_decode_bimodal(
+        engine.params, DIMS, stacks, MAX_LEN, START, END, PAD))
+    got = np.asarray(fn(engine.params, stacks))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_warmup_compiles_grid(engine):
+    before = engine.n_batches
+    n = engine.warmup(batch_sizes=(1, 2), shapes=((4, 4),))
+    assert n == 2
+    assert engine.n_batches - before == 2
+
+
+def test_serve_cli_with_native_checkpoint(tmp_path):
+    '''End-to-end: save a native checkpoint, start the CLI server against
+    it (no data files needed — config + vocab live in the meta), POST a
+    caption request.'''
+    from bmt_tpu.config import Config, build_parser
+    from bmt_tpu.models import init_bimodal_transformer as init_fn
+    from bmt_tpu.scripts import serve as serve_cli
+    from bmt_tpu.train.checkpoint import save_checkpoint
+
+    argv = ['--procedure', 'train_cap', '--d_vid', str(DIMS.d_vid),
+            '--d_aud', str(DIMS.d_aud), '--use_linear_embedder',
+            '--d_model_video', '12', '--d_model_audio', '8',
+            '--d_model', '16', '--d_model_caps', '10', '--H', '2',
+            '--N', '2', '--max_len', str(MAX_LEN), '--dont_log']
+    cfg = Config(build_parser().parse_args(argv))
+    vocab = _vocab()
+    dims = __import__('bmt_tpu.models', fromlist=['CapModelDims']) \
+        .CapModelDims.from_config(cfg, len(vocab))
+    params = init_fn(jax.random.PRNGKey(0), dims)
+    ckpt = tmp_path / 'ckpt'
+    save_checkpoint(str(ckpt), params,
+                    {'config': cfg.to_dict(), 'epoch': 0,
+                     'vocab_itos': vocab.itos})
+
+    server = serve_cli.main(
+        ['--pretrained_cap_model_path', str(ckpt), '--port', '0',
+         '--compute_dtype', 'float32', '--max_wait_ms', '1',
+         '--warmup_shapes', '4x4', '--warmup_batches', '1'],
+        block=False)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        rng = np.random.default_rng(6)
+        crop = {'rgb': rng.normal(size=(5, DIMS.d_vid)).tolist(),
+                'flow': rng.normal(size=(5, DIMS.d_vid)).tolist(),
+                'audio': rng.normal(size=(7, DIMS.d_aud)).tolist()}
+        req = urllib.request.Request(
+            f'http://127.0.0.1:{port}/caption',
+            data=json.dumps({'features': crop}).encode(),
+            headers={'Content-Type': 'application/json'})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert isinstance(json.load(r)['sentence'], str)
+    finally:
+        server.shutdown()
