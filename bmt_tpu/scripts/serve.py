@@ -18,43 +18,12 @@ subsystem built on the same checkpoint/vocab machinery.
 from __future__ import annotations
 
 import argparse
-import json
-import os
 
-import jax
 import jax.numpy as jnp
 
-from bmt_tpu.config import Config
-from bmt_tpu.data.vocab import Vocab, build_vocab_from_meta
-from bmt_tpu.models import CapModelDims, init_bimodal_transformer
 from bmt_tpu.serve import CaptionEngine, CaptionHTTPServer
-from bmt_tpu.train.checkpoint import (import_cap_model, load_model_params,
-                                      load_torch_checkpoint)
+from bmt_tpu.train.checkpoint import load_cap_checkpoint
 from bmt_tpu.utils.misc import enable_compile_cache
-
-
-def load_cap_checkpoint(path: str, train_meta_path: str = None):
-    '''(cfg, dims, params, vocab) from a native npz dir or reference .pt
-    (same dual-format logic as sample/single_video_prediction.py).'''
-    if path.endswith('.pt'):
-        cpt = load_torch_checkpoint(path)
-        params, cfg_dict = import_cap_model(cpt)
-        cfg = Config.from_dict(cfg_dict)
-        assert train_meta_path, '.pt checkpoints need --train_meta_path'
-        vocab = build_vocab_from_meta(train_meta_path, cfg.start_token,
-                                      cfg.end_token, cfg.pad_token,
-                                      cfg.min_freq_caps)
-        dims = CapModelDims.from_config(cfg,
-                                        params['emb_C']['table'].shape[0])
-        return cfg, dims, params, vocab
-    with open(os.path.join(path, 'best_cap_model.meta.json')) as f:
-        meta = json.load(f)
-    cfg = Config.from_dict(meta['config'])
-    vocab = Vocab(meta['vocab_itos'])
-    dims = CapModelDims.from_config(cfg, len(vocab))
-    template = init_bimodal_transformer(jax.random.PRNGKey(0), dims)
-    params = load_model_params(path, 'best_cap_model', template)
-    return cfg, dims, params, vocab
 
 
 def build_parser():
@@ -73,7 +42,9 @@ def build_parser():
     p.add_argument('--warmup_shapes', default='96x256',
                    help='comma-separated SvxSa pairs to precompile '
                         '(default: the dominant val_1 decode shape)')
-    p.add_argument('--warmup_batches', default='1,8,32,64')
+    p.add_argument('--warmup_batches', default='1,2,4,8,16,32,64',
+                   help='every batch bucket <= max_batch, so steady '
+                        'state never compiles')
     return p
 
 

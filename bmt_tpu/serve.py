@@ -111,8 +111,11 @@ class CaptionEngine:
 
     # -- public API -------------------------------------------------------
 
-    def caption_tokens(self, crops: Sequence[dict]) -> np.ndarray:
+    def caption_tokens(self, crops: Sequence[dict],
+                       _count: bool = True) -> np.ndarray:
         '''Decode a list of crops; returns (len(crops), max_len+1) int32.'''
+        if not crops:
+            return np.zeros((0, self.max_len + 1), np.int32)
         out = []
         for lo in range(0, len(crops), self.max_batch):
             chunk = crops[lo:lo + self.max_batch]
@@ -129,9 +132,10 @@ class CaptionEngine:
                     attention_impl=self.attention_impl,
                     kv_int8=self.kv_int8)
                 toks = np.asarray(toks)[:len(chunk)]
-                self.n_batches += 1
-                self.n_requests += len(chunk)
-                self.n_rows_padded += Bb - len(chunk)
+                if _count:
+                    self.n_batches += 1
+                    self.n_requests += len(chunk)
+                    self.n_rows_padded += Bb - len(chunk)
             out.append(toks)
         return np.concatenate(out, axis=0)
 
@@ -140,11 +144,16 @@ class CaptionEngine:
         return [ints_to_sentence(row, self.vocab, self.end_token)
                 for row in toks]
 
-    def warmup(self, batch_sizes: Sequence[int] = (1, 8, 32, 64),
+    def warmup(self, batch_sizes: Sequence[int] = None,
                shapes: Sequence[tuple] = ((96, 256),)) -> int:
         '''Compile the (batch, Sv, Sa) grid ahead of traffic. ``shapes`` is
         (Sv, Sa) pairs — the real val_1 menu collapses to ~5 of them
-        (docs/DESIGN.md §2). Returns the number of executables compiled.'''
+        (docs/DESIGN.md §2). ``batch_sizes`` defaults to EVERY batch bucket
+        up to max_batch, so a warmed server never compiles in steady state.
+        Warmup decodes bypass the /stats counters. Returns the number of
+        executables compiled.'''
+        if batch_sizes is None:
+            batch_sizes = [b for b in BATCH_BUCKETS if b <= self.max_batch]
         n = 0
         for Sv, Sa in shapes:
             for b in batch_sizes:
@@ -153,7 +162,7 @@ class CaptionEngine:
                 crop = {'rgb': np.zeros((Sv, self.dims.d_vid), np.float32),
                         'flow': np.zeros((Sv, self.dims.d_vid), np.float32),
                         'audio': np.zeros((Sa, self.dims.d_aud), np.float32)}
-                self.caption_tokens([crop] * b)
+                self.caption_tokens([crop] * b, _count=False)
                 n += 1
         return n
 
@@ -208,7 +217,11 @@ class MicroBatcher:
                     if left <= 0:
                         break
                     self._mu.wait(timeout=left)
-                batch, self._pending = self._pending, []
+                # admit at most one device batch; later arrivals stay
+                # queued and are picked up (with fresh company) next round
+                take = self.engine.max_batch
+                batch = self._pending[:take]
+                del self._pending[:take]
             crops = [c for c, _ in batch]
             try:
                 sentences = self.engine.caption_crops(crops)
@@ -270,9 +283,14 @@ class _CaptionHandler(BaseHTTPRequestHandler):
         try:
             length = int(self.headers.get('Content-Length', 0))
             obj = json.loads(self.rfile.read(length))
+            if not isinstance(obj, dict):
+                raise ValueError('request body must be a JSON object')
             crop = _crop_from_json(obj, self.server.engine.dims)
-        except (ValueError, KeyError, json.JSONDecodeError) as e:
-            self._reply(400, {'error': str(e)})
+        except Exception as e:
+            # anything raised while interpreting client bytes is a client
+            # error (non-dict JSON, wrong nesting, ragged rows, non-numeric
+            # values, ...) — never drop the connection without a response
+            self._reply(400, {'error': f'{type(e).__name__}: {e}'})
             return
         try:
             sentence = self.server.batcher.caption(
@@ -299,6 +317,7 @@ class CaptionHTTPServer(ThreadingHTTPServer):
     def shutdown(self):
         super().shutdown()
         self.batcher.close()
+        self.server_close()  # release the listening socket
 
 
 # -- AOT export -----------------------------------------------------------

@@ -525,3 +525,51 @@ def save_torch_checkpoint(path: str, params: dict, meta: dict):
         'val_2_metrics': meta.get('val_2_metrics'),
         'trg_voc_size': meta.get('trg_voc_size'),
     }, path)
+
+
+def load_cap_checkpoint(path: str, train_meta_path: str = None):
+    '''Load a captioning checkpoint from either format; returns
+    (cfg, dims, params, vocab). Shared by the single-video app, the serving
+    CLI and embedding applications (reference analog:
+    sample/single_video_prediction.py:95-117 for the .pt side).
+
+    - ``path`` ending in ``.pt``: reference PyTorch pickle; the vocabulary
+      is rebuilt from ``train_meta_path`` and checked against the
+      checkpoint's embedding-table size (drift would garble decoded
+      captions).
+    - otherwise: native npz dir containing ``best_cap_model.*``; config and
+      vocab itos come from the meta JSON.
+    '''
+    from bmt_tpu.config import Config
+    from bmt_tpu.data.vocab import Vocab, build_vocab_from_meta
+    from bmt_tpu.models import CapModelDims, init_bimodal_transformer
+    import jax
+
+    if path.endswith('.pt'):
+        cpt = load_torch_checkpoint(path)
+        params, cfg_dict = import_cap_model(cpt)
+        cfg = Config.from_dict(cfg_dict)
+        assert train_meta_path, '.pt checkpoints need a train_meta_path ' \
+                                'to rebuild the vocabulary'
+        cfg.train_meta_path = train_meta_path
+        vocab = build_vocab_from_meta(train_meta_path, cfg.start_token,
+                                      cfg.end_token, cfg.pad_token,
+                                      cfg.min_freq_caps)
+        voc_size = cpt.get('trg_voc_size',
+                           params['emb_C']['table'].shape[0])
+        if len(vocab) != voc_size:
+            print(f'warning: rebuilt vocab size {len(vocab)} != checkpoint '
+                  f'voc size {voc_size}; tokenization drift possible',
+                  file=sys.stderr)
+        dims = CapModelDims.from_config(cfg,
+                                        params['emb_C']['table'].shape[0])
+        return cfg, dims, params, vocab
+
+    with open(os.path.join(path, 'best_cap_model.meta.json')) as f:
+        meta = json.load(f)
+    cfg = Config.from_dict(meta['config'])
+    vocab = Vocab(meta['vocab_itos'])
+    dims = CapModelDims.from_config(cfg, len(vocab))
+    template = init_bimodal_transformer(jax.random.PRNGKey(0), dims)
+    params = load_model_params(path, 'best_cap_model', template)
+    return cfg, dims, params, vocab

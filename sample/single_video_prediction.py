@@ -26,14 +26,13 @@ from bmt_tpu.config import Config
 from bmt_tpu.data.captioning import (AUDIO_BUCKETS, VIDEO_BUCKETS,
                                      bucket_len)
 from bmt_tpu.data.features import crop_a_segment, pad_segment, pad_stack_batch
-from bmt_tpu.data.vocab import Vocab, build_vocab_from_meta
 from bmt_tpu.decode import greedy_decode_bimodal
-from bmt_tpu.models import (CapModelDims, PropModelDims,
-                            init_bimodal_transformer,
+from bmt_tpu.models import (PropModelDims,
                             init_multimodal_proposal_generator,
                             multimodal_proposal_forward)
 from bmt_tpu.ops.masks import make_masks
-from bmt_tpu.train.checkpoint import (import_cap_model, import_prop_model,
+from bmt_tpu.train.checkpoint import (import_prop_model,
+                                      load_cap_checkpoint,
                                       load_model_params,
                                       load_torch_checkpoint)
 from bmt_tpu.train.loops import ints_to_sentence
@@ -90,32 +89,9 @@ def load_prop_model(prop_generator_model_path: str, max_prop_per_vid: int):
 
 
 def load_cap_model(pretrained_cap_model_path: str, train_meta_path: str):
-    '''Returns (cfg, dims, params, vocab).'''
-    if pretrained_cap_model_path.endswith('.pt'):
-        cpt = load_torch_checkpoint(pretrained_cap_model_path)
-        params, cfg_dict = import_cap_model(cpt)
-        cfg = Config.from_dict(cfg_dict)
-        cfg.train_meta_path = train_meta_path
-        vocab = build_vocab_from_meta(train_meta_path, cfg.start_token,
-                                      cfg.end_token, cfg.pad_token,
-                                      cfg.min_freq_caps)
-        voc_size = cpt.get('trg_voc_size', len(vocab))
-        if len(vocab) != voc_size:
-            print(f'warning: rebuilt vocab size {len(vocab)} != checkpoint '
-                  f'voc size {voc_size}; tokenization drift possible')
-    else:
-        with open(os.path.join(pretrained_cap_model_path,
-                               'best_cap_model.meta.json')) as f:
-            meta = json.load(f)
-        cfg = Config.from_dict(meta['config'])
-        vocab = Vocab(meta['vocab_itos'])
-        dims = CapModelDims.from_config(cfg, len(vocab))
-        template = init_bimodal_transformer(jax.random.PRNGKey(0), dims)
-        params = load_model_params(pretrained_cap_model_path,
-                                   'best_cap_model', template)
-        return cfg, dims, params, vocab
-    dims = CapModelDims.from_config(cfg, params['emb_C']['table'].shape[0])
-    return cfg, dims, params, vocab
+    '''Returns (cfg, dims, params, vocab) — shared dual-format loader
+    (reference: single_video_prediction.py:92-117).'''
+    return load_cap_checkpoint(pretrained_cap_model_path, train_meta_path)
 
 
 def generate_proposals(prop_params, prop_dims, feature_paths, pad_idx,

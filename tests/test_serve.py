@@ -79,16 +79,18 @@ def test_microbatcher_coalesces_and_resolves(engine):
     crops = [_crop(rng, 6, 6) for _ in range(8)]
     direct = engine.caption_crops(crops)
 
-    batcher = MicroBatcher(engine, max_wait_ms=200.0)
+    # max_wait >> submit time and len(crops) == max_batch: the worker fires
+    # exactly once with all 8, so the comparison runs at identical shapes
+    # (token parity is only defined at identical shapes — see above)
+    batcher = MicroBatcher(engine, max_wait_ms=30_000.0)
     before = engine.n_batches
     try:
         futs = [batcher.submit(c) for c in crops]
-        got = [f.result(timeout=60) for f in futs]
+        got = [f.result(timeout=120) for f in futs]
     finally:
         batcher.close()
     assert got == direct
-    # 8 concurrent requests must ride fewer device batches than requests
-    assert engine.n_batches - before < 8
+    assert engine.n_batches - before == 1
 
 
 def test_microbatcher_propagates_errors(engine):
@@ -168,10 +170,38 @@ def test_export_decode_roundtrip(engine):
 
 
 def test_warmup_compiles_grid(engine):
-    before = engine.n_batches
+    before = engine.stats()
     n = engine.warmup(batch_sizes=(1, 2), shapes=((4, 4),))
     assert n == 2
-    assert engine.n_batches - before == 2
+    assert engine.stats() == before  # warmup never pollutes /stats
+
+
+def test_engine_empty_input(engine):
+    toks = engine.caption_tokens([])
+    assert toks.shape == (0, MAX_LEN + 1)
+    assert engine.caption_crops([]) == []
+
+
+def test_http_rejects_non_dict_json(engine):
+    '''Malformed-but-valid JSON gets a 400 response, never a dropped
+    connection.'''
+    server = CaptionHTTPServer(('127.0.0.1', 0), engine, max_wait_ms=1.0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        for body in (b'[1,2,3]', b'{"features": null}',
+                     b'{"features": "rgbflowaudio"}',
+                     b'{"features": {"rgb": {"a": 1}, "flow": [[1]], '
+                     b'"audio": [[1]]}}'):
+            req = urllib.request.Request(
+                f'http://127.0.0.1:{port}/caption', data=body,
+                headers={'Content-Type': 'application/json'})
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req, timeout=30)
+            assert ei.value.code == 400, body
+    finally:
+        server.shutdown()
 
 
 def test_serve_cli_with_native_checkpoint(tmp_path):
