@@ -45,6 +45,11 @@ def build_parser():
     p.add_argument('--warmup_batches', default='1,2,4,8,16,32,64',
                    help='every batch bucket <= max_batch, so steady '
                         'state never compiles')
+    p.add_argument('--prop_generator_model_path', default=None,
+                   help='also load a proposal checkpoint and expose the '
+                        'full two-stage pipeline at POST /predict')
+    p.add_argument('--max_prop_per_vid', type=int, default=100)
+    p.add_argument('--nms_tiou_thresh', type=float, default=None)
     return p
 
 
@@ -70,8 +75,20 @@ def main(argv=None, block=True):
     n = engine.warmup(batch_sizes=batches, shapes=shapes)
     print(f'warmed {n} executables over shapes={shapes} batches={batches}')
 
+    pipeline = None
+    if args.prop_generator_model_path:
+        from bmt_tpu.serve import VideoPipeline
+        from bmt_tpu.train.checkpoint import load_prop_checkpoint
+        prop_cfg, prop_dims, prop_params = load_prop_checkpoint(
+            args.prop_generator_model_path, args.max_prop_per_vid)
+        pipeline = VideoPipeline(engine, prop_params, prop_dims, prop_cfg,
+                                 nms_tiou=args.nms_tiou_thresh)
+        print(f'two-stage pipeline enabled at /predict '
+              f'(max {args.max_prop_per_vid} proposals/video)')
+
     server = CaptionHTTPServer((args.host, args.port), engine,
-                               max_wait_ms=args.max_wait_ms)
+                               max_wait_ms=args.max_wait_ms,
+                               pipeline=pipeline)
     print(f'serving on http://{args.host}:{server.server_address[1]}')
     if not block:
         return server

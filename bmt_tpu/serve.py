@@ -239,6 +239,74 @@ class MicroBatcher:
         self._worker.join()
 
 
+class VideoPipeline:
+    '''The full dense-captioning pipeline as a service: full-video features
+    -> proposal generator -> per-segment crops -> caption engine. This is
+    the sample app (reference: single_video_prediction.py:279-316) recast
+    for serving: the proposal forward is jitted once at the fixed padded
+    shapes and segment captioning rides the shared micro-batching engine.
+    '''
+
+    def __init__(self, engine: CaptionEngine, prop_params, prop_dims,
+                 prop_cfg, nms_tiou: Optional[float] = None):
+        import jax as _jax
+        from bmt_tpu.models import multimodal_proposal_forward
+        from bmt_tpu.ops.masks import make_masks as _make_masks
+        self.engine = engine
+        self.prop_params = prop_params
+        self.pad_feats = prop_cfg.pad_feats_up_to   # {'audio': S, 'video': S}
+        self.max_props = prop_cfg.max_prop_per_vid
+        self.modality = prop_cfg.modality
+        self.nms_tiou = nms_tiou
+        self._make_masks = _make_masks
+        self._fwd = _jax.jit(
+            lambda p, s, m: multimodal_proposal_forward(
+                p, prop_dims, s, None, m, deterministic=True)[0])
+
+    def predict(self, feats: Dict[str, np.ndarray], duration: float,
+                nms_tiou: Optional[float] = None) -> List[dict]:
+        '''feats: full-video {'rgb','flow','audio'} (s, D) arrays; returns
+        [{'start', 'end', 'sentence'}, ...] sorted by confidence.'''
+        from bmt_tpu.data.features import crop_a_segment, pad_segment
+        from bmt_tpu.utils.proposal_utils import (
+            get_corner_coords, non_max_suppression,
+            remove_very_short_segments, select_topk_predictions,
+            trim_proposals)
+
+        pad_idx = self.engine.pad_idx
+        stacks = {
+            'audio': jnp.asarray(pad_segment(
+                feats['audio'], self.pad_feats['audio'], pad_idx)[None]),
+            'rgb': jnp.asarray(pad_segment(
+                feats['rgb'], self.pad_feats['video'], pad_idx)[None]),
+            'flow': jnp.asarray(pad_segment(
+                feats['flow'], self.pad_feats['video'], 0.0)[None]),
+        }
+        masks = self._make_masks(stacks, None, self.modality, pad_idx)
+        with self.engine._lock:
+            preds = np.asarray(self._fwd(self.prop_params, stacks, masks))
+        preds = get_corner_coords(preds)
+        preds = trim_proposals(preds, [duration])
+        preds = remove_very_short_segments(preds, 0.2)
+        preds = select_topk_predictions(preds, k=self.max_props)
+        tiou = nms_tiou if nms_tiou is not None else self.nms_tiou
+        segments = preds.reshape(-1, 3)
+        if tiou is not None:
+            segments = non_max_suppression(segments, tiou)
+
+        crops, kept = [], []
+        for start, end, conf in segments:
+            crop = {k: crop_a_segment(feats[k], float(start), float(end),
+                                      duration) for k in feats}
+            if any(v is None for v in crop.values()):
+                continue   # degenerate zero-length crop (reference skips)
+            crops.append(crop)
+            kept.append((float(start), float(end)))
+        sentences = self.engine.caption_crops(crops)
+        return [{'start': round(s, 1), 'end': round(e, 1), 'sentence': sent}
+                for (s, e), sent in zip(kept, sentences)]
+
+
 # -- HTTP front-end -------------------------------------------------------
 
 
@@ -277,7 +345,15 @@ class _CaptionHandler(BaseHTTPRequestHandler):
             self._reply(404, {'error': f'unknown path {self.path}'})
 
     def do_POST(self):
-        if self.path != '/caption':
+        if self.path == '/caption':
+            handler, payload_key = self._handle_caption, 'sentence'
+        elif self.path == '/predict':
+            if self.server.pipeline is None:
+                self._reply(404, {'error': 'no proposal model loaded '
+                                           '(--prop_generator_model_path)'})
+                return
+            handler, payload_key = self._handle_predict, 'results'
+        else:
             self._reply(404, {'error': f'unknown path {self.path}'})
             return
         try:
@@ -285,20 +361,34 @@ class _CaptionHandler(BaseHTTPRequestHandler):
             obj = json.loads(self.rfile.read(length))
             if not isinstance(obj, dict):
                 raise ValueError('request body must be a JSON object')
-            crop = _crop_from_json(obj, self.server.engine.dims)
         except Exception as e:
-            # anything raised while interpreting client bytes is a client
-            # error (non-dict JSON, wrong nesting, ragged rows, non-numeric
-            # values, ...) — never drop the connection without a response
             self._reply(400, {'error': f'{type(e).__name__}: {e}'})
             return
         try:
-            sentence = self.server.batcher.caption(
-                crop, timeout=self.server.request_timeout)
+            result = handler(obj)
+        except (ValueError, KeyError, TypeError) as e:
+            # anything raised while interpreting client values is a client
+            # error (wrong nesting, ragged rows, non-numeric, missing keys)
+            self._reply(400, {'error': f'{type(e).__name__}: {e}'})
+            return
         except Exception as e:
             self._reply(500, {'error': f'{type(e).__name__}: {e}'})
             return
-        self._reply(200, {'sentence': sentence})
+        self._reply(200, {payload_key: result})
+
+    def _handle_caption(self, obj: dict):
+        crop = _crop_from_json(obj, self.server.engine.dims)
+        return self.server.batcher.caption(
+            crop, timeout=self.server.request_timeout)
+
+    def _handle_predict(self, obj: dict):
+        feats = _crop_from_json(obj, self.server.engine.dims)
+        duration = float(obj['duration'])
+        if duration <= 0:
+            raise ValueError('duration must be positive')
+        nms = obj.get('nms_tiou')
+        return self.server.pipeline.predict(
+            feats, duration, None if nms is None else float(nms))
 
     def log_message(self, *args):  # quiet by default
         pass
@@ -308,11 +398,13 @@ class CaptionHTTPServer(ThreadingHTTPServer):
     daemon_threads = True
 
     def __init__(self, addr, engine: CaptionEngine,
-                 max_wait_ms: float = 5.0, request_timeout: float = 120.0):
+                 max_wait_ms: float = 5.0, request_timeout: float = 120.0,
+                 pipeline: Optional[VideoPipeline] = None):
         super().__init__(addr, _CaptionHandler)
         self.engine = engine
         self.batcher = MicroBatcher(engine, max_wait_ms)
         self.request_timeout = request_timeout
+        self.pipeline = pipeline
 
     def shutdown(self):
         super().shutdown()

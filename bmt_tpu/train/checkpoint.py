@@ -573,3 +573,36 @@ def load_cap_checkpoint(path: str, train_meta_path: str = None):
     template = init_bimodal_transformer(jax.random.PRNGKey(0), dims)
     params = load_model_params(path, 'best_cap_model', template)
     return cfg, dims, params, vocab
+
+
+def load_prop_checkpoint(path: str, max_prop_per_vid: int = None):
+    '''Load a proposal-generator checkpoint (.pt or native npz dir);
+    returns (cfg, dims, params) with anchors included (reference analog:
+    sample/single_video_prediction.py:66-91).'''
+    from bmt_tpu.config import Config
+    from bmt_tpu.models import (PropModelDims,
+                                init_multimodal_proposal_generator)
+    import jax
+    import jax.numpy as jnp
+
+    if path.endswith('.pt'):
+        cpt = load_torch_checkpoint(path)
+        params, cfg_dict = import_prop_model(cpt)
+    else:
+        with open(os.path.join(path, 'best_prop_model.meta.json')) as f:
+            meta = json.load(f)
+        cfg_dict = meta['config']
+        cfg_tmp = Config.from_dict(cfg_dict)
+        dims_tmp = PropModelDims.from_config(cfg_tmp)
+        template = init_multimodal_proposal_generator(jax.random.PRNGKey(0),
+                                                      dims_tmp)
+        template['anchors_A'] = jnp.zeros(
+            (cfg_dict['anchors_num_audio'],), jnp.float32)
+        template['anchors_V'] = jnp.zeros(
+            (cfg_dict['anchors_num_video'],), jnp.float32)
+        params = load_model_params(path, 'best_prop_model', template)
+    if max_prop_per_vid is not None:
+        cfg_dict['max_prop_per_vid'] = max_prop_per_vid
+    cfg = Config.from_dict(cfg_dict)
+    dims = PropModelDims.from_config(cfg)
+    return cfg, dims, params

@@ -22,19 +22,14 @@ sys.path.insert(1, os.path.join(sys.path[0], '..'))
 import jax
 import jax.numpy as jnp
 
-from bmt_tpu.config import Config
 from bmt_tpu.data.captioning import (AUDIO_BUCKETS, VIDEO_BUCKETS,
                                      bucket_len)
 from bmt_tpu.data.features import crop_a_segment, pad_segment, pad_stack_batch
 from bmt_tpu.decode import greedy_decode_bimodal
-from bmt_tpu.models import (PropModelDims,
-                            init_multimodal_proposal_generator,
-                            multimodal_proposal_forward)
+from bmt_tpu.models import multimodal_proposal_forward
 from bmt_tpu.ops.masks import make_masks
-from bmt_tpu.train.checkpoint import (import_prop_model,
-                                      load_cap_checkpoint,
-                                      load_model_params,
-                                      load_torch_checkpoint)
+from bmt_tpu.train.checkpoint import (load_cap_checkpoint,
+                                      load_prop_checkpoint)
 from bmt_tpu.train.loops import ints_to_sentence
 from bmt_tpu.utils.proposal_utils import (get_corner_coords,
                                           non_max_suppression,
@@ -63,29 +58,9 @@ def load_features_from_npy(feature_paths, start, end, duration, pad_idx,
 
 
 def load_prop_model(prop_generator_model_path: str, max_prop_per_vid: int):
-    '''Returns (cfg-like dict, dims, params). Accepts .pt or npz dir.'''
-    if prop_generator_model_path.endswith('.pt'):
-        cpt = load_torch_checkpoint(prop_generator_model_path)
-        params, cfg_dict = import_prop_model(cpt)
-    else:
-        with open(os.path.join(prop_generator_model_path,
-                               'best_prop_model.meta.json')) as f:
-            meta = json.load(f)
-        cfg_dict = meta['config']
-        cfg_tmp = Config.from_dict(cfg_dict)
-        dims_tmp = PropModelDims.from_config(cfg_tmp)
-        template = init_multimodal_proposal_generator(jax.random.PRNGKey(0),
-                                                      dims_tmp)
-        template['anchors_A'] = jnp.zeros(
-            (cfg_dict['anchors_num_audio'],), jnp.float32)
-        template['anchors_V'] = jnp.zeros(
-            (cfg_dict['anchors_num_video'],), jnp.float32)
-        params = load_model_params(prop_generator_model_path,
-                                   'best_prop_model', template)
-    cfg_dict['max_prop_per_vid'] = max_prop_per_vid
-    cfg = Config.from_dict(cfg_dict)
-    dims = PropModelDims.from_config(cfg)
-    return cfg, dims, params
+    '''Returns (cfg, dims, params) — shared dual-format loader
+    (reference: single_video_prediction.py:28-77).'''
+    return load_prop_checkpoint(prop_generator_model_path, max_prop_per_vid)
 
 
 def load_cap_model(pretrained_cap_model_path: str, train_meta_path: str):

@@ -249,3 +249,105 @@ def test_serve_cli_with_native_checkpoint(tmp_path):
             assert isinstance(json.load(r)['sentence'], str)
     finally:
         server.shutdown()
+
+
+def test_video_pipeline_predict(engine):
+    '''Full two-stage pipeline: proposal model -> crops -> captions.'''
+    from types import SimpleNamespace
+    from bmt_tpu.models import (PropModelDims,
+                                init_multimodal_proposal_generator)
+    from bmt_tpu.serve import VideoPipeline
+
+    prop_dims = PropModelDims(
+        d_model_A=8, d_model_V=12, d_model=16, H=2, N=1, d_ff_A=16,
+        d_ff_V=24, kernel_sizes_A=(3,), kernel_sizes_V=(3,),
+        conv_layers_A=(16,), conv_layers_V=(16,),
+        anchors_num_A=2, anchors_num_V=2, dout_p=0.1,
+        d_vid=DIMS.d_vid, d_aud=DIMS.d_aud, use_linear_embedder=True)
+    prop_params = init_multimodal_proposal_generator(
+        jax.random.PRNGKey(1), prop_dims)
+    prop_params['anchors_A'] = jnp.asarray([2.0, 6.0])
+    prop_params['anchors_V'] = jnp.asarray([3.0, 9.0])
+    prop_cfg = SimpleNamespace(
+        pad_feats_up_to={'audio': 16, 'video': 12},
+        max_prop_per_vid=5, modality='audio_video')
+
+    pipeline = VideoPipeline(engine, prop_params, prop_dims, prop_cfg)
+    rng = np.random.default_rng(7)
+    feats = {'rgb': rng.normal(size=(10, DIMS.d_vid)).astype(np.float32),
+             'flow': rng.normal(size=(10, DIMS.d_vid)).astype(np.float32),
+             'audio': rng.normal(size=(14, DIMS.d_aud)).astype(np.float32)}
+    results = pipeline.predict(feats, duration=30.0)
+    assert 0 < len(results) <= 5
+    for r in results:
+        assert set(r) == {'start', 'end', 'sentence'}
+        assert 0.0 <= r['start'] <= r['end'] <= 30.0
+        assert isinstance(r['sentence'], str)
+    # NMS with a tight threshold can only shrink the proposal set
+    nms_results = pipeline.predict(feats, duration=30.0, nms_tiou=0.01)
+    assert len(nms_results) <= len(results)
+
+
+def test_http_predict_endpoint(engine):
+    from types import SimpleNamespace
+    from bmt_tpu.models import (PropModelDims,
+                                init_multimodal_proposal_generator)
+    from bmt_tpu.serve import VideoPipeline
+
+    prop_dims = PropModelDims(
+        d_model_A=8, d_model_V=12, d_model=16, H=2, N=1, d_ff_A=16,
+        d_ff_V=24, kernel_sizes_A=(3,), kernel_sizes_V=(3,),
+        conv_layers_A=(16,), conv_layers_V=(16,),
+        anchors_num_A=2, anchors_num_V=2, dout_p=0.1,
+        d_vid=DIMS.d_vid, d_aud=DIMS.d_aud, use_linear_embedder=True)
+    prop_params = init_multimodal_proposal_generator(
+        jax.random.PRNGKey(1), prop_dims)
+    prop_params['anchors_A'] = jnp.asarray([2.0, 6.0])
+    prop_params['anchors_V'] = jnp.asarray([3.0, 9.0])
+    prop_cfg = SimpleNamespace(
+        pad_feats_up_to={'audio': 16, 'video': 12},
+        max_prop_per_vid=4, modality='audio_video')
+    pipeline = VideoPipeline(engine, prop_params, prop_dims, prop_cfg)
+
+    server = CaptionHTTPServer(('127.0.0.1', 0), engine, max_wait_ms=1.0,
+                               pipeline=pipeline)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        rng = np.random.default_rng(8)
+        feats = {k: rng.normal(size=(10, d)).tolist()
+                 for k, d in (('rgb', DIMS.d_vid), ('flow', DIMS.d_vid),
+                              ('audio', DIMS.d_aud))}
+        req = urllib.request.Request(
+            f'http://127.0.0.1:{port}/predict',
+            data=json.dumps({'features': feats, 'duration': 20.0}).encode(),
+            headers={'Content-Type': 'application/json'})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            results = json.load(r)['results']
+        assert results and all('sentence' in x for x in results)
+
+        # missing duration -> 400
+        req = urllib.request.Request(
+            f'http://127.0.0.1:{port}/predict',
+            data=json.dumps({'features': feats}).encode(),
+            headers={'Content-Type': 'application/json'})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
+    finally:
+        server.shutdown()
+
+
+def test_http_predict_without_pipeline_404(engine):
+    server = CaptionHTTPServer(('127.0.0.1', 0), engine, max_wait_ms=1.0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        req = urllib.request.Request(
+            f'http://127.0.0.1:{port}/predict', data=b'{}',
+            headers={'Content-Type': 'application/json'})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 404
+    finally:
+        server.shutdown()
