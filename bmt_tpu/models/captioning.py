@@ -240,7 +240,7 @@ def init_unimodal_transformer(key, dims: CapModelDims,
     '''Uni-modal captioner: shares d_model between src features and captions
     (reference: captioning_module.py:22-41 — trg_emb uses the *modality*
     d_model, not d_model_caps).'''
-    d_model = dims.d_model_V if dims.modality == 'video' else dims.d_model_A
+    d_model = _unimodal_d_model(dims)
     d_ff = dims.d_ff_V if dims.modality == 'video' else dims.d_ff_A
     d_feat = dims.d_vid if dims.modality == 'video' else dims.d_aud
     ks = jax.random.split(key, 5)
@@ -265,13 +265,12 @@ def unimodal_transformer_forward(params, dims: CapModelDims, src: dict,
     if dims.modality == 'audio':
         x = src['audio']
         src_mask = masks['A_mask']
-        d_model = dims.d_model_A
     elif dims.modality == 'video':
         x = src['rgb'] + src['flow']
         src_mask = masks['V_mask']
-        d_model = dims.d_model_V
     else:
         raise ValueError(dims.modality)
+    d_model = _unimodal_d_model(dims)
     trg_mask = masks['C_mask']
 
     pe = jnp.asarray(positional_encoding_table(POS_ENC_LEN, d_model))

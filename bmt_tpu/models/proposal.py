@@ -174,12 +174,17 @@ def yolo_decode(raw: jnp.ndarray, anchors: jnp.ndarray, stride: float):
     l = x[..., 1]
     sigma_o = jax.nn.sigmoid(x[..., 2])
 
-    grid = jnp.arange(S, dtype=raw.dtype)[None, None, :]
-    prior = (anchors / stride).astype(raw.dtype)[None, :, None]
+    # world-coordinate decode runs in float32 regardless of compute dtype:
+    # a bf16 grid misrounds integer cells >= 257 (799 -> 800) and
+    # (sigma_c + grid) in bf16 swallows the sub-cell offset entirely past
+    # cell 512 — centers would drift by whole cells at Sa=800
+    grid = jnp.arange(S, dtype=jnp.float32)[None, None, :]
+    prior = (anchors / stride).astype(jnp.float32)[None, :, None]
 
-    center = (sigma_c + grid) * stride
-    length = prior * jnp.exp(l) * stride
-    preds = jnp.stack([center, length, sigma_o], axis=-1)  # (B, A, S, 3)
+    center = (sigma_c.astype(jnp.float32) + grid) * stride
+    length = prior * jnp.exp(l.astype(jnp.float32)) * stride
+    preds = jnp.stack([center, length, sigma_o.astype(jnp.float32)],
+                      axis=-1)                             # (B, A, S, 3)
     return {
         'sigma_c': sigma_c, 'l': l, 'sigma_o': sigma_o,
         'predictions': preds.reshape(B, A * S, 3),
@@ -224,13 +229,26 @@ def make_targets_dense(centers: jnp.ndarray, lengths: jnp.ndarray,
 
     batch_ix = jnp.arange(B, dtype=jnp.int32)[:, None].repeat(E, axis=1)
 
+    # Two GT events can land in the same (anchor, cell); the reference's
+    # sequential loop overwrites, so the LAST event wins deterministically
+    # (proposal_generator.py:427-447). A plain scatter-set with duplicate
+    # indices has unspecified write order in XLA, so first resolve each
+    # cell's winner with an associative max-scatter over event order, then
+    # route every losing event to the trash column — all real-cell writes
+    # are then unique.
+    order = jnp.arange(1, E + 1, dtype=jnp.int32)[None, :].repeat(B, axis=0)
+    order = jnp.where(valid, order, 0)
+    owner = jnp.zeros((B, A, S + 1), jnp.int32)
+    owner = owner.at[batch_ix, best_anchor, gt_cell].max(order)
+    is_winner = owner[batch_ix, best_anchor, gt_cell] == order
+    gt_cell = jnp.where(is_winner & valid, gt_cell, S)
+
     def scatter(values, init):
         buf = jnp.full((B, A, S + 1), init, values.dtype)
         buf = buf.at[batch_ix, best_anchor, gt_cell].set(values)
         return buf[:, :, :S]
 
-    ones = jnp.ones((B, E), jnp.float32)
-    obj_mask = scatter(ones, 0.0) > 0.5
+    obj_mask = owner[:, :, :S] > 0
     noobj_mask = jnp.logical_not(obj_mask)
 
     tx = gt_x - jnp.floor(gt_x)                             # center shift
@@ -264,8 +282,9 @@ def yolo_losses(decoded: dict, targets: tuple, obj_coeff: float,
     loss_x = _masked_mean(jnp.square(decoded['sigma_c'] - target_x), obj)
     loss_w = _masked_mean(jnp.square(decoded['l'] - target_w), obj)
     # gt objectness is obj_mask itself: 1 on obj cells, 0 elsewhere
-    loss_obj = _masked_mean(_bce(decoded['sigma_o'], obj), obj)
-    loss_noobj = _masked_mean(_bce(decoded['sigma_o'], obj), noobj)
+    bce_o = _bce(decoded['sigma_o'], obj)
+    loss_obj = _masked_mean(bce_o, obj)
+    loss_noobj = _masked_mean(bce_o, noobj)
 
     loss = loss_x + loss_w + obj_coeff * loss_obj + noobj_coeff * loss_noobj
     return loss, {'loss_x': loss_x, 'loss_w': loss_w,

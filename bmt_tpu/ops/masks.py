@@ -73,8 +73,12 @@ def make_masks(feature_stacks: dict, captions, modality: str, pad_idx) -> dict:
                 feature_stacks['rgb'][:, :, 0], captions, pad_idx)
             masks['A_mask'] = mask(feature_stacks['audio'][:, :, 0], None, pad_idx)
     elif modality == 'subs_audio_video':
-        masks['V_mask'], masks['C_mask'] = mask(
-            feature_stacks['rgb'][:, :, 0], captions, pad_idx)
+        if captions is None:
+            masks['V_mask'] = mask(feature_stacks['rgb'][:, :, 0], None,
+                                   pad_idx)
+        else:
+            masks['V_mask'], masks['C_mask'] = mask(
+                feature_stacks['rgb'][:, :, 0], captions, pad_idx)
         masks['A_mask'] = mask(feature_stacks['audio'][:, :, 0], None, pad_idx)
         masks['S_mask'] = mask(feature_stacks['subs'], None, pad_idx)
     else:

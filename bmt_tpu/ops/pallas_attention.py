@@ -12,8 +12,18 @@ dispatch:
   for longer sequences the key/value axis is streamed in ``bk``-column
   blocks with running row-max/row-sum rescaling carried in VMEM scratch, so
   VMEM use is O(Sq·(d + bk)) regardless of Sk. Selected automatically when
-  the logits would not fit (``_SINGLE_BLOCK_MAX_LOGITS``), or forced via
+  the logits (``_SINGLE_BLOCK_MAX_LOGITS``) or the k/v pair
+  (``_SINGLE_BLOCK_MAX_KV_BYTES``) would not fit, or forced via
   ``flash_attention(block_k=...)``.
+
+Scope note on the backward: the custom VJP recomputes the standard
+attention gradient in plain XLA, materializing the (B, H, Sq, Sk) fp32
+logits in HBM. That is fine at every BMT training shape (Sk <= 800) and
+measured no slower than XLA's own backward there, but it means the
+'no sequence-length limit' property is FORWARD-ONLY: differentiating at
+say S = 4096+ costs O(S^2) HBM and will OOM long before the tiled forward
+does. A tiled backward kernel is the known next step if training at such
+lengths is ever needed.
 
 Mask handling: BMT uses exactly two mask families
 (reference: model/masking.py) —
@@ -81,6 +91,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, kmask_ref, o_ref, *, causal: bool):
 # kernel would not fit comfortably in ~16 MB VMEM next to q/k/v/acc: switch
 # to the tiled online-softmax kernel. 1536^2 fp32 = 9.4 MB (measured OK).
 _SINGLE_BLOCK_MAX_LOGITS = 1536 * 1536
+_SINGLE_BLOCK_MAX_KV_BYTES = 8 * 1024 * 1024   # k+v per (b, h) in VMEM
 
 
 def _attn_kernel_tiled(q_ref, k_ref, v_ref, kmask_ref, o_ref,
@@ -246,7 +257,14 @@ def _flash_attention_impl(q, k, v, key_mask, causal: bool, interpret: bool):
 def _flash_attention_vjp(q, k, v, key_mask, causal, block_k):
     interpret = jax.default_backend() != 'tpu'
     Sq, Sk = q.shape[2], k.shape[2]
-    if block_k is None and Sq * Sk > _SINGLE_BLOCK_MAX_LOGITS:
+    d = q.shape[-1]
+    # the single-block kernel holds the (Sq, Sk) fp32 logits AND the whole
+    # (Sk, d) k/v pair in VMEM per (b, h) instance — either can overflow
+    # alone (small-Sq/huge-Sk inputs pass the logits bound but not the k/v
+    # one), so both are checked
+    kv_bytes = 2 * Sk * d * q.dtype.itemsize
+    if block_k is None and (Sq * Sk > _SINGLE_BLOCK_MAX_LOGITS
+                            or kv_bytes > _SINGLE_BLOCK_MAX_KV_BYTES):
         block_k = 512
     if block_k is not None:
         return _flash_attention_tiled(q, k, v, key_mask, causal, interpret,

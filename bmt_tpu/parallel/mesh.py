@@ -60,10 +60,11 @@ def make_mesh(dp: Optional[int] = None, mp: int = 1,
     devices = devices if devices is not None else jax.devices()
     if dp is None:
         dp = len(devices) // mp
-    if dp * mp > len(devices):
+    if dp < 1 or mp < 1 or dp * mp > len(devices):
         raise ValueError(
-            f'mesh dp={dp} x mp={mp} needs {dp * mp} devices but only '
-            f'{len(devices)} are available (check --dp_devices)')
+            f'mesh dp={dp} x mp={mp} needs {max(dp, 1) * max(mp, 1)} '
+            f'devices but only {len(devices)} are available '
+            f'(check --dp_devices / mp)')
     if dp * mp < len(devices):
         import sys
         print(f'NOTE: building a dp{dp}xmp{mp} mesh on {dp * mp} of '

@@ -144,3 +144,18 @@ def test_mha_causal_mask(rng):
     theirs = t_mha(p, torch.from_numpy(x), torch.from_numpy(x),
                    torch.from_numpy(x), torch.from_numpy(causal), H).numpy()
     np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_make_masks_subs_modality_without_captions():
+    '''The subs_audio_video branch must guard captions=None like the other
+    modalities (previously it unpacked a single mask array).'''
+    import numpy as np
+    from bmt_tpu.ops.masks import make_masks
+    B = 3  # != 2, which would silently mis-unpack in the old code
+    stacks = {'rgb': jnp.ones((B, 5, 4)), 'flow': jnp.ones((B, 5, 4)),
+              'audio': jnp.ones((B, 6, 2)), 'subs': jnp.ones((B, 4))}
+    masks = make_masks(stacks, None, 'subs_audio_video', pad_idx=0)
+    assert masks['V_mask'].shape == (B, 1, 5)
+    assert masks['A_mask'].shape == (B, 1, 6)
+    assert masks['S_mask'].shape == (B, 1, 4)
+    assert 'C_mask' not in masks

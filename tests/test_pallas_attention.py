@@ -180,3 +180,20 @@ def test_auto_dispatch_picks_tiled_beyond_vmem_limit(rng):
                                    atol=1e-5)
     finally:
         pa._SINGLE_BLOCK_MAX_LOGITS = old
+
+
+def test_auto_dispatch_keys_on_kv_bytes_too(rng):
+    '''Small-Sq/large-Sk inputs pass the logits bound but would blow VMEM
+    on the k/v pair; the dispatch must also key on kv bytes.'''
+    from bmt_tpu.ops import pallas_attention as pa
+    old = pa._SINGLE_BLOCK_MAX_KV_BYTES
+    pa._SINGLE_BLOCK_MAX_KV_BYTES = 2 * 256 * 8 * 4     # force the switch
+    try:
+        B, H, Sq, Sk, d = 1, 1, 4, 300, 8               # Sq*Sk tiny
+        q, k, v = _rand_qkv(rng, B, H, Sq, Sk, d)
+        ours = flash_attention(q, k, v, None)
+        ref = scaled_dot_attention(q, k, v, None)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   atol=1e-5)
+    finally:
+        pa._SINGLE_BLOCK_MAX_KV_BYTES = old

@@ -131,3 +131,12 @@ def test_shard_batch_places_on_dp(rng):
     # batch axis split over 8 devices
     shard_shapes = {s.data.shape for s in batch['src']['rgb'].addressable_shards}
     assert shard_shapes == {(1, 5, 8)}
+
+
+def test_make_mesh_rejects_oversized_and_zero_dp():
+    import pytest
+    from bmt_tpu.parallel import make_mesh
+    with pytest.raises(ValueError):
+        make_mesh(mp=16)            # mp > devices -> dp would be 0
+    with pytest.raises(ValueError):
+        make_mesh(dp=5, mp=2)       # 10 > 8 virtual devices

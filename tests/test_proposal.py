@@ -148,3 +148,46 @@ def test_proposal_grads_flow_not_into_anchors(rng):
     # but head weights do receive gradient
     g = grads['heads_A'][0]['convs'][0]['w']
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_make_targets_dense_duplicate_cells_last_event_wins():
+    '''Two valid GT events landing in the same (anchor, cell) must resolve
+    deterministically to the LAST event, matching the reference's
+    sequential overwrite (proposal_generator.py:427-447; numpy fancy
+    assignment in t_make_targets is also last-wins).'''
+    stride, S, A_n = 2.0, 8, 2
+    anchors = np.asarray([4.0, 12.0], np.float32)
+    # events 0 and 2 share cell 3 and the same best anchor; event 2 is last
+    centers = np.asarray([[6.2, 10.0, 7.8]], np.float32)
+    lengths = np.asarray([[4.0, 5.0, 4.5]], np.float32)
+    valid = np.ones((1, 3), bool)
+    ragged = np.asarray([[0, 6.2, 4.0], [0, 10.0, 5.0], [0, 7.8, 4.5]],
+                        np.float32)
+
+    obj_ref, noobj_ref, tx_ref, tw_ref = t_make_targets(
+        (1, A_n, S), ragged, anchors, stride)
+    obj, noobj, tx, tw = jax.jit(partial(make_targets_dense, stride=stride,
+                                         S=S))(
+        jnp.asarray(centers), jnp.asarray(lengths), jnp.asarray(valid),
+        jnp.asarray(anchors))
+
+    # sanity: the collision actually happens
+    assert int(np.asarray(obj).sum()) == 2 < 3
+    np.testing.assert_array_equal(np.asarray(obj), obj_ref)
+    np.testing.assert_allclose(np.asarray(tx), tx_ref, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(tw), tw_ref, atol=1e-6)
+
+
+def test_yolo_decode_fp32_grid_under_bf16():
+    '''World-coordinate decode must not inherit bf16's integer resolution:
+    at S=800, a bf16 grid rounds cell 799 to 800 and swallows sub-cell
+    offsets past cell 512.'''
+    S, A_n, stride = 800, 1, 0.96
+    anchors = jnp.asarray([2.0])
+    raw = jnp.zeros((1, S, 3), jnp.bfloat16)   # sigmoid(0) = 0.5 offset
+    d = jax.jit(partial(yolo_decode, stride=stride))(raw, anchors)
+    preds = np.asarray(d['predictions']).reshape(A_n, S, 3)
+    assert preds.dtype == np.float32
+    centers = preds[0, :, 0]
+    np.testing.assert_allclose(centers,
+                               (np.arange(S) + 0.5) * stride, rtol=1e-6)
