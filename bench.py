@@ -68,9 +68,8 @@ def _time_best(fn, iters, reps):
 def main():
     import jax
     import jax.numpy as jnp
-    jax.config.update('jax_compilation_cache_dir',
-                      os.path.join(os.path.dirname(__file__), '.jax_cache'))
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+    from bmt_tpu.utils.misc import enable_compile_cache
+    enable_compile_cache()
 
     from bmt_tpu.decode import greedy_decode_bimodal
     from bmt_tpu.models import (CapModelDims, bimodal_transformer_forward,

@@ -95,7 +95,8 @@ def _beam_core(step_closure, state, B: int, K: int, V: int, max_len: int,
         cond_fn, step_fn, (0, tokens, scores, done, state))
 
     # length penalty: lp = ((5 + len) / 6) ** alpha over generated lengths
-    if length_penalty > 0.0:
+    # (GNMT form; negative alpha is legal and favors SHORTER captions)
+    if length_penalty != 0.0:
         is_end = tokens[:, :, 1:] == end_idx
         first_end = jnp.where(is_end.any(-1), is_end.argmax(-1) + 1, max_len)
         final = scores / (((5.0 + first_end) / 6.0) ** length_penalty)

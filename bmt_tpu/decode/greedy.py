@@ -27,6 +27,36 @@ from bmt_tpu.models.captioning import (CapModelDims, bimodal_decode_init,
 from bmt_tpu.ops.masks import make_masks
 
 
+def _greedy_core(step_closure, state, B: int, max_len: int, start_idx: int,
+                 end_idx: int):
+    '''Shared KV-cached greedy loop (bi- and uni-modal decoders differ only
+    in their step function — same pattern as ``beam._beam_core``).
+
+    step_closure(state, cur (B, 1), step) -> (log_probs (B, V), state).
+    Returns tokens (B, max_len + 1) int32.
+    '''
+    tokens = jnp.full((B, max_len + 1), end_idx, jnp.int32)
+    tokens = tokens.at[:, 0].set(start_idx)
+    done = jnp.zeros((B,), bool)
+
+    def cond(carry):
+        step, _, done, _ = carry
+        return jnp.logical_and(step < max_len, jnp.logical_not(done.all()))
+
+    def body(carry):
+        step, tokens, done, state = carry
+        cur = jax.lax.dynamic_slice_in_dim(tokens, step, 1, axis=1)  # (B, 1)
+        log_probs, state = step_closure(state, cur, step)
+        nxt = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)       # (B,)
+        tokens = jax.lax.dynamic_update_slice_in_dim(
+            tokens, nxt[:, None], step + 1, axis=1)
+        done = jnp.logical_or(done, nxt == end_idx)
+        return step + 1, tokens, done, state
+
+    _, tokens, _, _ = jax.lax.while_loop(cond, body, (0, tokens, done, state))
+    return tokens
+
+
 @partial(jax.jit, static_argnames=('dims', 'max_len', 'start_idx', 'end_idx',
                                    'pad_idx', 'attention_impl', 'kv_int8'))
 def greedy_decode_bimodal(params, dims: CapModelDims, feature_stacks: dict,
@@ -54,28 +84,12 @@ def greedy_decode_bimodal(params, dims: CapModelDims, feature_stacks: dict,
                                 kv_int8=kv_int8, A_mask=A_mask,
                                 V_mask=V_mask)
 
-    B = Av.shape[0]
-    tokens = jnp.full((B, max_len + 1), end_idx, jnp.int32)
-    tokens = tokens.at[:, 0].set(start_idx)
-    done = jnp.zeros((B,), bool)
+    def step_closure(state, cur, step):
+        return bimodal_decode_step(params, dims, state, cur, step,
+                                   A_mask, V_mask, attention_impl)
 
-    def cond(carry):
-        step, _, done, _ = carry
-        return jnp.logical_and(step < max_len, jnp.logical_not(done.all()))
-
-    def body(carry):
-        step, tokens, done, state = carry
-        cur = jax.lax.dynamic_slice_in_dim(tokens, step, 1, axis=1)  # (B, 1)
-        log_probs, state = bimodal_decode_step(params, dims, state, cur, step,
-                                               A_mask, V_mask, attention_impl)
-        nxt = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)       # (B,)
-        tokens = jax.lax.dynamic_update_slice_in_dim(
-            tokens, nxt[:, None], step + 1, axis=1)
-        done = jnp.logical_or(done, nxt == end_idx)
-        return step + 1, tokens, done, state
-
-    _, tokens, _, _ = jax.lax.while_loop(cond, body, (0, tokens, done, state))
-    return tokens
+    return _greedy_core(step_closure, state, Av.shape[0], max_len,
+                        start_idx, end_idx)
 
 
 def make_bimodal_greedy_fn(dims: CapModelDims, max_len: int, start_idx: int,
@@ -109,29 +123,12 @@ def greedy_decode_unimodal(params, dims: CapModelDims, feature_stacks: dict,
     state = unimodal_decode_init(params, dims, memory, max_len,
                                  kv_int8=kv_int8, src_mask=src_mask)
 
-    B = memory.shape[0]
-    tokens = jnp.full((B, max_len + 1), end_idx, jnp.int32)
-    tokens = tokens.at[:, 0].set(start_idx)
-    done = jnp.zeros((B,), bool)
+    def step_closure(state, cur, step):
+        return unimodal_decode_step(params, dims, state, cur, step,
+                                    src_mask, attention_impl)
 
-    def cond(carry):
-        step, _, done, _ = carry
-        return jnp.logical_and(step < max_len, jnp.logical_not(done.all()))
-
-    def body(carry):
-        step, tokens, done, state = carry
-        cur = jax.lax.dynamic_slice_in_dim(tokens, step, 1, axis=1)
-        log_probs, state = unimodal_decode_step(params, dims, state, cur,
-                                                step, src_mask,
-                                                attention_impl)
-        nxt = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)
-        tokens = jax.lax.dynamic_update_slice_in_dim(
-            tokens, nxt[:, None], step + 1, axis=1)
-        done = jnp.logical_or(done, nxt == end_idx)
-        return step + 1, tokens, done, state
-
-    _, tokens, _, _ = jax.lax.while_loop(cond, body, (0, tokens, done, state))
-    return tokens
+    return _greedy_core(step_closure, state, memory.shape[0], max_len,
+                        start_idx, end_idx)
 
 
 def make_unimodal_greedy_fn(dims: CapModelDims, max_len: int, start_idx: int,

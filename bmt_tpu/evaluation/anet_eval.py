@@ -24,8 +24,16 @@ from bmt_tpu.evaluation.ptb_tokenizer import ptb_tokenize
 from bmt_tpu.evaluation.rouge import compute_rouge
 
 
+# Seeded: the reference draws fresh garbage per run (evaluate.py:217),
+# making its metrics vary slightly run-to-run; a fixed stream keeps the
+# protocol (garbage never matches real tokens) while making evaluations of
+# identical inputs reproducible.
+_GARBAGE_RNG = random.Random(0)
+
+
 def random_string(n: int) -> str:
-    return ''.join(random.choice(_string.ascii_lowercase) for _ in range(n))
+    return ''.join(_GARBAGE_RNG.choice(_string.ascii_lowercase)
+                   for _ in range(n))
 
 
 def remove_nonascii(text: str) -> str:

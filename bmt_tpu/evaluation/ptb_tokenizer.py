@@ -25,7 +25,17 @@ _RULES = [
     # final period (not part of abbreviation)
     (re.compile(r'([^.])(\.)([\]\)}>"\']*)\s*$'), r'\1 \2\3 '),
     (re.compile(r'[?!]'), lambda m: f' {m.group(0)} '),
-    (re.compile(r'[\]\[(){}<>]'), lambda m: f' {m.group(0)} '),
+    # CoreNLP ptb3Escaping: brackets become -LRB-/-RRB-/... tokens. After
+    # the Java tokenizer's -lowerCase these are '-lrb-' etc., which do NOT
+    # match pycocoevalcap's uppercase PUNCTUATIONS entries — so bracket
+    # tokens are KEPT in normalized form (a reference quirk, reproduced).
+    (re.compile(r'\('), r' -LRB- '),
+    (re.compile(r'\)'), r' -RRB- '),
+    (re.compile(r'\['), r' -LSB- '),
+    (re.compile(r'\]'), r' -RSB- '),
+    (re.compile(r'\{'), r' -LCB- '),
+    (re.compile(r'\}'), r' -RCB- '),
+    (re.compile(r'[<>]'), lambda m: f' {m.group(0)} '),
     (re.compile(r'--'), r' -- '),
     (re.compile(r'"'), r" '' "),
     (re.compile(r"([^'])' "), r"\1 ' "),

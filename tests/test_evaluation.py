@@ -146,3 +146,26 @@ def test_rouge_multi_ref_max_prec_recall_independently():
     # ref 'a' gives rec=1 (prec=0.5); ref 'a b c d' gives prec=1 (rec=0.5)
     # -> prec_max = rec_max = 1 -> F = 1.0 (a max over per-ref F would not)
     assert rouge_l_sentence('a b', ['a', 'a b c d']) == 1.0
+
+
+def test_ptb_tokenizer_coreNLP_bracket_forms():
+    '''CoreNLP ptb3Escaping turns brackets into -LRB-/-RRB- forms; after the
+    Java tokenizer's -lowerCase they do NOT match pycocoevalcap's uppercase
+    PUNCTUATIONS, so bracket tokens are KEPT normalized (reference quirk).'''
+    from bmt_tpu.evaluation.ptb_tokenizer import ptb_tokenize_sentence
+    toks = ptb_tokenize_sentence('a man (in red) runs')
+    assert toks == ['a', 'man', '-lrb-', 'in', 'red', '-rrb-', 'runs']
+    toks = ptb_tokenize_sentence('list [of] {things}')
+    assert toks == ['list', '-lsb-', 'of', '-rsb-', '-lcb-', 'things',
+                    '-rcb-']
+
+
+def test_anet_eval_reproducible_garbage():
+    '''Scoring identical inputs twice yields identical metrics (the
+    unmatched-prediction garbage stream is seeded).'''
+    import random as _random
+    from bmt_tpu.evaluation import anet_eval
+    s1 = [anet_eval.random_string(8) for _ in range(3)]
+    anet_eval._GARBAGE_RNG = _random.Random(0)
+    s2 = [anet_eval.random_string(8) for _ in range(3)]
+    assert s1 == s2
