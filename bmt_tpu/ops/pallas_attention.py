@@ -16,14 +16,17 @@ dispatch:
   (``_SINGLE_BLOCK_MAX_KV_BYTES``) would not fit, or forced via
   ``flash_attention(block_k=...)``.
 
-Scope note on the backward: the custom VJP recomputes the standard
-attention gradient in plain XLA, materializing the (B, H, Sq, Sk) fp32
-logits in HBM. That is fine at every BMT training shape (Sk <= 800) and
-measured no slower than XLA's own backward there, but it means the
-'no sequence-length limit' property is FORWARD-ONLY: differentiating at
-say S = 4096+ costs O(S^2) HBM and will OOM long before the tiled forward
-does. A tiled backward kernel is the known next step if training at such
-lengths is ever needed.
+The backward mirrors the dispatch. On the single-block path the custom
+VJP recomputes the standard attention gradient in plain XLA (fine at every
+BMT training shape, Sk <= 800, and measured no slower than XLA's own
+backward there). On the tiled path the forward additionally saves the row
+log-sum-exp and the backward runs two tiled Pallas kernels (dq; dk/dv)
+that reconstruct p = exp(s - lse) blockwise — HBM stays O(S·d) in both
+directions, so the 'no sequence-length limit' property holds for training
+too. Measured on one v5e chip (B=8, H=4, d=256, bf16, fwd+bwd): parity
+with XLA's materialized backward at S<=4096, and still training at
+S=8192 (~3.4 s) where the XLA backward fails to compile (its three
+(B, H, S, S) fp32 gradient tensors would need ~25 GB).
 
 Mask handling: BMT uses exactly two mask families
 (reference: model/masking.py) —
@@ -94,7 +97,7 @@ _SINGLE_BLOCK_MAX_LOGITS = 1536 * 1536
 _SINGLE_BLOCK_MAX_KV_BYTES = 8 * 1024 * 1024   # k+v per (b, h) in VMEM
 
 
-def _attn_kernel_tiled(q_ref, k_ref, v_ref, kmask_ref, o_ref,
+def _attn_kernel_tiled(q_ref, k_ref, v_ref, kmask_ref, o_ref, lse_ref,
                        m_ref, l_ref, acc_ref, *, causal: bool, Sk: int,
                        block_q: int, block_k: int):
     '''Online-softmax attention: grid (B, H, cdiv(Sq, bq), cdiv(Sk, bk)),
@@ -167,12 +170,20 @@ def _attn_kernel_tiled(q_ref, k_ref, v_ref, kmask_ref, o_ref,
     @pl.when(jk == pl.num_programs(3) - 1)
     def _():
         o_ref[0, 0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+        # row log-sum-exp, saved for the tiled backward:
+        # p_ij = exp(s_ij - lse_i) reconstructs the softmax exactly
+        # (empty rows: m = -inf, l = 0 -> lse = -inf). Stored 8 lanes wide
+        # — Mosaic requires >= (8-divisible, full-dim) trailing block dims,
+        # and a (bq, 8) broadcast is the cheapest legal layout.
+        lse_ref[0, 0] = jnp.broadcast_to(
+            m_ref[:, :1] + jnp.log(l_ref[:, :1]), lse_ref.shape[2:])
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('causal', 'interpret', 'block_k'))
+                   static_argnames=('causal', 'interpret', 'block_k',
+                                    'with_lse'))
 def _flash_attention_tiled(q, k, v, key_mask, causal: bool, interpret: bool,
-                           block_k: int):
+                           block_k: int, with_lse: bool = False):
     B, H, Sq, d = q.shape
     Sk = k.shape[2]
     block_q = min(512, Sq)
@@ -182,7 +193,7 @@ def _flash_attention_tiled(q, k, v, key_mask, causal: bool, interpret: bool,
     if pad:
         key_mask = jnp.pad(key_mask, ((0, 0), (0, pad)))
 
-    return pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(_attn_kernel_tiled, causal=causal, Sk=Sk,
                           block_q=block_q, block_k=block_k),
         grid=(B, H, nq, nk),
@@ -199,10 +210,18 @@ def _flash_attention_tiled(q, k, v, key_mask, causal: bool, interpret: bool,
             pl.BlockSpec((B, block_k), lambda b, h, iq, jk: (0, jk),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, block_q, d),
-                               lambda b, h, iq, jk: (b, h, iq, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H, Sq, d), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d),
+                         lambda b, h, iq, jk: (b, h, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, 8),
+                         lambda b, h, iq, jk: (b, h, iq, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Sq, d), q.dtype),
+            jax.ShapeDtypeStruct((B, H, Sq, 8), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),   # running row-max
             pltpu.VMEM((block_q, 128), jnp.float32),   # running row-sum
@@ -216,6 +235,7 @@ def _flash_attention_tiled(q, k, v, key_mask, causal: bool, interpret: bool,
         ),
         interpret=interpret,
     )(q, k, v, key_mask)
+    return (out, lse) if with_lse else out
 
 
 @functools.partial(jax.jit, static_argnames=('causal', 'interpret'))
@@ -253,38 +273,248 @@ def _flash_attention_impl(q, k, v, key_mask, causal: bool, interpret: bool):
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _flash_attention_vjp(q, k, v, key_mask, causal, block_k):
-    interpret = jax.default_backend() != 'tpu'
+def _resolve_block_k(q, k, block_k):
+    '''Shared dispatch: None -> single-block kernel, an int -> tiled with
+    that key-block size. The single-block kernel holds the (Sq, Sk) fp32
+    logits AND the whole (Sk, d) k/v pair in VMEM per (b, h) instance —
+    either can overflow alone (small-Sq/huge-Sk inputs pass the logits
+    bound but not the k/v one), so both are checked.'''
     Sq, Sk = q.shape[2], k.shape[2]
     d = q.shape[-1]
-    # the single-block kernel holds the (Sq, Sk) fp32 logits AND the whole
-    # (Sk, d) k/v pair in VMEM per (b, h) instance — either can overflow
-    # alone (small-Sq/huge-Sk inputs pass the logits bound but not the k/v
-    # one), so both are checked
     kv_bytes = 2 * Sk * d * q.dtype.itemsize
     if block_k is None and (Sq * Sk > _SINGLE_BLOCK_MAX_LOGITS
                             or kv_bytes > _SINGLE_BLOCK_MAX_KV_BYTES):
-        block_k = 512
+        return 512
+    return block_k
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash_attention_vjp(q, k, v, key_mask, causal, block_k):
+    interpret = jax.default_backend() != 'tpu'
+    block_k = _resolve_block_k(q, k, block_k)
     if block_k is not None:
         return _flash_attention_tiled(q, k, v, key_mask, causal, interpret,
                                       block_k)
     return _flash_attention_impl(q, k, v, key_mask, causal, interpret)
 
 
+def _dq_kernel(q_ref, do_ref, lse_ref, drow_ref, k_ref, v_ref, kmask_ref,
+               dq_ref, acc_ref, *, causal: bool, scale: float,
+               block_q: int, block_k: int):
+    '''grid (B, H, nq, nk): one query block accumulates dq over key blocks.
+    All inputs are host-padded to block multiples (padded q rows carry
+    zero dO and zero row-dot, so their contributions vanish; padded key
+    columns are masked by the zero-padded key mask).'''
+    b = pl.program_id(0)
+    iq = pl.program_id(2)
+    jk = pl.program_id(3)
+
+    @pl.when(jk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    valid = kmask_ref[b, :][None, :] != 0
+    if causal:
+        rows = iq * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0)
+        cols = jk * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        valid = jnp.logical_and(valid, cols <= rows)
+    # p = exp(s - lse) reconstructs the forward softmax exactly; empty rows
+    # have lse = -inf and no valid column, so where() leaves them all-zero
+    p = jnp.where(valid, jnp.exp(s - lse_ref[0, 0, :, :1]), 0.0)
+
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - drow_ref[0, 0, :, :1]) * scale
+    acc_ref[:] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(jk == pl.num_programs(3) - 1)
+    def _():
+        dq_ref[0, 0] = acc_ref[:].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_ref, do_ref, lse_ref, drow_ref, k_ref, v_ref, kmask_ref,
+                dk_ref, dv_ref, dk_acc, dv_acc, *, causal: bool,
+                scale: float, block_q: int, block_k: int):
+    '''grid (B, H, nk, nq): one key block accumulates dk/dv over query
+    blocks (same p reconstruction as _dq_kernel, transposed roles).'''
+    b = pl.program_id(0)
+    ik = pl.program_id(2)
+    iq = pl.program_id(3)
+
+    @pl.when(iq == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    valid = kmask_ref[b, :][None, :] != 0
+    if causal:
+        rows = iq * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0)
+        cols = ik * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        valid = jnp.logical_and(valid, cols <= rows)
+    p = jnp.where(valid, jnp.exp(s - lse_ref[0, 0, :, :1]), 0.0)
+
+    dv_acc[:] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - drow_ref[0, 0, :, :1]) * scale
+    dk_acc[:] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(iq == pl.num_programs(3) - 1)
+    def _():
+        dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=('causal', 'interpret',
+                                             'block_k'))
+def _flash_attention_tiled_bwd(q, k, v, key_mask, lse, out, g,
+                               causal: bool, interpret: bool, block_k: int):
+    '''Tiled flash-attention backward: VMEM O(bq·bk) per program, HBM
+    O(S·d) — no (Sq, Sk) tensor ever materializes. Everything is
+    host-padded to block multiples so the kernels never read out of
+    bounds: padded q rows have dO = 0 and row-dot = 0 (their ds vanishes),
+    padded key columns are masked by the zero-padded key mask.'''
+    B, H, Sq, d = q.shape
+    Sk = k.shape[2]
+    scale = 1.0 / math.sqrt(d)
+    block_q = min(512, -(-Sq // 8) * 8)
+    nq = -(-Sq // block_q)
+    nk = -(-Sk // block_k)
+    pq = nq * block_q - Sq
+    pk = nk * block_k - Sk
+
+    # D_i = dO_i . O_i (the softmax-jacobian row-dot); NaN for fully-masked
+    # rows (O is NaN there) -> zero, matching p == 0 on those rows.
+    # Broadcast to the same 8-lane layout as the saved lse.
+    drow = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    drow = jnp.where(jnp.isnan(drow), 0.0, drow)
+    drow = jnp.broadcast_to(drow[..., None], (*drow.shape, 8))
+
+    pad4 = lambda x, p: jnp.pad(x, ((0, 0), (0, 0), (0, p), (0, 0))) \
+        if p else x
+    qp, dop = pad4(q, pq), pad4(g, pq)
+    lsep, drowp = pad4(lse, pq), pad4(drow, pq)
+    kp, vp = pad4(k, pk), pad4(v, pk)
+    kmp = jnp.pad(key_mask, ((0, 0), (0, pk))) if pk else key_mask
+
+    bspec_q = lambda f: pl.BlockSpec((1, 1, block_q, d), f,
+                                     memory_space=pltpu.VMEM)
+    bspec_q3 = lambda f: pl.BlockSpec((1, 1, block_q, 8), f,
+                                      memory_space=pltpu.VMEM)
+    bspec_k = lambda f: pl.BlockSpec((1, 1, block_k, d), f,
+                                     memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, causal=causal, scale=scale,
+                          block_q=block_q, block_k=block_k),
+        grid=(B, H, nq, nk),
+        in_specs=[
+            bspec_q(lambda b, h, iq, jk: (b, h, iq, 0)),
+            bspec_q(lambda b, h, iq, jk: (b, h, iq, 0)),
+            bspec_q3(lambda b, h, iq, jk: (b, h, iq, 0)),
+            bspec_q3(lambda b, h, iq, jk: (b, h, iq, 0)),
+            bspec_k(lambda b, h, iq, jk: (b, h, jk, 0)),
+            bspec_k(lambda b, h, iq, jk: (b, h, jk, 0)),
+            pl.BlockSpec((B, block_k), lambda b, h, iq, jk: (0, jk),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=bspec_q(lambda b, h, iq, jk: (b, h, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, nq * block_q, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * B * H * Sq * Sk * d,
+            bytes_accessed=2 * (q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=B * H * Sq * Sk,
+        ),
+        interpret=interpret,
+    )(qp, dop, lsep, drowp, kp, vp, kmp)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, causal=causal, scale=scale,
+                          block_q=block_q, block_k=block_k),
+        grid=(B, H, nk, nq),
+        in_specs=[
+            bspec_q(lambda b, h, ik, iq: (b, h, iq, 0)),
+            bspec_q(lambda b, h, ik, iq: (b, h, iq, 0)),
+            bspec_q3(lambda b, h, ik, iq: (b, h, iq, 0)),
+            bspec_q3(lambda b, h, ik, iq: (b, h, iq, 0)),
+            bspec_k(lambda b, h, ik, iq: (b, h, ik, 0)),
+            bspec_k(lambda b, h, ik, iq: (b, h, ik, 0)),
+            pl.BlockSpec((B, block_k), lambda b, h, ik, iq: (0, ik),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            bspec_k(lambda b, h, ik, iq: (b, h, ik, 0)),
+            bspec_k(lambda b, h, ik, iq: (b, h, ik, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, nk * block_k, d), k.dtype),
+            jax.ShapeDtypeStruct((B, H, nk * block_k, d), v.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
+                        pltpu.VMEM((block_k, d), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * B * H * Sq * Sk * d,
+            bytes_accessed=2 * (q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=B * H * Sq * Sk,
+        ),
+        interpret=interpret,
+    )(qp, dop, lsep, drowp, kp, vp, kmp)
+
+    return dq[:, :, :Sq, :], dk[:, :, :Sk, :], dv[:, :, :Sk, :]
+
+
 def _fa_fwd(q, k, v, key_mask, causal, block_k):
-    out = _flash_attention_vjp(q, k, v, key_mask, causal, block_k)
-    return out, (q, k, v, key_mask)
+    interpret = jax.default_backend() != 'tpu'
+    bk = _resolve_block_k(q, k, block_k)
+    if bk is not None:
+        out, lse = _flash_attention_tiled(q, k, v, key_mask, causal,
+                                          interpret, bk, with_lse=True)
+        return out, (q, k, v, key_mask, lse, out)
+    out = _flash_attention_impl(q, k, v, key_mask, causal, interpret)
+    return out, (q, k, v, key_mask, None, None)
 
 
 def _fa_bwd(causal, block_k, res, g):
-    '''Backward by recomputation in plain XLA ops (the standard attention
-    VJP); the fused kernel accelerates the forward, the backward matches
-    what XLA would emit for the reference math.'''
-    q, k, v, key_mask = res
+    '''Backward dispatch mirrors the forward: the tiled path uses the
+    tiled Pallas backward (saved row-lse, VMEM-bounded — the
+    'no sequence-length limit' property holds for training too); the
+    single-block path recomputes the standard attention VJP in plain XLA
+    ops, which matches what XLA would emit at those (small) shapes.'''
+    q, k, v, key_mask, lse, out = res
+    if lse is not None:
+        interpret = jax.default_backend() != 'tpu'
+        bk = _resolve_block_k(q, k, block_k)
+        dq, dk, dv = _flash_attention_tiled_bwd(
+            q, k, v, key_mask, lse, out, g, causal, interpret, bk)
+        return dq, dk, dv, None
+
     d = q.shape[-1]
     scale = 1.0 / math.sqrt(d)
-
     logits = jnp.einsum('bhqd,bhkd->bhqk', q, k,
                         preferred_element_type=jnp.float32) * scale
     mask = key_mask[:, None, None, :] != 0
