@@ -161,7 +161,13 @@ class Config:
         if args.to_log:
             self.log_dir = os.path.join(args.log_dir, args.procedure)
             self.checkpoint_dir = self.log_dir
-            exper_name = self.curr_time[2:]
+            # --exper_name pins the experiment directory so a relaunched
+            # run finds its rolling last_* checkpoint and RESUMES; the
+            # default timestamp (reference: config_constructor.py:130-141)
+            # makes every process a fresh experiment
+            exper_name = getattr(args, 'exper_name', None) \
+                or self.curr_time[2:]
+            self.exper_name = exper_name
             self.log_path = os.path.join(self.log_dir, exper_name)
             self.model_checkpoint_path = os.path.join(self.checkpoint_dir,
                                                       exper_name)
@@ -261,6 +267,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--pad_video_feats_up_to', type=int, default=300)
     parser.add_argument('--nms_tiou_thresh', type=float)
     parser.add_argument('--log_dir', type=str, default='./log/')
+    parser.add_argument('--exper_name', type=str, default=None,
+                        help='pin the log/checkpoint directory name '
+                             '(default: a fresh timestamp). Relaunching '
+                             'with the same name resumes from the rolling '
+                             'last_* checkpoint after a crash.')
 
     # EVALUATION
     parser.add_argument('--prop_pred_path', type=str)

@@ -121,10 +121,15 @@ def load_glove(glove_txt_path: str, vocab: Vocab, dim: int = 300,
     mat = np.zeros((len(vocab), dim), np.float32)
     with open(glove_txt_path, encoding='utf-8') as f:
         for line in f:
-            sp = line.rstrip().split(' ')
+            # split from the RIGHT: glove.840B.300d.txt contains tokens
+            # with embedded spaces ('. . .', 'at name@domain.com'), so the
+            # word is everything before the last `dim` fields
+            sp = line.rstrip().rsplit(' ', dim)
+            if len(sp) != dim + 1:
+                continue                     # malformed/short line
             word = sp[0]
             if word in wanted:
-                mat[vocab.stoi[word]] = np.asarray(sp[1:dim + 1], np.float32)
+                mat[vocab.stoi[word]] = np.asarray(sp[1:], np.float32)
     if cache_path:
         np.save(cache_path, mat)
     return mat

@@ -61,6 +61,11 @@ def main(argv=None, block=True):
     enable_compile_cache()
     cfg, dims, params, vocab = load_cap_checkpoint(
         args.pretrained_cap_model_path, args.train_meta_path)
+    if cfg.modality != 'audio_video':
+        raise SystemExit(
+            f'serving supports the bi-modal captioner only (checkpoint '
+            f'modality: {cfg.modality}); decode uni-modal ablation '
+            f'checkpoints via main.py --procedure evaluate instead')
     engine = CaptionEngine(
         params, dims, vocab, max_len=cfg.max_len,
         start_token=cfg.start_token, end_token=cfg.end_token,

@@ -38,6 +38,19 @@ from bmt_tpu.utils.logging import MetricsLogger, NullLogger
 from bmt_tpu.utils.misc import average_metrics_in_two_dicts, timer
 
 
+def _glove_dim(cfg) -> int:
+    '''Embedding width of the configured GloVe vectors: parsed from the
+    "<N>d" suffix of the vectors name/path (reference torchtext infers it
+    from the chosen ``word_emb_caps`` vectors, e.g. glove.840B.300d).'''
+    import re
+    for source in (os.path.basename(getattr(cfg, 'glove_path', '') or ''),
+                   getattr(cfg, 'word_emb_caps', '') or ''):
+        m = re.search(r'(\d+)d', source)
+        if m:
+            return int(m.group(1))
+    return 300
+
+
 def _load_pretrained_encoder(params, cfg):
     '''Optionally seed the encoder from a proposal checkpoint (ablation;
     reference: captioning_module.py:147-162). Accepts native npz dirs or
@@ -83,7 +96,7 @@ def train_cap(cfg: Config):
         # Linear+ReLU adapter (blocks.py:57-63) rather than truncating the
         # vectors to meaningless prefixes
         glove = load_glove(cfg.glove_path, train_ds.train_vocab,
-                           dim=300, cache_dir='./tmp')
+                           dim=_glove_dim(cfg), cache_dir='./tmp')
 
     key = jax.random.PRNGKey(seed)
     if cfg.modality == 'audio_video':

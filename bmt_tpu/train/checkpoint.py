@@ -542,12 +542,22 @@ def load_cap_checkpoint(path: str, train_meta_path: str = None):
     '''
     from bmt_tpu.config import Config
     from bmt_tpu.data.vocab import Vocab, build_vocab_from_meta
-    from bmt_tpu.models import CapModelDims, init_bimodal_transformer
+    from bmt_tpu.models import (CapModelDims, init_bimodal_transformer,
+                                init_unimodal_transformer)
     import jax
 
     if path.endswith('.pt'):
         cpt = load_torch_checkpoint(path)
-        params, cfg_dict = import_cap_model(cpt)
+        # dispatch on the state-dict layout, not the pickled config: the
+        # bi-modal captioner embeds captions as 'emb_C', the uni-modal
+        # ablations as 'trg_emb' (reference: captioning_module.py)
+        sd = _strip_module(cpt['model_state_dict'])
+        if any(k.startswith('trg_emb.') for k in sd):
+            params, cfg_dict = import_unimodal_cap_model(cpt)
+            emb_key = 'trg_emb'
+        else:
+            params, cfg_dict = import_cap_model(cpt)
+            emb_key = 'emb_C'
         cfg = Config.from_dict(cfg_dict)
         assert train_meta_path, '.pt checkpoints need a train_meta_path ' \
                                 'to rebuild the vocabulary'
@@ -556,13 +566,13 @@ def load_cap_checkpoint(path: str, train_meta_path: str = None):
                                       cfg.end_token, cfg.pad_token,
                                       cfg.min_freq_caps)
         voc_size = cpt.get('trg_voc_size',
-                           params['emb_C']['table'].shape[0])
+                           params[emb_key]['table'].shape[0])
         if len(vocab) != voc_size:
             print(f'warning: rebuilt vocab size {len(vocab)} != checkpoint '
                   f'voc size {voc_size}; tokenization drift possible',
                   file=sys.stderr)
         dims = CapModelDims.from_config(cfg,
-                                        params['emb_C']['table'].shape[0])
+                                        params[emb_key]['table'].shape[0])
         return cfg, dims, params, vocab
 
     with open(os.path.join(path, 'best_cap_model.meta.json')) as f:
@@ -570,7 +580,9 @@ def load_cap_checkpoint(path: str, train_meta_path: str = None):
     cfg = Config.from_dict(meta['config'])
     vocab = Vocab(meta['vocab_itos'])
     dims = CapModelDims.from_config(cfg, len(vocab))
-    template = init_bimodal_transformer(jax.random.PRNGKey(0), dims)
+    init_fn = (init_bimodal_transformer if cfg.modality == 'audio_video'
+               else init_unimodal_transformer)
+    template = init_fn(jax.random.PRNGKey(0), dims)
     params = load_model_params(path, 'best_cap_model', template)
     return cfg, dims, params, vocab
 
@@ -581,25 +593,39 @@ def load_prop_checkpoint(path: str, max_prop_per_vid: int = None):
     sample/single_video_prediction.py:66-91).'''
     from bmt_tpu.config import Config
     from bmt_tpu.models import (PropModelDims,
-                                init_multimodal_proposal_generator)
+                                init_multimodal_proposal_generator,
+                                init_unimodal_proposal_generator)
     import jax
     import jax.numpy as jnp
 
     if path.endswith('.pt'):
         cpt = load_torch_checkpoint(path)
-        params, cfg_dict = import_prop_model(cpt)
+        cfg_peek = cpt.get('config', {})
+        modality = (cfg_peek.get('modality', 'audio_video')
+                    if isinstance(cfg_peek, dict)
+                    else getattr(cfg_peek, 'modality', 'audio_video'))
+        if modality == 'audio_video':
+            params, cfg_dict = import_prop_model(cpt)
+        else:
+            params, cfg_dict = import_unimodal_prop_model(cpt, modality)
     else:
         with open(os.path.join(path, 'best_prop_model.meta.json')) as f:
             meta = json.load(f)
         cfg_dict = meta['config']
         cfg_tmp = Config.from_dict(cfg_dict)
         dims_tmp = PropModelDims.from_config(cfg_tmp)
-        template = init_multimodal_proposal_generator(jax.random.PRNGKey(0),
-                                                      dims_tmp)
-        template['anchors_A'] = jnp.zeros(
-            (cfg_dict['anchors_num_audio'],), jnp.float32)
-        template['anchors_V'] = jnp.zeros(
-            (cfg_dict['anchors_num_video'],), jnp.float32)
+        if cfg_dict.get('modality', 'audio_video') == 'audio_video':
+            template = init_multimodal_proposal_generator(
+                jax.random.PRNGKey(0), dims_tmp)
+            template['anchors_A'] = jnp.zeros(
+                (cfg_dict['anchors_num_audio'],), jnp.float32)
+            template['anchors_V'] = jnp.zeros(
+                (cfg_dict['anchors_num_video'],), jnp.float32)
+        else:
+            template = init_unimodal_proposal_generator(
+                jax.random.PRNGKey(0), dims_tmp)
+            n_anch = cfg_dict['anchors_num_' + cfg_dict['modality']]
+            template['anchors'] = jnp.zeros((n_anch,), jnp.float32)
         params = load_model_params(path, 'best_prop_model', template)
     if max_prop_per_vid is not None:
         cfg_dict['max_prop_per_vid'] = max_prop_per_vid

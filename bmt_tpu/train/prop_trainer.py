@@ -10,8 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from bmt_tpu.config import Config
-from bmt_tpu.data.captioning import CaptioningDataset
 from bmt_tpu.data.proposal_data import ProposalDataset
+from bmt_tpu.data.vocab import Vocab, build_vocab_from_meta
 from bmt_tpu.models import (PropModelDims,
                             init_multimodal_proposal_generator,
                             init_unimodal_proposal_generator)
@@ -45,10 +45,17 @@ def train_prop(cfg: Config):
         anchors['video'] = calc_anchors_using_kmeans(cfg.train_json_path,
                                                      cfg.anchors_num_video)
 
-    # captioning dataset used only to derive pad_idx (reference:
-    # train_proposal_generator.py:34-35)
-    cap_ds = CaptioningDataset(cfg, 'train')
-    pad_idx = cap_ds.pad_idx
+    # the reference instantiates a whole captioning dataset here only to
+    # read pad_idx (train_proposal_generator.py:34-35); building just the
+    # vocabulary the same way skips a second full tokenize+pre-encode pass
+    # over ~50k captions at startup
+    if getattr(cfg, 'vocab_path', None):
+        vocab = Vocab.load(cfg.vocab_path)
+    else:
+        vocab = build_vocab_from_meta(cfg.train_meta_path, cfg.start_token,
+                                      cfg.end_token, cfg.pad_token,
+                                      cfg.min_freq_caps)
+    pad_idx = vocab[cfg.pad_token]
 
     train_ds = ProposalDataset(cfg, 'train', pad_idx)
     valid_ds = ProposalDataset(cfg, 'val_1', pad_idx)

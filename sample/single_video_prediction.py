@@ -137,10 +137,17 @@ def which_ffprobe() -> str:
 
 
 def get_video_duration(path) -> float:
-    cmd = (f'{which_ffprobe()} -hide_banner -loglevel panic -v error '
-           f'-show_entries format=duration '
-           f'-of default=noprint_wrappers=1:nokey=1 {path}')
-    result = subprocess.run(cmd.split(), stdout=subprocess.PIPE,
+    '''Video duration in seconds via ffprobe (reference:
+    single_video_prediction.py:259-277; used when --duration_in_secs is
+    omitted and --video_path given).'''
+    ffprobe = which_ffprobe()
+    if not ffprobe:
+        raise SystemExit('ffprobe not found on PATH; pass '
+                         '--duration_in_secs explicitly')
+    cmd = [ffprobe, '-hide_banner', '-loglevel', 'panic', '-v', 'error',
+           '-show_entries', 'format=duration',
+           '-of', 'default=noprint_wrappers=1:nokey=1', str(path)]
+    result = subprocess.run(cmd, stdout=subprocess.PIPE,
                             stderr=subprocess.STDOUT)
     duration = float(result.stdout.decode('utf-8').strip())
     print('Video Duration:', duration)
@@ -154,12 +161,21 @@ if __name__ == '__main__':
     parser.add_argument('--vggish_features_path', required=True)
     parser.add_argument('--rgb_features_path', required=True)
     parser.add_argument('--flow_features_path', required=True)
-    parser.add_argument('--duration_in_secs', type=float, required=True)
+    parser.add_argument('--duration_in_secs', type=float, default=None,
+                        help='video duration; omit to derive it from '
+                             '--video_path via ffprobe')
+    parser.add_argument('--video_path', default=None,
+                        help='source .mp4 (only needed when '
+                             '--duration_in_secs is omitted)')
     parser.add_argument('--device_id', type=int, default=0)
     parser.add_argument('--max_prop_per_vid', type=int, default=5)
     parser.add_argument('--nms_tiou_thresh', type=float)
     parser.add_argument('--train_meta_path', default='./data/train.csv')
     args = parser.parse_args()
+    if args.duration_in_secs is None:
+        if not args.video_path:
+            parser.error('pass --duration_in_secs or --video_path')
+        args.duration_in_secs = get_video_duration(args.video_path)
 
     feature_paths = {
         'audio': args.vggish_features_path,
@@ -171,6 +187,12 @@ if __name__ == '__main__':
         args.pretrained_cap_model_path, args.train_meta_path)
     prop_cfg, prop_dims, prop_params = load_prop_model(
         args.prop_generator_model_path, args.max_prop_per_vid)
+    if cap_cfg.modality != 'audio_video' or \
+            prop_cfg.modality != 'audio_video':
+        raise SystemExit(
+            'this app drives the bi-modal models only (like the '
+            f'reference); got cap modality {cap_cfg.modality!r}, prop '
+            f'modality {prop_cfg.modality!r}')
 
     pad_idx = vocab[cap_cfg.pad_token]
     proposals = generate_proposals(prop_params, prop_dims, feature_paths,

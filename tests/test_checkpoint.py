@@ -163,3 +163,80 @@ def test_torch_prop_checkpoint_import(tmp_path):
     assert params['heads_A'][0]['convs'][1]['w'].shape == (1, 16, 12)
     np.testing.assert_allclose(params['anchors_A'], [1, 2, 4, 8])
     assert params['anchors_V'].shape == (6,)
+
+
+def test_load_glove_multiword_tokens(tmp_path):
+    '''glove.840B.300d.txt contains tokens with embedded spaces; the
+    parser must split from the right and skip malformed lines.'''
+    from bmt_tpu.data.vocab import Vocab, load_glove
+    dim = 4
+    glove = tmp_path / 'glove.6B.4d.txt'
+    glove.write_text(
+        'cat 1 2 3 4\n'
+        '. . . 9 9 9 9\n'            # multi-word token '. . .'
+        'at name@domain.com 5 6 7 8\n'
+        'short 1 2\n'                # malformed: too few fields
+        'dog 4 3 2 1\n')
+    vocab = Vocab(['<unk>', '<blank>', '<s>', '</s>', 'cat', 'dog', '.'])
+    mat = load_glove(str(glove), vocab, dim=dim)
+    assert mat.shape == (7, dim)
+    np.testing.assert_array_equal(mat[vocab['cat']], [1, 2, 3, 4])
+    np.testing.assert_array_equal(mat[vocab['dog']], [4, 3, 2, 1])
+    # '.' only appears inside the multi-word token '. . .' -> stays zero
+    np.testing.assert_array_equal(mat[vocab['.']], [0, 0, 0, 0])
+
+
+def test_load_cap_checkpoint_unimodal_native(tmp_path):
+    '''The shared loader must dispatch on modality for native dirs
+    (uni-modal trees have trg_emb, not emb_C).'''
+    import json as _json
+    from bmt_tpu.config import Config, build_parser
+    from bmt_tpu.models import CapModelDims, init_unimodal_transformer
+    from bmt_tpu.train.checkpoint import load_cap_checkpoint, save_checkpoint
+
+    argv = ['--procedure', 'train_cap', '--modality', 'audio',
+            '--d_model', '16', '--d_model_caps', '10', '--H', '2',
+            '--N', '1', '--dont_log']
+    cfg = Config(build_parser().parse_args(argv))
+    itos = ['<unk>', '<blank>', '<s>', '</s>', 'w']
+    dims = CapModelDims.from_config(cfg, len(itos))
+    params = init_unimodal_transformer(jax.random.PRNGKey(0), dims)
+    save_checkpoint(str(tmp_path), params,
+                    {'config': cfg.to_dict(), 'epoch': 0,
+                     'vocab_itos': itos})
+
+    cfg2, dims2, params2, vocab2 = load_cap_checkpoint(str(tmp_path))
+    assert cfg2.modality == 'audio'
+    assert 'trg_emb' in params2 and 'emb_C' not in params2
+    a = jax.tree.leaves(params)
+    b = jax.tree.leaves(params2)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_load_prop_checkpoint_unimodal_native(tmp_path):
+    from bmt_tpu.config import Config, build_parser
+    from bmt_tpu.models import (PropModelDims,
+                                init_unimodal_proposal_generator)
+    from bmt_tpu.train.checkpoint import (load_prop_checkpoint,
+                                          save_checkpoint)
+    import jax.numpy as jnp
+
+    argv = ['--procedure', 'train_prop', '--modality', 'audio',
+            '--d_model', '16', '--H', '2', '--N', '1',
+            '--anchors_num_audio', '3', '--kernel_sizes_audio', '3',
+            '--conv_layers_audio', '8', '--pad_audio_feats_up_to', '16',
+            '--dont_log']
+    cfg = Config(build_parser().parse_args(argv))
+    dims = PropModelDims.from_config(cfg)
+    params = init_unimodal_proposal_generator(jax.random.PRNGKey(0), dims)
+    params['anchors'] = jnp.asarray([1.0, 3.0, 9.0])
+    save_checkpoint(str(tmp_path), params,
+                    {'config': cfg.to_dict(), 'epoch': 0},
+                    name='best_prop_model')
+
+    cfg2, dims2, params2 = load_prop_checkpoint(str(tmp_path))
+    assert cfg2.modality == 'audio'
+    np.testing.assert_array_equal(np.asarray(params2['anchors']),
+                                  [1.0, 3.0, 9.0])

@@ -66,3 +66,16 @@ def test_config_json_roundtrip(tmp_path):
 def test_unimodal_config_skips_other_modality():
     cfg = _cfg(extra=['--modality', 'audio'])
     assert hasattr(cfg, 'd_ff_audio') and not hasattr(cfg, 'd_ff_video')
+
+
+def test_exper_name_pins_checkpoint_dir():
+    '''--exper_name makes log/checkpoint paths deterministic so a
+    relaunched run can find its rolling last_* checkpoint and resume.'''
+    from bmt_tpu.config import Config, build_parser
+    argv = ['--procedure', 'train_cap', '--exper_name', 'myrun']
+    cfg = Config(build_parser().parse_args(argv))
+    assert cfg.model_checkpoint_path.endswith('myrun')
+    assert cfg.log_path.endswith('myrun')
+    # two processes, same name -> same dirs (unlike the timestamp default)
+    cfg2 = Config(build_parser().parse_args(argv))
+    assert cfg2.model_checkpoint_path == cfg.model_checkpoint_path
