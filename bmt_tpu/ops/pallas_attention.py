@@ -8,11 +8,14 @@ dispatch:
 - **single-block** (grid (B, H)): at BMT's sizes (Sq, Sk <= 1536,
   d_k = 256, H = 4) a whole (b, h) attention instance fits in VMEM (logits
   at 1536x1536 fp32 = 9.4 MB) and no tiling is needed;
-- **tiled online-softmax** (grid (B, H, Sk/bk), flash-attention proper):
-  for longer sequences the key/value axis is streamed in ``bk``-column
-  blocks with running row-max/row-sum rescaling carried in VMEM scratch, so
-  VMEM use is O(Sq·(d + bk)) regardless of Sk. Selected automatically when
-  the logits (``_SINGLE_BLOCK_MAX_LOGITS``) or the k/v pair
+- **tiled online-softmax** (grid (B, H, Sq/bq, Sk/bk), flash-attention
+  proper): for longer sequences each query block streams the key/value
+  axis in ``bk``-column blocks with running row-max/row-sum rescaling
+  carried in VMEM scratch, so VMEM use is O(bq·(d + bk)) — independent of
+  both sequence lengths. Causal grids skip the compute of the all-masked
+  blocks above the diagonal (measured ~10% at S=2048 — the block DMA
+  still runs). Selected automatically when the logits
+  (``_SINGLE_BLOCK_MAX_LOGITS``) or the k/v pair
   (``_SINGLE_BLOCK_MAX_KV_BYTES``) would not fit, or forced via
   ``flash_attention(block_k=...)``.
 
@@ -97,6 +100,15 @@ _SINGLE_BLOCK_MAX_LOGITS = 1536 * 1536
 _SINGLE_BLOCK_MAX_KV_BYTES = 8 * 1024 * 1024   # k+v per (b, h) in VMEM
 
 
+def _attn_kernel_tiled_nolse(q_ref, k_ref, v_ref, kmask_ref, o_ref,
+                             m_ref, l_ref, acc_ref, **kw):
+    '''Inference/primal variant: no lse output (the pallas_call then has a
+    single output, so no dead (B, H, Sq, 8) write on undifferentiated
+    calls).'''
+    _attn_kernel_tiled(q_ref, k_ref, v_ref, kmask_ref, o_ref, None,
+                       m_ref, l_ref, acc_ref, **kw)
+
+
 def _attn_kernel_tiled(q_ref, k_ref, v_ref, kmask_ref, o_ref, lse_ref,
                        m_ref, l_ref, acc_ref, *, causal: bool, Sk: int,
                        block_q: int, block_k: int):
@@ -126,57 +138,73 @@ def _attn_kernel_tiled(q_ref, k_ref, v_ref, kmask_ref, o_ref, lse_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0, 0]                                    # (bq, d)
-    k = k_ref[0, 0]                                    # (bk, d)
-    v = v_ref[0, 0]
+    def compute():
+        q = q_ref[0, 0]                                # (bq, d)
+        k = k_ref[0, 0]                                # (bk, d)
+        v = v_ref[0, 0]
 
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    s = s * (1.0 / math.sqrt(d))                       # (bq, bk)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * (1.0 / math.sqrt(d))                   # (bq, bk)
 
-    # key-validity: padding mask AND in-bounds (the final k/v block may
-    # read past Sk — those unspecified columns are masked before use; the
-    # key mask itself is host-padded with zeros, so its read is exact)
-    cols = jk * block_k + jax.lax.broadcasted_iota(
-        jnp.int32, (block_q, block_k), 1)
-    valid = jnp.logical_and(kmask_ref[b, :][None, :] != 0, cols < Sk)
+        # key-validity: padding mask AND in-bounds (the final k/v block may
+        # read past Sk — those unspecified columns are masked before use;
+        # the key mask itself is host-padded with zeros, so its read is
+        # exact)
+        cols = jk * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        valid = jnp.logical_and(kmask_ref[b, :][None, :] != 0, cols < Sk)
+        if causal:
+            rows = iq * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            valid = jnp.logical_and(valid, cols <= rows)
+        s = jnp.where(valid, s, _NEG_INF)
+
+        m_old = m_ref[:, :1]                           # (bq, 1)
+        m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
+        # all-masked-so-far rows keep m == -inf; exp(-inf - -inf) is NaN,
+        # so pin their correction/probabilities to 0 (they stay empty
+        # until a valid key appears; fully-empty rows end as 0/0 = NaN,
+        # torch-parity)
+        empty = m_new == _NEG_INF
+        corr = jnp.where(empty, 0.0, jnp.exp(m_old - m_new))   # (bq, 1)
+        p = jnp.where(empty, 0.0, jnp.exp(s - m_new))          # (bq, bk)
+
+        # zero OOB value rows: p is 0 there, but 0 * garbage(NaN) would
+        # poison the accumulator through the matmul
+        key_ids = jk * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_k, 1), 0)
+        v = jnp.where(key_ids < Sk, v, 0)
+
+        l_ref[:] = corr * l_ref[:] + jnp.broadcast_to(
+            jnp.sum(p, axis=-1, keepdims=True), l_ref.shape)
+        acc_ref[:] = corr * acc_ref[:] + jnp.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+
     if causal:
-        rows = iq * block_q + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 0)
-        valid = jnp.logical_and(valid, cols <= rows)
-    s = jnp.where(valid, s, _NEG_INF)
-
-    m_old = m_ref[:, :1]                               # (bq, 1)
-    m_new = jnp.maximum(m_old, jnp.max(s, axis=-1, keepdims=True))
-    # all-masked-so-far rows keep m == -inf; exp(-inf - -inf) is NaN, so
-    # pin their correction/probabilities to 0 (they stay empty until a
-    # valid key appears; fully-empty rows end as 0/0 = NaN, torch-parity)
-    empty = m_new == _NEG_INF
-    corr = jnp.where(empty, 0.0, jnp.exp(m_old - m_new))   # (bq, 1)
-    p = jnp.where(empty, 0.0, jnp.exp(s - m_new))          # (bq, bk)
-
-    # zero OOB value rows: p is 0 there, but 0 * garbage(NaN) would poison
-    # the accumulator through the matmul
-    key_ids = jk * block_k + jax.lax.broadcasted_iota(
-        jnp.int32, (block_k, 1), 0)
-    v = jnp.where(key_ids < Sk, v, 0)
-
-    l_ref[:] = corr * l_ref[:] + jnp.broadcast_to(
-        jnp.sum(p, axis=-1, keepdims=True), l_ref.shape)
-    acc_ref[:] = corr * acc_ref[:] + jnp.dot(
-        p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        # key blocks entirely above the diagonal are all-masked: skipping
+        # them leaves m/l/acc untouched (an all-masked block contributes
+        # corr = 1, p = 0). Only the COMPUTE is skipped — Pallas still
+        # DMAs the block, and at d=256 the k/v block copy costs about as
+        # much as its matmuls, so the measured win is ~10% at S=2048
+        # (not the ~40% dead-block fraction).
+        pl.when(jk * block_k <= iq * block_q + block_q - 1)(compute)
+    else:
+        compute()
 
     @pl.when(jk == pl.num_programs(3) - 1)
     def _():
         o_ref[0, 0] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
-        # row log-sum-exp, saved for the tiled backward:
-        # p_ij = exp(s_ij - lse_i) reconstructs the softmax exactly
-        # (empty rows: m = -inf, l = 0 -> lse = -inf). Stored 8 lanes wide
-        # — Mosaic requires >= (8-divisible, full-dim) trailing block dims,
-        # and a (bq, 8) broadcast is the cheapest legal layout.
-        lse_ref[0, 0] = jnp.broadcast_to(
-            m_ref[:, :1] + jnp.log(l_ref[:, :1]), lse_ref.shape[2:])
+        if lse_ref is not None:
+            # row log-sum-exp, saved for the tiled backward:
+            # p_ij = exp(s_ij - lse_i) reconstructs the softmax exactly
+            # (empty rows: m = -inf, l = 0 -> lse = -inf). Stored 8 lanes
+            # wide — Mosaic requires >= (8-divisible, full-dim) trailing
+            # block dims, and a (bq, 8) broadcast is the cheapest legal
+            # layout.
+            lse_ref[0, 0] = jnp.broadcast_to(
+                m_ref[:, :1] + jnp.log(l_ref[:, :1]), lse_ref.shape[2:])
 
 
 @functools.partial(jax.jit,
@@ -193,8 +221,21 @@ def _flash_attention_tiled(q, k, v, key_mask, causal: bool, interpret: bool,
     if pad:
         key_mask = jnp.pad(key_mask, ((0, 0), (0, pad)))
 
-    out, lse = pl.pallas_call(
-        functools.partial(_attn_kernel_tiled, causal=causal, Sk=Sk,
+    out_specs = [pl.BlockSpec((1, 1, block_q, d),
+                              lambda b, h, iq, jk: (b, h, iq, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((B, H, Sq, d), q.dtype)]
+    lse_bytes = 0
+    if with_lse:
+        out_specs.append(pl.BlockSpec((1, 1, block_q, 8),
+                                      lambda b, h, iq, jk: (b, h, iq, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((B, H, Sq, 8), jnp.float32))
+        lse_bytes = B * H * Sq * 8 * 4
+    kernel = _attn_kernel_tiled if with_lse else _attn_kernel_tiled_nolse
+
+    res = pl.pallas_call(
+        functools.partial(kernel, causal=causal, Sk=Sk,
                           block_q=block_q, block_k=block_k),
         grid=(B, H, nq, nk),
         in_specs=[
@@ -210,18 +251,8 @@ def _flash_attention_tiled(q, k, v, key_mask, causal: bool, interpret: bool,
             pl.BlockSpec((B, block_k), lambda b, h, iq, jk: (0, jk),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, block_q, d),
-                         lambda b, h, iq, jk: (b, h, iq, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q, 8),
-                         lambda b, h, iq, jk: (b, h, iq, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, H, Sq, d), q.dtype),
-            jax.ShapeDtypeStruct((B, H, Sq, 8), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),   # running row-max
             pltpu.VMEM((block_q, 128), jnp.float32),   # running row-sum
@@ -230,12 +261,12 @@ def _flash_attention_tiled(q, k, v, key_mask, causal: bool, interpret: bool,
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * B * H * Sq * Sk * d,
             bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize
-            + q.size * q.dtype.itemsize,
+            + q.size * q.dtype.itemsize + lse_bytes,
             transcendentals=B * H * Sq * Sk,
         ),
         interpret=interpret,
     )(q, k, v, key_mask)
-    return (out, lse) if with_lse else out
+    return (res[0], res[1]) if with_lse else res[0]
 
 
 @functools.partial(jax.jit, static_argnames=('causal', 'interpret'))
@@ -298,6 +329,25 @@ def _flash_attention_vjp(q, k, v, key_mask, causal, block_k):
     return _flash_attention_impl(q, k, v, key_mask, causal, interpret)
 
 
+def _recon_p(q, k, lse_col, kmask_row, causal: bool, row_off, col_off,
+             scale: float, block_q: int, block_k: int):
+    '''Reconstruct this block's softmax probabilities from the saved row
+    log-sum-exp: p = where(valid, exp(q·kᵀ·scale − lse), 0). Shared by both
+    backward kernels so their masking/scaling can never desynchronize.
+    Empty rows have lse = −inf and no valid column, so where() leaves them
+    all-zero.'''
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    valid = kmask_row[None, :] != 0
+    if causal:
+        rows = row_off + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0)
+        cols = col_off + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        valid = jnp.logical_and(valid, cols <= rows)
+    return jnp.where(valid, jnp.exp(s - lse_col), 0.0)
+
+
 def _dq_kernel(q_ref, do_ref, lse_ref, drow_ref, k_ref, v_ref, kmask_ref,
                dq_ref, acc_ref, *, causal: bool, scale: float,
                block_q: int, block_k: int):
@@ -313,30 +363,26 @@ def _dq_kernel(q_ref, do_ref, lse_ref, drow_ref, k_ref, v_ref, kmask_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    do = do_ref[0, 0]
+    def compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        p = _recon_p(q, k, lse_ref[0, 0, :, :1], kmask_ref[b, :], causal,
+                     iq * block_q, jk * block_k, scale, block_q, block_k)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - drow_ref[0, 0, :, :1]) * scale
+        acc_ref[:] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    valid = kmask_ref[b, :][None, :] != 0
     if causal:
-        rows = iq * block_q + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 0)
-        cols = jk * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1)
-        valid = jnp.logical_and(valid, cols <= rows)
-    # p = exp(s - lse) reconstructs the forward softmax exactly; empty rows
-    # have lse = -inf and no valid column, so where() leaves them all-zero
-    p = jnp.where(valid, jnp.exp(s - lse_ref[0, 0, :, :1]), 0.0)
-
-    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    ds = p * (dp - drow_ref[0, 0, :, :1]) * scale
-    acc_ref[:] += jax.lax.dot_general(
-        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        # skip the compute of key blocks entirely above the diagonal
+        # (all-masked); block DMA still runs — see _attn_kernel_tiled
+        pl.when(jk * block_k <= iq * block_q + block_q - 1)(compute)
+    else:
+        compute()
 
     @pl.when(jk == pl.num_programs(3) - 1)
     def _():
@@ -357,31 +403,27 @@ def _dkv_kernel(q_ref, do_ref, lse_ref, drow_ref, k_ref, v_ref, kmask_ref,
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    do = do_ref[0, 0]
+    def compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        p = _recon_p(q, k, lse_ref[0, 0, :, :1], kmask_ref[b, :], causal,
+                     iq * block_q, ik * block_k, scale, block_q, block_k)
+        dv_acc[:] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - drow_ref[0, 0, :, :1]) * scale
+        dk_acc[:] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    valid = kmask_ref[b, :][None, :] != 0
     if causal:
-        rows = iq * block_q + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 0)
-        cols = ik * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1)
-        valid = jnp.logical_and(valid, cols <= rows)
-    p = jnp.where(valid, jnp.exp(s - lse_ref[0, 0, :, :1]), 0.0)
-
-    dv_acc[:] += jax.lax.dot_general(
-        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    ds = p * (dp - drow_ref[0, 0, :, :1]) * scale
-    dk_acc[:] += jax.lax.dot_general(
-        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        pl.when(ik * block_k <= iq * block_q + block_q - 1)(compute)
+    else:
+        compute()
 
     @pl.when(iq == pl.num_programs(3) - 1)
     def _():
@@ -478,7 +520,7 @@ def _flash_attention_tiled_bwd(q, k, v, key_mask, lse, out, g,
         scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
                         pltpu.VMEM((block_k, d), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=3 * 2 * B * H * Sq * Sk * d,
+            flops=4 * 2 * B * H * Sq * Sk * d,
             bytes_accessed=2 * (q.size + k.size + v.size) * q.dtype.itemsize,
             transcendentals=B * H * Sq * Sk,
         ),

@@ -145,8 +145,8 @@ def test_tiled_flash_attention_fully_masked_rows_nan(rng):
 
 
 def test_tiled_flash_attention_matches_single_block_grads(rng):
-    '''Gradients flow through the forced-tiled forward (custom VJP reuses
-    the same XLA backward).'''
+    '''Gradients flow through the forced-tiled forward and its tiled
+    Pallas backward, matching the single-block path's XLA-recompute VJP.'''
     B, H, Sq, Sk, d = 1, 2, 8, 160, 8
     q, k, v = _rand_qkv(rng, B, H, Sq, Sk, d)
     key_mask = np.ones((B, 1, 1, Sk), bool)

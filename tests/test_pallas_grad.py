@@ -111,3 +111,23 @@ def test_tiled_backward_fully_masked_row(rng):
         a = np.where(np.isnan(np.asarray(a)), 0.0, np.asarray(a))
         assert not np.isnan(np.asarray(b)).any()
         np.testing.assert_allclose(np.asarray(b), a, atol=2e-4)
+
+
+def test_tiled_backward_multiple_query_blocks(rng):
+    '''Sq > block_q exercises nq > 1: the q-axis host padding (pq > 0) and
+    the iq*block_q row offsets in both backward kernels.'''
+    B, H, S, d = 1, 1, 520, 8                 # block_q=512 -> nq=2, pq=504
+    q = jnp.asarray(rng.normal(size=(B, H, S, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, H, S, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, H, S, d)), jnp.float32)
+    pad = np.ones((B, 1, S), bool)
+    pad[0, 0, 500:] = False
+    causal = np.asarray(subsequent_mask(S))
+    m = jnp.asarray((pad[:, :, None, :] & causal[None])[:, 0])[:, None]
+
+    g_ref = _grads(scaled_dot_attention, q, k, v, m)
+    g_til = _grads(lambda q, k, v, m: flash_attention(q, k, v, m,
+                                                      block_k=128),
+                   q, k, v, m)
+    for a, b in zip(g_ref, g_til):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-4)
