@@ -152,6 +152,9 @@ class Config:
         self.profile_steps = getattr(args, 'profile_steps', 0)
         self.beam_size = getattr(args, 'beam_size', 4)
         self.length_penalty = getattr(args, 'length_penalty', 0.0)
+        self.temperature = getattr(args, 'temperature', 1.0)
+        self.sample_top_k = getattr(args, 'sample_top_k', 0)
+        self.sample_top_p = getattr(args, 'sample_top_p', 1.0)
         self.max_events_per_video = getattr(args, 'max_events_per_video', 32)
         self.glove_path = getattr(args, 'glove_path', None)
         self.vocab_path = getattr(args, 'vocab_path', None)
@@ -343,12 +346,21 @@ def build_parser() -> argparse.ArgumentParser:
                         help='rematerialize encoder layers in the backward '
                              'pass (jax.checkpoint) to save HBM')
     parser.add_argument('--decode_strategy', type=str, default='greedy',
-                        choices=['greedy', 'beam'],
-                        help='caption decoding strategy (beam search is a '
-                             'capability beyond the reference)')
+                        choices=['greedy', 'beam', 'sample'],
+                        help='caption decoding strategy (beam search and '
+                             'sampling are capabilities beyond the '
+                             'reference)')
     parser.add_argument('--beam_size', type=int, default=4)
     parser.add_argument('--length_penalty', type=float, default=0.0,
                         help='GNMT length penalty alpha for beam search')
+    parser.add_argument('--temperature', type=float, default=1.0,
+                        help='sampling temperature (decode_strategy '
+                             'sample)')
+    parser.add_argument('--sample_top_k', type=int, default=0,
+                        help='restrict sampling to the k best tokens '
+                             '(0 = off)')
+    parser.add_argument('--sample_top_p', type=float, default=1.0,
+                        help='nucleus sampling mass (1.0 = off)')
     parser.add_argument('--profile_steps', type=int, default=0,
                         help='capture a jax.profiler trace of this many '
                              'training steps at the start of epoch 0 '

@@ -28,13 +28,20 @@ from bmt_tpu.ops.masks import make_masks
 
 
 def _greedy_core(step_closure, state, B: int, max_len: int, start_idx: int,
-                 end_idx: int):
-    '''Shared KV-cached greedy loop (bi- and uni-modal decoders differ only
+                 end_idx: int, select_fn=None):
+    '''Shared KV-cached decode loop (bi- and uni-modal decoders differ only
     in their step function — same pattern as ``beam._beam_core``).
 
     step_closure(state, cur (B, 1), step) -> (log_probs (B, V), state).
+    select_fn(log_probs, step) -> (B,) int32 next tokens; default greedy
+    argmax (matching torch max() first-max tie-breaking). ``decode.sample``
+    plugs stochastic selectors in here.
     Returns tokens (B, max_len + 1) int32.
     '''
+    if select_fn is None:
+        def select_fn(log_probs, step):
+            return jnp.argmax(log_probs, axis=-1).astype(jnp.int32)
+
     tokens = jnp.full((B, max_len + 1), end_idx, jnp.int32)
     tokens = tokens.at[:, 0].set(start_idx)
     done = jnp.zeros((B,), bool)
@@ -47,7 +54,7 @@ def _greedy_core(step_closure, state, B: int, max_len: int, start_idx: int,
         step, tokens, done, state = carry
         cur = jax.lax.dynamic_slice_in_dim(tokens, step, 1, axis=1)  # (B, 1)
         log_probs, state = step_closure(state, cur, step)
-        nxt = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)       # (B,)
+        nxt = select_fn(log_probs, step)                             # (B,)
         tokens = jax.lax.dynamic_update_slice_in_dim(
             tokens, nxt[:, None], step + 1, axis=1)
         done = jnp.logical_or(done, nxt == end_idx)
@@ -55,6 +62,26 @@ def _greedy_core(step_closure, state, B: int, max_len: int, start_idx: int,
 
     _, tokens, _, _ = jax.lax.while_loop(cond, body, (0, tokens, done, state))
     return tokens
+
+
+def bimodal_step_setup(params, dims: CapModelDims, feature_stacks: dict,
+                       pad_idx: int, max_len: int,
+                       attention_impl: str = 'xla', kv_int8: bool = False):
+    '''Encoder + cross-KV + cache init shared by greedy and sampling
+    decoders. Returns (state, step_closure, B).'''
+    masks = make_masks(feature_stacks, None, 'audio_video', pad_idx)
+    A_mask, V_mask = masks['A_mask'], masks['V_mask']
+    Av, Va = bimodal_encode(params, dims, feature_stacks, masks,
+                            deterministic=True, attention_impl=attention_impl)
+    state = bimodal_decode_init(params, dims, Av, Va, max_len,
+                                kv_int8=kv_int8, A_mask=A_mask,
+                                V_mask=V_mask)
+
+    def step_closure(state, cur, step):
+        return bimodal_decode_step(params, dims, state, cur, step,
+                                   A_mask, V_mask, attention_impl)
+
+    return state, step_closure, Av.shape[0]
 
 
 @partial(jax.jit, static_argnames=('dims', 'max_len', 'start_idx', 'end_idx',
@@ -75,20 +102,10 @@ def greedy_decode_bimodal(params, dims: CapModelDims, feature_stacks: dict,
     shapes, at the cost of ~1e-2 relative logit error; see
     ``ops.attention.precompute_kv``).
     '''
-    masks = make_masks(feature_stacks, None, 'audio_video', pad_idx)
-    A_mask, V_mask = masks['A_mask'], masks['V_mask']
-
-    Av, Va = bimodal_encode(params, dims, feature_stacks, masks,
-                            deterministic=True, attention_impl=attention_impl)
-    state = bimodal_decode_init(params, dims, Av, Va, max_len,
-                                kv_int8=kv_int8, A_mask=A_mask,
-                                V_mask=V_mask)
-
-    def step_closure(state, cur, step):
-        return bimodal_decode_step(params, dims, state, cur, step,
-                                   A_mask, V_mask, attention_impl)
-
-    return _greedy_core(step_closure, state, Av.shape[0], max_len,
+    state, step_closure, B = bimodal_step_setup(
+        params, dims, feature_stacks, pad_idx, max_len, attention_impl,
+        kv_int8)
+    return _greedy_core(step_closure, state, B, max_len,
                         start_idx, end_idx)
 
 

@@ -1,0 +1,107 @@
+'''Stochastic caption decoding: temperature / top-k / nucleus sampling.
+
+The reference decodes greedily only (captioning_epoch_loops.py:39-65);
+beam search and sampling are beyond-reference capabilities sharing the
+same KV-cached single-jit loop (``greedy._greedy_core``). Sampling is the
+standard recipe for caption diversity: scale logits by 1/temperature,
+restrict to the top-k tokens and/or the smallest nucleus whose probability
+mass exceeds top_p, then draw categorically.
+
+Determinism: the whole decode is one jitted ``lax.while_loop``; the
+per-step key is ``fold_in(rng, step)``, so a (seed, batch) pair always
+reproduces the same captions.
+'''
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from bmt_tpu.decode.greedy import _greedy_core, bimodal_step_setup
+from bmt_tpu.models.captioning import CapModelDims
+
+_NEG_INF = float('-inf')
+
+
+def filter_logits(log_probs: jnp.ndarray, top_k: int = 0,
+                  top_p: float = 1.0) -> jnp.ndarray:
+    '''Mask a (B, V) log-prob row-set down to the sampling support.
+
+    top_k > 0: keep only the k highest-scoring tokens per row.
+    top_p < 1: nucleus — keep the smallest descending-probability prefix
+    whose cumulative mass exceeds top_p (always at least one token).
+    Both filters compose (intersection), matching the common HF semantics.
+    '''
+    filtered = log_probs.astype(jnp.float32)
+    if top_k and top_k > 0:
+        kth = jax.lax.top_k(filtered, top_k)[0][:, -1:]        # (B, 1)
+        filtered = jnp.where(filtered < kth, _NEG_INF, filtered)
+    if top_p < 1.0:
+        sorted_lp = jnp.sort(filtered, axis=-1)[:, ::-1]       # desc
+        probs = jax.nn.softmax(sorted_lp, axis=-1)
+        csum = jnp.cumsum(probs, axis=-1)
+        # token i is OUT when the mass strictly before it already
+        # exceeds top_p (so the arg-max token always stays in)
+        cut = (csum - probs) > top_p
+        # threshold value = smallest kept log-prob
+        kept = jnp.where(cut, jnp.inf, sorted_lp)
+        thresh = jnp.min(kept, axis=-1, keepdims=True)
+        filtered = jnp.where(filtered < thresh, _NEG_INF, filtered)
+    return filtered
+
+
+def make_sample_select_fn(rng, temperature: float = 1.0, top_k: int = 0,
+                          top_p: float = 1.0):
+    '''Per-step stochastic selector for ``_greedy_core``.'''
+    t = max(float(temperature), 1e-6)
+
+    def select(log_probs, step):
+        key = jax.random.fold_in(rng, step)
+        logits = filter_logits(log_probs.astype(jnp.float32) / t,
+                               top_k, top_p)
+        return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+    return select
+
+
+@partial(jax.jit, static_argnames=('dims', 'max_len', 'start_idx',
+                                   'end_idx', 'pad_idx', 'temperature',
+                                   'top_k', 'top_p', 'attention_impl',
+                                   'kv_int8'))
+def sample_decode_bimodal(params, dims: CapModelDims, feature_stacks: dict,
+                          rng, max_len: int, start_idx: int, end_idx: int,
+                          pad_idx: int, temperature: float = 1.0,
+                          top_k: int = 0, top_p: float = 1.0,
+                          attention_impl: str = 'xla',
+                          kv_int8: bool = False):
+    '''KV-cached stochastic decode; same interface/shape contract as
+    ``greedy_decode_bimodal`` plus an explicit PRNG key.'''
+    state, step_closure, B = bimodal_step_setup(
+        params, dims, feature_stacks, pad_idx, max_len, attention_impl,
+        kv_int8)
+    select = make_sample_select_fn(rng, temperature, top_k, top_p)
+    return _greedy_core(step_closure, state, B, max_len, start_idx,
+                        end_idx, select_fn=select)
+
+
+def make_bimodal_sample_fn(dims: CapModelDims, max_len: int, start_idx: int,
+                           end_idx: int, pad_idx: int,
+                           temperature: float = 1.0, top_k: int = 0,
+                           top_p: float = 1.0, attention_impl: str = 'xla',
+                           kv_int8: bool = False, seed: int = 0):
+    '''Bind statics; returns fn(params, feature_stacks) matching the
+    greedy/beam decoder interface for the validation loops. Each call
+    advances an internal counter folded into the key, so successive
+    batches draw fresh (but per-run reproducible) samples.'''
+    base = jax.random.PRNGKey(seed)
+    counter = [0]
+
+    def fn(params, feature_stacks):
+        key = jax.random.fold_in(base, counter[0])
+        counter[0] += 1
+        return sample_decode_bimodal(
+            params, dims, feature_stacks, key, max_len, start_idx,
+            end_idx, pad_idx, temperature, top_k, top_p, attention_impl,
+            kv_int8)
+    return fn

@@ -15,7 +15,8 @@ import jax
 
 from bmt_tpu.config import Config
 from bmt_tpu.data.captioning import CaptioningDataset
-from bmt_tpu.decode import make_bimodal_beam_fn, make_bimodal_greedy_fn
+from bmt_tpu.decode import (make_bimodal_beam_fn, make_bimodal_greedy_fn,
+                            make_bimodal_sample_fn)
 from bmt_tpu.models import CapModelDims
 from bmt_tpu.train.checkpoint import (import_cap_model, load_model_params,
                                       load_torch_checkpoint)
@@ -120,6 +121,14 @@ def eval_on_learned_props(args_cfg: Config):
         greedy_fn = make_bimodal_beam_fn(
             dims, cfg.max_len, train_ds.start_idx, train_ds.end_idx,
             train_ds.pad_idx, args_cfg.beam_size, args_cfg.length_penalty,
+            getattr(cfg, 'attention_impl', 'xla'),
+            getattr(args_cfg, 'kv_cache_int8', False))
+    elif getattr(args_cfg, 'decode_strategy', 'greedy') == 'sample':
+        greedy_fn = make_bimodal_sample_fn(
+            dims, cfg.max_len, train_ds.start_idx, train_ds.end_idx,
+            train_ds.pad_idx, args_cfg.temperature,
+            getattr(args_cfg, 'sample_top_k', 0),
+            getattr(args_cfg, 'sample_top_p', 1.0),
             getattr(cfg, 'attention_impl', 'xla'),
             getattr(args_cfg, 'kv_cache_int8', False))
     else:

@@ -20,6 +20,7 @@ from bmt_tpu.config import Config
 from bmt_tpu.data.captioning import CaptioningDataset
 from bmt_tpu.data.vocab import load_glove
 from bmt_tpu.decode import (make_bimodal_beam_fn, make_bimodal_greedy_fn,
+                            make_bimodal_sample_fn,
                             make_unimodal_greedy_fn)
 from bmt_tpu.models import (CapModelDims, init_bimodal_transformer,
                             init_unimodal_transformer)
@@ -138,6 +139,15 @@ def train_cap(cfg: Config):
             dims, cfg.max_len, train_ds.start_idx, train_ds.end_idx,
             train_ds.pad_idx, cfg.beam_size, cfg.length_penalty,
             cfg.attention_impl, getattr(cfg, 'kv_cache_int8', False))
+    elif getattr(cfg, 'decode_strategy', 'greedy') == 'sample':
+        assert cfg.modality == 'audio_video', \
+            'sampling decode is implemented for the bi-modal captioner'
+        greedy_fn = make_bimodal_sample_fn(
+            dims, cfg.max_len, train_ds.start_idx, train_ds.end_idx,
+            train_ds.pad_idx, cfg.temperature,
+            getattr(cfg, 'sample_top_k', 0),
+            getattr(cfg, 'sample_top_p', 1.0), cfg.attention_impl,
+            getattr(cfg, 'kv_cache_int8', False), seed=seed)
     elif cfg.modality == 'audio_video':
         greedy_fn = make_bimodal_greedy_fn(
             dims, cfg.max_len, train_ds.start_idx, train_ds.end_idx,
