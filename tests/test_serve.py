@@ -351,3 +351,72 @@ def test_http_predict_without_pipeline_404(engine):
         assert ei.value.code == 404
     finally:
         server.shutdown()
+
+
+def test_serve_cli_with_prop_checkpoint(tmp_path):
+    '''CLI end-to-end with both checkpoints: /predict works.'''
+    from bmt_tpu.config import Config, build_parser
+    from bmt_tpu.models import (CapModelDims, PropModelDims,
+                                init_bimodal_transformer,
+                                init_multimodal_proposal_generator)
+    from bmt_tpu.scripts import serve as serve_cli
+    from bmt_tpu.train.checkpoint import save_checkpoint
+
+    cap_argv = ['--procedure', 'train_cap', '--d_vid', str(DIMS.d_vid),
+                '--d_aud', str(DIMS.d_aud), '--use_linear_embedder',
+                '--d_model_video', '12', '--d_model_audio', '8',
+                '--d_model', '16', '--d_model_caps', '10', '--H', '2',
+                '--N', '2', '--max_len', str(MAX_LEN), '--dont_log']
+    cap_cfg = Config(build_parser().parse_args(cap_argv))
+    vocab = _vocab()
+    cap_dims = CapModelDims.from_config(cap_cfg, len(vocab))
+    cap_params = init_bimodal_transformer(jax.random.PRNGKey(0), cap_dims)
+    cap_dir = tmp_path / 'cap'
+    save_checkpoint(str(cap_dir), cap_params,
+                    {'config': cap_cfg.to_dict(), 'epoch': 0,
+                     'vocab_itos': vocab.itos})
+
+    prop_argv = ['--procedure', 'train_prop', '--d_vid', str(DIMS.d_vid),
+                 '--d_aud', str(DIMS.d_aud), '--use_linear_embedder',
+                 '--d_model_video', '12', '--d_model_audio', '8',
+                 '--d_model', '16', '--H', '2', '--N', '1',
+                 '--anchors_num_audio', '2', '--anchors_num_video', '2',
+                 '--kernel_sizes_audio', '3', '--kernel_sizes_video', '3',
+                 '--conv_layers_audio', '16', '--conv_layers_video', '16',
+                 '--pad_audio_feats_up_to', '16',
+                 '--pad_video_feats_up_to', '12', '--dont_log']
+    prop_cfg = Config(build_parser().parse_args(prop_argv))
+    prop_dims = PropModelDims.from_config(prop_cfg)
+    prop_params = init_multimodal_proposal_generator(jax.random.PRNGKey(1),
+                                                     prop_dims)
+    prop_params['anchors_A'] = jnp.asarray([2.0, 6.0])
+    prop_params['anchors_V'] = jnp.asarray([3.0, 9.0])
+    prop_dir = tmp_path / 'prop'
+    save_checkpoint(str(prop_dir), prop_params,
+                    {'config': prop_cfg.to_dict(), 'epoch': 0},
+                    name='best_prop_model')
+
+    server = serve_cli.main(
+        ['--pretrained_cap_model_path', str(cap_dir),
+         '--prop_generator_model_path', str(prop_dir),
+         '--max_prop_per_vid', '4', '--port', '0',
+         '--compute_dtype', 'float32', '--max_wait_ms', '1',
+         '--warmup_shapes', '4x4', '--warmup_batches', '1'],
+        block=False)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        rng = np.random.default_rng(9)
+        feats = {k: rng.normal(size=(10, d)).tolist()
+                 for k, d in (('rgb', DIMS.d_vid), ('flow', DIMS.d_vid),
+                              ('audio', DIMS.d_aud))}
+        req = urllib.request.Request(
+            f'http://127.0.0.1:{port}/predict',
+            data=json.dumps({'features': feats, 'duration': 25.0}).encode(),
+            headers={'Content-Type': 'application/json'})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            results = json.load(r)['results']
+        assert results and all(
+            set(x) == {'start', 'end', 'sentence'} for x in results)
+    finally:
+        server.shutdown()
