@@ -45,6 +45,9 @@ def build_parser():
     p.add_argument('--warmup_batches', default='1,2,4,8,16,32,64',
                    help='every batch bucket <= max_batch, so steady '
                         'state never compiles')
+    p.add_argument('--dp_devices', type=int, default=1,
+                   help='shard decode batches over a data-parallel mesh '
+                        'of this many chips')
     p.add_argument('--prop_generator_model_path', default=None,
                    help='also load a proposal checkpoint and expose the '
                         'full two-stage pipeline at POST /predict')
@@ -66,13 +69,18 @@ def main(argv=None, block=True):
             f'serving supports the bi-modal captioner only (checkpoint '
             f'modality: {cfg.modality}); decode uni-modal ablation '
             f'checkpoints via main.py --procedure evaluate instead')
+    dp = None
+    if args.dp_devices > 1:
+        from bmt_tpu.parallel import DataParallel
+        dp = DataParallel(args.dp_devices)
+        print(f'decode batches sharded over dp{dp.n_dp}')
     engine = CaptionEngine(
         params, dims, vocab, max_len=cfg.max_len,
         start_token=cfg.start_token, end_token=cfg.end_token,
         pad_token=cfg.pad_token, max_batch=args.max_batch,
         attention_impl=args.attention_impl, kv_int8=args.kv_cache_int8,
         compute_dtype=jnp.bfloat16
-        if args.compute_dtype == 'bfloat16' else None)
+        if args.compute_dtype == 'bfloat16' else None, dp=dp)
 
     shapes = [tuple(int(x) for x in s.split('x'))
               for s in args.warmup_shapes.split(',') if s]

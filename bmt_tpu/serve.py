@@ -60,7 +60,11 @@ class CaptionEngine:
                  start_token: str = '<s>', end_token: str = '</s>',
                  pad_token: str = '<blank>', max_batch: int = 64,
                  attention_impl: str = 'xla', kv_int8: bool = False,
-                 compute_dtype=None):
+                 compute_dtype=None, dp=None):
+        '''``dp``: a ``bmt_tpu.parallel.DataParallel`` to shard decode
+        batches across chips (params replicated, batch split over the dp
+        axis — the same recipe the validation loops use). Batch buckets
+        that don't divide the mesh fall back to single-device.'''
         self.dims = dims
         self.vocab = vocab
         self.max_len = max_len
@@ -76,6 +80,9 @@ class CaptionEngine:
                 lambda x: x.astype(compute_dtype)
                 if hasattr(x, 'dtype') and x.dtype == jnp.float32 else x,
                 params)
+        self.dp = dp
+        if dp is not None and dp.n_dp > 1:
+            params = dp.replicate_tree(params)
         self.params = params
         self.compute_dtype = compute_dtype
         self._lock = threading.Lock()  # device dispatch is serialized
@@ -125,6 +132,9 @@ class CaptionEngine:
             Sa = bucket_len(max(c['audio'].shape[0] for c in chunk),
                             AUDIO_BUCKETS)
             batch = self._pad_batch(chunk, Bb, Sv, Sa)
+            if self.dp is not None and self.dp.n_dp > 1 \
+                    and Bb % self.dp.n_dp == 0:
+                batch = self.dp.shard(batch)
             with self._lock:
                 toks = greedy_decode_bimodal(
                     self.params, self.dims, batch, self.max_len,

@@ -420,3 +420,23 @@ def test_serve_cli_with_prop_checkpoint(tmp_path):
             set(x) == {'start', 'end', 'sentence'} for x in results)
     finally:
         server.shutdown()
+
+
+def test_engine_dp_sharded_matches_single_device():
+    '''dp8-sharded engine decode == single-device, token for token (the
+    same equivalence the validation loops pin).'''
+    from bmt_tpu.parallel import DataParallel
+    params = init_bimodal_transformer(jax.random.PRNGKey(0), DIMS)
+    vocab = _vocab()
+    single = CaptionEngine(params, DIMS, vocab, max_len=MAX_LEN,
+                           max_batch=8)
+    sharded = CaptionEngine(params, DIMS, vocab, max_len=MAX_LEN,
+                            max_batch=8, dp=DataParallel(8))
+    rng = np.random.default_rng(11)
+    crops = [_crop(rng, 6, 6) for _ in range(8)]
+    np.testing.assert_array_equal(sharded.caption_tokens(crops),
+                                  single.caption_tokens(crops))
+    # non-divisible bucket (5 -> Bb=8 divides; force odd max_batch path)
+    crops3 = [_crop(rng, 4, 4) for _ in range(3)]      # Bb=4 -> 4 % 8 != 0
+    np.testing.assert_array_equal(sharded.caption_tokens(crops3),
+                                  single.caption_tokens(crops3))
