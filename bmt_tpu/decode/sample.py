@@ -28,33 +28,43 @@ def filter_logits(log_probs: jnp.ndarray, top_k: int = 0,
                   top_p: float = 1.0) -> jnp.ndarray:
     '''Mask a (B, V) log-prob row-set down to the sampling support.
 
-    top_k > 0: keep only the k highest-scoring tokens per row.
+    top_k > 0: keep only the k highest-scoring tokens per row (value
+    threshold at the k-th score, so exact ties with it survive — the same
+    semantics as the HF implementation; k is clamped to V).
     top_p < 1: nucleus — keep the smallest descending-probability prefix
-    whose cumulative mass exceeds top_p (always at least one token).
-    Both filters compose (intersection), matching the common HF semantics.
+    whose cumulative mass exceeds top_p (always at least one token;
+    index-exact: the cut happens at a sorted position, not a value, so
+    tied boundary scores do not widen the nucleus).
+    Both filters compose (intersection).
     '''
     filtered = log_probs.astype(jnp.float32)
+    V = filtered.shape[-1]
     if top_k and top_k > 0:
-        kth = jax.lax.top_k(filtered, top_k)[0][:, -1:]        # (B, 1)
+        kth = jax.lax.top_k(filtered, min(top_k, V))[0][:, -1:]   # (B, 1)
         filtered = jnp.where(filtered < kth, _NEG_INF, filtered)
     if top_p < 1.0:
-        sorted_lp = jnp.sort(filtered, axis=-1)[:, ::-1]       # desc
+        order = jnp.argsort(-filtered, axis=-1)                   # desc
+        sorted_lp = jnp.take_along_axis(filtered, order, axis=-1)
         probs = jax.nn.softmax(sorted_lp, axis=-1)
         csum = jnp.cumsum(probs, axis=-1)
-        # token i is OUT when the mass strictly before it already
-        # exceeds top_p (so the arg-max token always stays in)
+        # sorted position i is OUT when the mass strictly before it
+        # already exceeds top_p (so the arg-max token always stays in)
         cut = (csum - probs) > top_p
-        # threshold value = smallest kept log-prob
-        kept = jnp.where(cut, jnp.inf, sorted_lp)
-        thresh = jnp.min(kept, axis=-1, keepdims=True)
-        filtered = jnp.where(filtered < thresh, _NEG_INF, filtered)
+        # scatter the cut back to vocabulary order by index
+        cut_vocab = jnp.zeros_like(cut).at[
+            jnp.arange(filtered.shape[0])[:, None], order].set(cut)
+        filtered = jnp.where(cut_vocab, _NEG_INF, filtered)
     return filtered
 
 
 def make_sample_select_fn(rng, temperature: float = 1.0, top_k: int = 0,
                           top_p: float = 1.0):
     '''Per-step stochastic selector for ``_greedy_core``.'''
-    t = max(float(temperature), 1e-6)
+    if temperature <= 0:
+        raise ValueError(
+            f'temperature must be > 0, got {temperature} (use greedy '
+            f'decoding for argmax behaviour)')
+    t = float(temperature)
 
     def select(log_probs, step):
         key = jax.random.fold_in(rng, step)

@@ -120,6 +120,16 @@ class DataParallel:
     def shard(self, batch):
         return shard_batch(self.mesh, batch)
 
+    def maybe_shard(self, batch):
+        '''Shard when the batch divides the dp axis, else leave as-is —
+        the shared gate for eval/decode consumers (train steps size their
+        batches to the mesh up front).'''
+        if self.n_dp > 1:
+            B = next(iter(jax.tree.leaves(batch))).shape[0]
+            if B % self.n_dp == 0:
+                return self.shard(batch)
+        return batch
+
     def replicate_tree(self, tree):
         return jax.tree.map(lambda x: jax.device_put(x, self.repl_sh), tree)
 

@@ -72,7 +72,10 @@ def main(argv=None, block=True):
     dp = None
     if args.dp_devices > 1:
         from bmt_tpu.parallel import DataParallel
-        dp = DataParallel(args.dp_devices)
+        try:
+            dp = DataParallel(args.dp_devices)
+        except ValueError as e:
+            raise SystemExit(f'--dp_devices {args.dp_devices}: {e}')
         print(f'decode batches sharded over dp{dp.n_dp}')
     engine = CaptionEngine(
         params, dims, vocab, max_len=cfg.max_len,

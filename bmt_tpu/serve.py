@@ -64,7 +64,8 @@ class CaptionEngine:
         '''``dp``: a ``bmt_tpu.parallel.DataParallel`` to shard decode
         batches across chips (params replicated, batch split over the dp
         axis — the same recipe the validation loops use). Batch buckets
-        that don't divide the mesh fall back to single-device.'''
+        are rounded up to a dp-divisible size so every batch shards
+        (requires ``max_batch`` divisible by the dp size).'''
         self.dims = dims
         self.vocab = vocab
         self.max_len = max_len
@@ -80,9 +81,13 @@ class CaptionEngine:
                 lambda x: x.astype(compute_dtype)
                 if hasattr(x, 'dtype') and x.dtype == jnp.float32 else x,
                 params)
-        self.dp = dp
-        if dp is not None and dp.n_dp > 1:
-            params = dp.replicate_tree(params)
+        self.dp = dp if (dp is not None and dp.n_dp > 1) else None
+        if self.dp is not None:
+            if max_batch % self.dp.n_dp != 0:
+                raise ValueError(
+                    f'max_batch ({max_batch}) must divide evenly by '
+                    f'dp_devices ({self.dp.n_dp}) so every bucket shards')
+            params = self.dp.replicate_tree(params)
         self.params = params
         self.compute_dtype = compute_dtype
         self._lock = threading.Lock()  # device dispatch is serialized
@@ -94,8 +99,12 @@ class CaptionEngine:
     # -- shape plumbing ---------------------------------------------------
 
     def _bucket_batch(self, n: int) -> int:
+        # with a dp mesh, round up to a dp-divisible bucket so EVERY batch
+        # shards (params live on the mesh; an unsharded batch would be
+        # redundantly decoded in full on every chip)
+        floor = self.dp.n_dp if self.dp is not None else 1
         for b in BATCH_BUCKETS:
-            if b >= n:
+            if b >= n and b >= floor:
                 return min(b, self.max_batch)
         return self.max_batch
 
@@ -112,9 +121,12 @@ class CaptionEngine:
                 reps = np.repeat(x[:1], Bb - x.shape[0], axis=0)
                 return np.concatenate([x, reps], axis=0)
             rgb, flow, audio = fill(rgb), fill(flow), fill(audio)
+        # stay NUMPY here: placement happens once in caption_tokens (plain
+        # device upload, or dp.shard — which would otherwise pull an
+        # already-uploaded batch back to host before re-uploading sharded)
         dt = self.compute_dtype or jnp.float32
-        return {'rgb': jnp.asarray(rgb, dt), 'flow': jnp.asarray(flow, dt),
-                'audio': jnp.asarray(audio, dt)}
+        return {'rgb': rgb.astype(dt), 'flow': flow.astype(dt),
+                'audio': audio.astype(dt)}
 
     # -- public API -------------------------------------------------------
 
@@ -132,9 +144,10 @@ class CaptionEngine:
             Sa = bucket_len(max(c['audio'].shape[0] for c in chunk),
                             AUDIO_BUCKETS)
             batch = self._pad_batch(chunk, Bb, Sv, Sa)
-            if self.dp is not None and self.dp.n_dp > 1 \
-                    and Bb % self.dp.n_dp == 0:
-                batch = self.dp.shard(batch)
+            if self.dp is not None:
+                batch = self.dp.shard(batch)   # Bb always divides n_dp
+            else:
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
             with self._lock:
                 toks = greedy_decode_bimodal(
                     self.params, self.dims, batch, self.max_len,

@@ -110,10 +110,8 @@ def make_decode_fn(greedy_fn, dp=None, compute_dtype=None):
     def decode_fn(params, src):
         if compute_dtype is not None:
             src = cast_tree(src, compute_dtype)
-        if dp is not None and dp.n_dp > 1:
-            B = next(iter(src.values())).shape[0]
-            if B % dp.n_dp == 0:
-                src = dp.shard(src)
+        if dp is not None:
+            src = dp.maybe_shard(src)
         return greedy_fn(params, src)
     return decode_fn
 

@@ -105,3 +105,26 @@ def test_sample_rows_start_and_terminate(setup):
     assert toks.shape == (4, MAX_LEN + 1)
     assert (toks[:, 0] == START).all()
     assert ((toks >= 0) & (toks < DIMS.voc_size)).all()
+
+
+def test_filter_logits_top_k_exceeding_vocab_is_clamped():
+    lp = jnp.log(jnp.asarray([[0.5, 0.3, 0.2]]))
+    out = np.asarray(filter_logits(lp, top_k=1000))
+    assert np.isfinite(out).all()        # clamp to V: nothing masked
+
+
+def test_nonpositive_temperature_rejected(setup):
+    params, stacks = setup
+    with pytest.raises(ValueError):
+        sample_decode_bimodal(params, DIMS, stacks, jax.random.PRNGKey(0),
+                              MAX_LEN, START, END, PAD, temperature=0.0)
+
+
+def test_nucleus_cut_is_index_exact():
+    '''Tied scores at the nucleus boundary must not widen the support: at
+    p=0.5 over four 0.25 tokens the smallest prefix exceeding p is 3
+    tokens (mass strictly before the 3rd is 0.5, not > p; before the 4th
+    it is 0.75 > p). A value-threshold cut would keep all 4 ties.'''
+    lp = jnp.log(jnp.asarray([[0.25, 0.25, 0.25, 0.25]]))
+    out = np.asarray(filter_logits(lp, top_p=0.5))
+    assert np.isfinite(out[0]).sum() == 3

@@ -436,7 +436,15 @@ def test_engine_dp_sharded_matches_single_device():
     crops = [_crop(rng, 6, 6) for _ in range(8)]
     np.testing.assert_array_equal(sharded.caption_tokens(crops),
                                   single.caption_tokens(crops))
-    # non-divisible bucket (5 -> Bb=8 divides; force odd max_batch path)
-    crops3 = [_crop(rng, 4, 4) for _ in range(3)]      # Bb=4 -> 4 % 8 != 0
+    # small request: the dp engine rounds the bucket UP to n_dp (8) so it
+    # still shards; rows are batch-independent, so tokens match the
+    # single-device engine's smaller (Bb=4) bucket exactly
+    crops3 = [_crop(rng, 4, 4) for _ in range(3)]
     np.testing.assert_array_equal(sharded.caption_tokens(crops3),
                                   single.caption_tokens(crops3))
+    assert sharded._bucket_batch(3) == 8 and single._bucket_batch(3) == 4
+
+    # max_batch not divisible by the mesh is rejected up front
+    with pytest.raises(ValueError):
+        CaptionEngine(params, DIMS, vocab, max_len=MAX_LEN, max_batch=6,
+                      dp=DataParallel(8))
