@@ -22,6 +22,10 @@ from bmt_tpu.decode.greedy import _greedy_core, bimodal_step_setup
 from bmt_tpu.models.captioning import CapModelDims
 
 _NEG_INF = float('-inf')
+# nucleus support cap: top_p sorts only the top-k'd slice (see
+# filter_logits); 512 of a 10172 vocab covers any peaked caption
+# distribution while keeping the per-step cost near the plain top_k path
+_TOP_P_SUPPORT = 512
 
 
 def filter_logits(log_probs: jnp.ndarray, top_k: int = 0,
@@ -43,17 +47,24 @@ def filter_logits(log_probs: jnp.ndarray, top_k: int = 0,
         kth = jax.lax.top_k(filtered, min(top_k, V))[0][:, -1:]   # (B, 1)
         filtered = jnp.where(filtered < kth, _NEG_INF, filtered)
     if top_p < 1.0:
-        order = jnp.argsort(-filtered, axis=-1)                   # desc
-        sorted_lp = jnp.take_along_axis(filtered, order, axis=-1)
-        probs = jax.nn.softmax(sorted_lp, axis=-1)
+        # A full-vocab sort inside the decode loop is ~24x the whole
+        # greedy step on TPU (argsort over (B, 10172) x 30 steps). The
+        # nucleus never needs more than a few hundred tokens in practice,
+        # so restrict to the top `support` by partial top_k (cheap) and
+        # sort only that slice. Exact whenever the nucleus fits in
+        # `support`; beyond that the filter degrades to combined
+        # top-k(support) + nucleus, which only matters for near-uniform
+        # distributions at top_p ~ 1.
+        support = min(_TOP_P_SUPPORT, V)
+        top_lp, top_idx = jax.lax.top_k(filtered, support)   # (B, s) desc
+        probs = jax.nn.softmax(top_lp, axis=-1)
         csum = jnp.cumsum(probs, axis=-1)
         # sorted position i is OUT when the mass strictly before it
         # already exceeds top_p (so the arg-max token always stays in)
         cut = (csum - probs) > top_p
-        # scatter the cut back to vocabulary order by index
-        cut_vocab = jnp.zeros_like(cut).at[
-            jnp.arange(filtered.shape[0])[:, None], order].set(cut)
-        filtered = jnp.where(cut_vocab, _NEG_INF, filtered)
+        rows = jnp.arange(filtered.shape[0])[:, None]
+        keep = jnp.zeros(filtered.shape, bool).at[rows, top_idx].set(~cut)
+        filtered = jnp.where(keep, filtered, _NEG_INF)
     return filtered
 
 
