@@ -48,6 +48,15 @@ def build_parser():
     p.add_argument('--dp_devices', type=int, default=1,
                    help='shard decode batches over a data-parallel mesh '
                         'of this many chips')
+    p.add_argument('--decode_strategy', default='greedy',
+                   choices=['greedy', 'beam', 'sample'])
+    p.add_argument('--beam_size', type=int, default=4)
+    p.add_argument('--length_penalty', type=float, default=0.0)
+    p.add_argument('--temperature', type=float, default=1.0)
+    p.add_argument('--sample_top_k', type=int, default=0)
+    p.add_argument('--sample_top_p', type=float, default=1.0)
+    p.add_argument('--seed', type=int, default=0,
+                   help='sampling PRNG seed')
     p.add_argument('--prop_generator_model_path', default=None,
                    help='also load a proposal checkpoint and expose the '
                         'full two-stage pipeline at POST /predict')
@@ -77,13 +86,29 @@ def main(argv=None, block=True):
         except ValueError as e:
             raise SystemExit(f'--dp_devices {args.dp_devices}: {e}')
         print(f'decode batches sharded over dp{dp.n_dp}')
+    decode_fn = None
+    se = vocab[cfg.start_token], vocab[cfg.end_token], vocab[cfg.pad_token]
+    if args.decode_strategy == 'beam':
+        from bmt_tpu.decode import make_bimodal_beam_fn
+        decode_fn = make_bimodal_beam_fn(
+            dims, cfg.max_len, *se, args.beam_size, args.length_penalty,
+            args.attention_impl, args.kv_cache_int8)
+    elif args.decode_strategy == 'sample':
+        from bmt_tpu.decode import make_bimodal_sample_fn
+        decode_fn = make_bimodal_sample_fn(
+            dims, cfg.max_len, *se, args.temperature, args.sample_top_k,
+            args.sample_top_p, args.attention_impl, args.kv_cache_int8,
+            seed=args.seed)
     engine = CaptionEngine(
         params, dims, vocab, max_len=cfg.max_len,
         start_token=cfg.start_token, end_token=cfg.end_token,
         pad_token=cfg.pad_token, max_batch=args.max_batch,
         attention_impl=args.attention_impl, kv_int8=args.kv_cache_int8,
         compute_dtype=jnp.bfloat16
-        if args.compute_dtype == 'bfloat16' else None, dp=dp)
+        if args.compute_dtype == 'bfloat16' else None, dp=dp,
+        decode_fn=decode_fn)
+    if decode_fn is not None:
+        print(f'decode strategy: {args.decode_strategy}')
 
     shapes = [tuple(int(x) for x in s.split('x'))
               for s in args.warmup_shapes.split(',') if s]

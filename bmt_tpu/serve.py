@@ -60,12 +60,17 @@ class CaptionEngine:
                  start_token: str = '<s>', end_token: str = '</s>',
                  pad_token: str = '<blank>', max_batch: int = 64,
                  attention_impl: str = 'xla', kv_int8: bool = False,
-                 compute_dtype=None, dp=None):
+                 compute_dtype=None, dp=None, decode_fn=None):
         '''``dp``: a ``bmt_tpu.parallel.DataParallel`` to shard decode
         batches across chips (params replicated, batch split over the dp
         axis — the same recipe the validation loops use). Batch buckets
         are rounded up to a dp-divisible size so every batch shards
-        (requires ``max_batch`` divisible by the dp size).'''
+        (requires ``max_batch`` divisible by the dp size).
+
+        ``decode_fn``: optional fn(params, stacks) -> (B, max_len+1)
+        tokens replacing the default greedy decoder — bind
+        ``decode.make_bimodal_beam_fn`` / ``make_bimodal_sample_fn`` here
+        to serve beam-searched or sampled captions.'''
         self.dims = dims
         self.vocab = vocab
         self.max_len = max_len
@@ -81,6 +86,7 @@ class CaptionEngine:
                 lambda x: x.astype(compute_dtype)
                 if hasattr(x, 'dtype') and x.dtype == jnp.float32 else x,
                 params)
+        self.decode_fn = decode_fn
         self.dp = dp if (dp is not None and dp.n_dp > 1) else None
         if self.dp is not None:
             if max_batch % self.dp.n_dp != 0:
@@ -149,11 +155,14 @@ class CaptionEngine:
             else:
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
             with self._lock:
-                toks = greedy_decode_bimodal(
-                    self.params, self.dims, batch, self.max_len,
-                    self.start_idx, self.end_idx, self.pad_idx,
-                    attention_impl=self.attention_impl,
-                    kv_int8=self.kv_int8)
+                if self.decode_fn is not None:
+                    toks = self.decode_fn(self.params, batch)
+                else:
+                    toks = greedy_decode_bimodal(
+                        self.params, self.dims, batch, self.max_len,
+                        self.start_idx, self.end_idx, self.pad_idx,
+                        attention_impl=self.attention_impl,
+                        kv_int8=self.kv_int8)
                 toks = np.asarray(toks)[:len(chunk)]
                 if _count:
                     self.n_batches += 1

@@ -448,3 +448,72 @@ def test_engine_dp_sharded_matches_single_device():
     with pytest.raises(ValueError):
         CaptionEngine(params, DIMS, vocab, max_len=MAX_LEN, max_batch=6,
                       dp=DataParallel(8))
+
+
+def test_engine_custom_decode_fn(engine):
+    '''Pluggable decode: beam and sampling fns slot into the engine.'''
+    from bmt_tpu.decode import make_bimodal_beam_fn, make_bimodal_sample_fn
+    params = engine.params
+    rng = np.random.default_rng(12)
+    crops = [_crop(rng, 5, 6) for _ in range(3)]
+
+    beam_engine = CaptionEngine(
+        params, DIMS, engine.vocab, max_len=MAX_LEN, max_batch=8,
+        decode_fn=make_bimodal_beam_fn(DIMS, MAX_LEN, START, END, PAD,
+                                       beam_size=2))
+    toks = beam_engine.caption_tokens(crops)
+    assert toks.shape == (3, MAX_LEN + 1)
+    assert (toks[:, 0] == START).all()
+
+    sample_engine = CaptionEngine(
+        params, DIMS, engine.vocab, max_len=MAX_LEN, max_batch=8,
+        decode_fn=make_bimodal_sample_fn(DIMS, MAX_LEN, START, END, PAD,
+                                         temperature=1.2, seed=3))
+    sents = sample_engine.caption_crops(crops)
+    assert len(sents) == 3 and all(isinstance(s, str) for s in sents)
+
+
+def test_serve_cli_sample_strategy(tmp_path):
+    '''CLI end-to-end with --decode_strategy sample.'''
+    from bmt_tpu.config import Config, build_parser
+    from bmt_tpu.models import init_bimodal_transformer as init_fn
+    from bmt_tpu.models import CapModelDims
+    from bmt_tpu.scripts import serve as serve_cli
+    from bmt_tpu.train.checkpoint import save_checkpoint
+
+    argv = ['--procedure', 'train_cap', '--d_vid', str(DIMS.d_vid),
+            '--d_aud', str(DIMS.d_aud), '--use_linear_embedder',
+            '--d_model_video', '12', '--d_model_audio', '8',
+            '--d_model', '16', '--d_model_caps', '10', '--H', '2',
+            '--N', '2', '--max_len', str(MAX_LEN), '--dont_log']
+    cfg = Config(build_parser().parse_args(argv))
+    vocab = _vocab()
+    dims = CapModelDims.from_config(cfg, len(vocab))
+    params = init_fn(jax.random.PRNGKey(0), dims)
+    ckpt = tmp_path / 'ckpt'
+    save_checkpoint(str(ckpt), params,
+                    {'config': cfg.to_dict(), 'epoch': 0,
+                     'vocab_itos': vocab.itos})
+
+    server = serve_cli.main(
+        ['--pretrained_cap_model_path', str(ckpt), '--port', '0',
+         '--compute_dtype', 'float32', '--max_wait_ms', '1',
+         '--decode_strategy', 'sample', '--temperature', '1.3',
+         '--sample_top_p', '0.9',
+         '--warmup_shapes', '4x4', '--warmup_batches', '1'],
+        block=False)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        rng = np.random.default_rng(13)
+        crop = {'rgb': rng.normal(size=(5, DIMS.d_vid)).tolist(),
+                'flow': rng.normal(size=(5, DIMS.d_vid)).tolist(),
+                'audio': rng.normal(size=(7, DIMS.d_aud)).tolist()}
+        req = urllib.request.Request(
+            f'http://127.0.0.1:{port}/caption',
+            data=json.dumps({'features': crop}).encode(),
+            headers={'Content-Type': 'application/json'})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert isinstance(json.load(r)['sentence'], str)
+    finally:
+        server.shutdown()
