@@ -162,9 +162,11 @@ def test_ptb_tokenizer_coreNLP_bracket_forms():
 
 def test_anet_eval_reproducible_garbage():
     '''Scoring identical inputs twice yields identical metrics (the
-    unmatched-prediction garbage stream is seeded).'''
+    unmatched-prediction garbage stream is seeded). Reset the stream on
+    both sides — other tests in the session may have advanced it.'''
     import random as _random
     from bmt_tpu.evaluation import anet_eval
+    anet_eval._GARBAGE_RNG = _random.Random(0)
     s1 = [anet_eval.random_string(8) for _ in range(3)]
     anet_eval._GARBAGE_RNG = _random.Random(0)
     s2 = [anet_eval.random_string(8) for _ in range(3)]
