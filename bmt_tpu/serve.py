@@ -105,14 +105,20 @@ class CaptionEngine:
     # -- shape plumbing ---------------------------------------------------
 
     def _bucket_batch(self, n: int) -> int:
-        # with a dp mesh, round up to a dp-divisible bucket so EVERY batch
-        # shards (params live on the mesh; an unsharded batch would be
-        # redundantly decoded in full on every chip)
-        floor = self.dp.n_dp if self.dp is not None else 1
-        for b in BATCH_BUCKETS:
-            if b >= n and b >= floor:
-                return min(b, self.max_batch)
-        return self.max_batch
+        b = self.max_batch
+        for cand in BATCH_BUCKETS:
+            if cand >= n:
+                b = min(cand, self.max_batch)
+                break
+        if self.dp is not None:
+            # round up to a dp-multiple so EVERY batch shards (params live
+            # on the mesh; an unsharded batch would be redundantly decoded
+            # in full on every chip). Works for non-power-of-two meshes
+            # too: max_batch is dp-divisible (checked at init), so the
+            # clamp preserves divisibility.
+            nd = self.dp.n_dp
+            b = min(-(-b // nd) * nd, self.max_batch)
+        return b
 
     def _pad_batch(self, crops: Sequence[dict], Bb: int, Sv: int, Sa: int):
         rgb = pad_stack_batch([c['rgb'] for c in crops], self.pad_idx, Sv)
@@ -138,9 +144,19 @@ class CaptionEngine:
 
     def caption_tokens(self, crops: Sequence[dict],
                        _count: bool = True) -> np.ndarray:
-        '''Decode a list of crops; returns (len(crops), max_len+1) int32.'''
+        '''Decode a list of crops; returns (len(crops), max_len+1) int32.
+        Crops longer than the largest sequence bucket are rejected (the
+        bucket pad would silently truncate them).'''
         if not crops:
             return np.zeros((0, self.max_len + 1), np.int32)
+        for c in crops:
+            if c['rgb'].shape[0] > VIDEO_BUCKETS[-1] \
+                    or c['audio'].shape[0] > AUDIO_BUCKETS[-1]:
+                raise ValueError(
+                    f'crop too long: video {c["rgb"].shape[0]} frames '
+                    f'(max {VIDEO_BUCKETS[-1]}), audio '
+                    f'{c["audio"].shape[0]} (max {AUDIO_BUCKETS[-1]}) — '
+                    f'split the segment')
         out = []
         for lo in range(0, len(crops), self.max_batch):
             chunk = crops[lo:lo + self.max_batch]
@@ -185,7 +201,15 @@ class CaptionEngine:
         Warmup decodes bypass the /stats counters. Returns the number of
         executables compiled.'''
         if batch_sizes is None:
-            batch_sizes = [b for b in BATCH_BUCKETS if b <= self.max_batch]
+            # the REACHABLE bucket set: every power-of-two request size
+            # mapped through _bucket_batch (which applies the dp rounding
+            # and the max_batch clamp), plus max_batch itself — so a
+            # warmed server never compiles in steady state even for
+            # non-bucket max_batch values
+            batch_sizes = sorted(
+                {self._bucket_batch(b)
+                 for b in BATCH_BUCKETS if b <= self.max_batch}
+                | {self.max_batch})
         n = 0
         for Sv, Sa in shapes:
             for b in batch_sizes:
@@ -342,17 +366,27 @@ class VideoPipeline:
 # -- HTTP front-end -------------------------------------------------------
 
 
-def _crop_from_json(obj: dict, dims) -> dict:
+def _crop_from_json(obj: dict, dims, max_lens=None) -> dict:
+    '''Parse and validate one request's features. ``max_lens``
+    {'video': n, 'audio': n} rejects over-length inputs per request (a
+    bad crop must 400 at admission, not poison a coalesced batch).'''
+    if max_lens is None:
+        max_lens = {'video': VIDEO_BUCKETS[-1], 'audio': AUDIO_BUCKETS[-1]}
     feats = obj.get('features', obj)
     crop = {}
-    for key, d in (('rgb', dims.d_vid), ('flow', dims.d_vid),
-                   ('audio', dims.d_aud)):
+    for key, d, kind in (('rgb', dims.d_vid, 'video'),
+                         ('flow', dims.d_vid, 'video'),
+                         ('audio', dims.d_aud, 'audio')):
         if key not in feats:
             raise ValueError(f'missing feature: {key}')
         arr = np.asarray(feats[key], np.float32)
         if arr.ndim != 2 or arr.shape[1] != d:
             raise ValueError(
                 f'{key}: expected (s, {d}), got {list(arr.shape)}')
+        if arr.shape[0] > max_lens[kind]:
+            raise ValueError(
+                f'{key}: {arr.shape[0]} frames exceeds the maximum '
+                f'{max_lens[kind]} — split the segment')
         crop[key] = arr
     return crop
 
@@ -414,7 +448,10 @@ class _CaptionHandler(BaseHTTPRequestHandler):
             crop, timeout=self.server.request_timeout)
 
     def _handle_predict(self, obj: dict):
-        feats = _crop_from_json(obj, self.server.engine.dims)
+        # full-video features must fit the proposal model's fixed padded
+        # lengths (pad_segment would assert -> 500 otherwise)
+        feats = _crop_from_json(obj, self.server.engine.dims,
+                                max_lens=self.server.pipeline.pad_feats)
         duration = float(obj['duration'])
         if duration <= 0:
             raise ValueError('duration must be positive')

@@ -517,3 +517,48 @@ def test_serve_cli_sample_strategy(tmp_path):
             assert isinstance(json.load(r)['sentence'], str)
     finally:
         server.shutdown()
+
+
+def test_bucket_batch_non_power_of_two_dp():
+    '''dp=6 (non-power-of-two): buckets round up to dp multiples and the
+    default warmup grid covers every reachable bucket incl. max_batch.'''
+    from bmt_tpu.parallel import DataParallel
+    params = init_bimodal_transformer(jax.random.PRNGKey(0), DIMS)
+    eng = CaptionEngine(params, DIMS, _vocab(), max_len=MAX_LEN,
+                        max_batch=12, dp=DataParallel(6))
+    assert eng._bucket_batch(1) == 6
+    assert eng._bucket_batch(7) == 12      # bucket 8 -> dp-rounded 12
+    assert eng._bucket_batch(12) == 12
+    rng = np.random.default_rng(14)
+    toks = eng.caption_tokens([_crop(rng, 4, 4)])   # actually shards
+    assert toks.shape == (1, MAX_LEN + 1)
+    n = eng.warmup(shapes=((4, 4),))
+    assert n == len({6, 12})               # reachable buckets only
+
+
+def test_overlength_crop_rejected(engine):
+    from bmt_tpu.data.captioning import VIDEO_BUCKETS
+    rng = np.random.default_rng(15)
+    bad = {'rgb': rng.normal(size=(VIDEO_BUCKETS[-1] + 1,
+                                   DIMS.d_vid)).astype(np.float32),
+           'flow': rng.normal(size=(VIDEO_BUCKETS[-1] + 1,
+                                    DIMS.d_vid)).astype(np.float32),
+           'audio': rng.normal(size=(4, DIMS.d_aud)).astype(np.float32)}
+    with pytest.raises(ValueError):
+        engine.caption_tokens([bad])
+
+    # HTTP: over-length is a 400 at admission, not a batch poisoner
+    server = CaptionHTTPServer(('127.0.0.1', 0), engine, max_wait_ms=1.0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        body = json.dumps(
+            {'features': {k: v.tolist() for k, v in bad.items()}}).encode()
+        req = urllib.request.Request(
+            f'http://127.0.0.1:{port}/caption', data=body,
+            headers={'Content-Type': 'application/json'})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
+    finally:
+        server.shutdown()
