@@ -34,6 +34,10 @@ def build_parser():
     p.add_argument('--port', type=int, default=8000)
     p.add_argument('--max_batch', type=int, default=64)
     p.add_argument('--max_wait_ms', type=float, default=5.0)
+    p.add_argument('--max_queue', type=int, default=1024,
+                   help='admission-queue bound; past it requests get 503 '
+                        '(load sheds at the edge instead of buffering '
+                        'unboundedly)')
     p.add_argument('--attention_impl', default='xla',
                    choices=['xla', 'pallas'])
     p.add_argument('--kv_cache_int8', action='store_true')
@@ -129,7 +133,7 @@ def main(argv=None, block=True):
 
     server = CaptionHTTPServer((args.host, args.port), engine,
                                max_wait_ms=args.max_wait_ms,
-                               pipeline=pipeline)
+                               pipeline=pipeline, max_queue=args.max_queue)
     print(f'serving on http://{args.host}:{server.server_address[1]}')
     if not block:
         return server

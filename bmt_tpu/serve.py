@@ -48,6 +48,11 @@ from bmt_tpu.train.loops import ints_to_sentence
 BATCH_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128)
 
 
+class QueueFull(RuntimeError):
+    '''Raised by MicroBatcher.submit when the admission queue is at
+    capacity; the HTTP layer maps it to 503.'''
+
+
 class CaptionEngine:
     '''Batched, bucket-compiled greedy captioning over feature crops.
 
@@ -238,9 +243,15 @@ class MicroBatcher:
     up to ``engine.max_batch`` in one device batch (throughput bound).
     '''
 
-    def __init__(self, engine: CaptionEngine, max_wait_ms: float = 5.0):
+    def __init__(self, engine: CaptionEngine, max_wait_ms: float = 5.0,
+                 max_queue: int = 1024):
+        '''``max_queue`` bounds the admission queue: past it, submit()
+        raises QueueFull (HTTP maps it to 503) instead of buffering
+        unboundedly while the device falls behind — load sheds at the
+        edge, where the client can retry against a replica.'''
         self.engine = engine
         self.max_wait = max_wait_ms / 1e3
+        self.max_queue = max_queue
         self._pending: List[tuple] = []
         self._mu = threading.Condition()
         self._closed = False
@@ -252,6 +263,9 @@ class MicroBatcher:
         with self._mu:
             if self._closed:
                 raise RuntimeError('batcher is closed')
+            if len(self._pending) >= self.max_queue:
+                raise QueueFull(
+                    f'{len(self._pending)} requests already queued')
             self._pending.append((crop, fut))
             self._mu.notify()
         return fut
@@ -432,6 +446,9 @@ class _CaptionHandler(BaseHTTPRequestHandler):
             return
         try:
             result = handler(obj)
+        except QueueFull as e:
+            self._reply(503, {'error': f'server saturated: {e}'})
+            return
         except (ValueError, KeyError, TypeError) as e:
             # anything raised while interpreting client values is a client
             # error (wrong nesting, ragged rows, non-numeric, missing keys)
@@ -468,10 +485,12 @@ class CaptionHTTPServer(ThreadingHTTPServer):
 
     def __init__(self, addr, engine: CaptionEngine,
                  max_wait_ms: float = 5.0, request_timeout: float = 120.0,
-                 pipeline: Optional[VideoPipeline] = None):
+                 pipeline: Optional[VideoPipeline] = None,
+                 max_queue: int = 1024):
         super().__init__(addr, _CaptionHandler)
         self.engine = engine
-        self.batcher = MicroBatcher(engine, max_wait_ms)
+        self.batcher = MicroBatcher(engine, max_wait_ms,
+                                    max_queue=max_queue)
         self.request_timeout = request_timeout
         self.pipeline = pipeline
 

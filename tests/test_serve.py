@@ -562,3 +562,35 @@ def test_overlength_crop_rejected(engine):
         assert ei.value.code == 400
     finally:
         server.shutdown()
+
+
+def test_backpressure_queue_full(engine):
+    '''Past max_queue, submissions shed load: QueueFull / HTTP 503.'''
+    from bmt_tpu.serve import QueueFull
+    rng = np.random.default_rng(16)
+    crop = _crop(rng, 4, 4)
+
+    batcher = MicroBatcher(engine, max_wait_ms=30_000.0, max_queue=2)
+    try:
+        batcher.submit(crop)
+        batcher.submit(crop)
+        with pytest.raises(QueueFull):
+            batcher.submit(crop)
+    finally:
+        batcher.close()   # drains the two queued requests
+
+    server = CaptionHTTPServer(('127.0.0.1', 0), engine,
+                               max_wait_ms=30_000.0, max_queue=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        body = json.dumps(
+            {'features': {k: v.tolist() for k, v in crop.items()}}).encode()
+        req = urllib.request.Request(
+            f'http://127.0.0.1:{port}/caption', data=body,
+            headers={'Content-Type': 'application/json'})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 503
+    finally:
+        server.shutdown()
