@@ -194,7 +194,12 @@ def train_cap(cfg: Config):
         _, load_ckpt = get_checkpoint_io(on_disk_fmt)
         p, meta, opt = load_ckpt(ckpt_dir, state.params,
                                  state.opt_state, 'last_cap_model')
-        state = state._replace(params=p, opt_state=opt or state.opt_state)
+        # restore the step counter too: the per-step dropout key is
+        # fold_in(rng, step), so a resume at step=0 would replay the RNG
+        # streams already consumed by the original run's first epochs
+        state = state._replace(
+            params=p, opt_state=opt or state.opt_state,
+            step=jnp.asarray(meta.get('step', 0), jnp.int32))
         start_epoch = meta.get('epoch', -1) + 1
         best_metric = meta.get('best_metric', 0.0)
         unchanged = meta.get('unchanged', 0)
@@ -260,6 +265,7 @@ def train_cap(cfg: Config):
             meta = {
                 'config': cfg.to_dict(),
                 'epoch': epoch,
+                'step': int(state.step),
                 'val_1_loss': val_1_loss, 'val_2_loss': val_2_loss,
                 'val_1_metrics': val_1_metrics,
                 'val_2_metrics': val_2_metrics,

@@ -43,13 +43,33 @@ def _flatten(tree, prefix=''):
     return out
 
 
+def _json_meta_default(obj):
+    '''Meta values must survive a JSON round trip: numpy arrays/scalars
+    convert losslessly; anything else fails AT SAVE TIME (the old
+    ``default=str`` stringified e.g. a stray ndarray into its elided repr,
+    corrupting it far from the save that caused it).'''
+    if isinstance(obj, np.ndarray):
+        return obj.tolist()
+    if isinstance(obj, np.generic):
+        return obj.item()
+    if hasattr(obj, 'tolist'):        # jax arrays
+        return np.asarray(obj).tolist()
+    raise TypeError(
+        f'checkpoint meta value of type {type(obj).__name__} is not '
+        f'JSON-serializable: {obj!r:.80}')
+
+
 def save_pytree_npz(path: str, tree):
     np.savez(path, **_flatten(tree))
 
 
 def load_pytree_npz(path: str, like):
-    '''Restore arrays into the structure of ``like`` (same treedef).'''
+    '''Restore arrays into the structure of ``like`` (same treedef).
+    Raises if the archive holds keys the template lacks — a silent drop
+    (e.g. a GloVe-adapter subtree missing from a hand-built template)
+    would surface as a shape error or wrong math far from the load.'''
     data = dict(np.load(path, allow_pickle=False))
+    used = set()
 
     def rebuild(t, prefix=''):
         if isinstance(t, dict):
@@ -59,9 +79,17 @@ def load_pytree_npz(path: str, like):
             if hasattr(t, '_fields'):  # NamedTuple (e.g. optax states)
                 return type(t)(*seq)
             return tuple(seq) if isinstance(t, tuple) else seq
+        used.add(prefix[:-1])
         return data[prefix[:-1]]
 
-    return rebuild(like)
+    tree = rebuild(like)
+    leftover = sorted(set(data) - used)
+    if leftover:
+        raise KeyError(
+            f'{path} holds {len(leftover)} arrays absent from the restore '
+            f'template (first few: {leftover[:4]}) — the template was '
+            f'built for a different architecture/options')
+    return tree
 
 
 def save_checkpoint(ckpt_dir: str, params, meta: dict, opt_state=None,
@@ -79,7 +107,7 @@ def save_checkpoint(ckpt_dir: str, params, meta: dict, opt_state=None,
     if opt_state is not None:
         save_pytree_npz(os.path.join(ckpt_dir, f'{name}.opt.npz'), opt_state)
     with open(os.path.join(ckpt_dir, f'{name}.meta.json'), 'w') as f:
-        json.dump(meta, f, default=str)
+        json.dump(meta, f, default=_json_meta_default)
 
 
 def load_checkpoint(ckpt_dir: str, params_like, opt_state_like=None,
@@ -502,7 +530,15 @@ def export_cap_state_dict(params: dict, data_parallel: bool = True) -> dict:
 def save_torch_checkpoint(path: str, params: dict, meta: dict):
     '''Write a reference-format best_cap_model.pt so models trained here can
     be loaded by the original PyTorch implementation (its loaders re-read the
-    pickled config and state_dict — eval_on_learned_props.py:86-124).'''
+    pickled config and state_dict — eval_on_learned_props.py:86-124).
+
+    Bi-modal captioners only: the export key map covers the
+    BiModalTransformer layout (uni-modal ablation trees are rejected with
+    a clear error rather than a KeyError mid-export).'''
+    if 'emb_C' not in params:
+        raise ValueError(
+            'save_torch_checkpoint exports the bi-modal captioner layout '
+            "only (params have no 'emb_C' — a uni-modal tree?)")
     import torch
     _install_config_shims()
     # pickle the config under the module/name the reference expects, so its
@@ -582,7 +618,18 @@ def load_cap_checkpoint(path: str, train_meta_path: str = None):
     dims = CapModelDims.from_config(cfg, len(vocab))
     init_fn = (init_bimodal_transformer if cfg.modality == 'audio_video'
                else init_unimodal_transformer)
-    template = init_fn(jax.random.PRNGKey(0), dims)
+    emb_key = 'emb_C' if cfg.modality == 'audio_video' else 'trg_emb'
+    # GloVe-adapter checkpoints (vectors narrower than d_model_C) carry an
+    # extra '<emb>/adapter' Linear — the restore template must have it or
+    # the load errors. Peek the saved table width to rebuild it.
+    glove_tpl = None
+    npz_path = os.path.join(path, 'best_cap_model.params.npz')
+    if os.path.exists(npz_path):
+        with np.load(npz_path) as z:
+            if f'{emb_key}{SEP}adapter{SEP}w' in z.files:
+                glove_tpl = np.zeros(z[f'{emb_key}{SEP}table'].shape,
+                                     np.float32)
+    template = init_fn(jax.random.PRNGKey(0), dims, glove=glove_tpl)
     params = load_model_params(path, 'best_cap_model', template)
     return cfg, dims, params, vocab
 

@@ -24,6 +24,12 @@ def build_optimizer(cfg, frozen_mask=None) -> optax.GradientTransformation:
     eps or (sgd) momentum. ``frozen_mask``: pytree of bools matching params
     (True = frozen).'''
     chain = []
+    if frozen_mask is not None:
+        # zero frozen-leaf gradients FIRST: torch's frozen params
+        # (requires_grad=False) contribute nothing to clip_grad_norm_, so
+        # the global clip must see trainable gradients only, and Adam's
+        # moments for frozen leaves stay zero
+        chain.append(optax.masked(optax.set_to_zero(), frozen_mask))
     if getattr(cfg, 'grad_clip', None) is not None:
         chain.append(optax.clip_by_global_norm(cfg.grad_clip))
     wd = getattr(cfg, 'weight_decay', 0.0) or 0.0
@@ -45,11 +51,6 @@ def build_optimizer(cfg, frozen_mask=None) -> optax.GradientTransformation:
     tx = optax.inject_hyperparams(
         lambda learning_rate: optax.chain(*chain, optax.scale(learning_rate))
     )(learning_rate=cfg.lr)
-
-    if frozen_mask is not None:
-        tx = optax.chain(tx, optax.masked(
-            optax.set_to_zero(),
-            jax.tree.map(lambda frozen: frozen, frozen_mask)))
     return tx
 
 
@@ -97,18 +98,24 @@ class ReduceLROnPlateau:
     multiply LR by factor after `patience` epochs without improvement).'''
 
     def __init__(self, init_lr: float, factor: float, patience: int,
-                 mode: str = 'min'):
+                 mode: str = 'min', threshold: float = 1e-4):
         self.lr = init_lr
         self.factor = factor
         self.patience = patience if patience is not None else 10
         self.mode = mode
+        self.threshold = threshold   # torch default: rel mode, 1e-4
         self.best = None
         self.bad_epochs = 0
 
     def step(self, metric: float) -> float:
+        # torch 'rel' threshold semantics: noise-level drift does NOT
+        # count as improvement (strict < would never trigger a reduction
+        # on a slowly-drifting metric)
         improved = (self.best is None
-                    or (self.mode == 'min' and metric < self.best)
-                    or (self.mode == 'max' and metric > self.best))
+                    or (self.mode == 'min'
+                        and metric < self.best * (1.0 - self.threshold))
+                    or (self.mode == 'max'
+                        and metric > self.best * (1.0 + self.threshold)))
         if improved:
             self.best = metric
             self.bad_epochs = 0

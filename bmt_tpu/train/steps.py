@@ -163,7 +163,9 @@ def make_cap_val_step(dims: CapModelDims, smoothing: float, pad_idx: int,
         caption = batch['caption']
         cap_x, cap_y = caption[:, :-1], caption[:, 1:]
         # see make_cap_train_step: repeat-padded tail rows are excluded
-        if 'row_valid' in batch:
+        # (same contract as the train step: a present-but-None row_valid
+        # means "all rows real")
+        if batch.get('row_valid') is not None:
             cap_y = jnp.where(batch['row_valid'].astype(bool)[:, None],
                               cap_y, pad_idx)
         src = jax.tree.map(lambda x: x.astype(compute_dtype), batch['src'])

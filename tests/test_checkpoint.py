@@ -240,3 +240,53 @@ def test_load_prop_checkpoint_unimodal_native(tmp_path):
     assert cfg2.modality == 'audio'
     np.testing.assert_array_equal(np.asarray(params2['anchors']),
                                   [1.0, 3.0, 9.0])
+
+
+def test_meta_save_rejects_unserializable():
+    '''Non-JSON meta values fail at SAVE time (default=str used to
+    stringify them into unrecoverable reprs).'''
+    import pytest
+    from bmt_tpu.train.checkpoint import _json_meta_default
+    import numpy as _np
+    assert _json_meta_default(_np.arange(3)) == [0, 1, 2]
+    assert _json_meta_default(_np.float32(1.5)) == 1.5
+    with pytest.raises(TypeError):
+        _json_meta_default(object())
+
+
+def test_load_pytree_npz_rejects_leftover_keys(tmp_path):
+    import pytest
+    from bmt_tpu.train.checkpoint import load_pytree_npz, save_pytree_npz
+    full = {'a': np.ones((2,)), 'b': {'c': np.zeros((3,))}}
+    p = str(tmp_path / 't.npz')
+    save_pytree_npz(p, full)
+    with pytest.raises(KeyError):
+        load_pytree_npz(p, {'a': np.zeros((2,))})   # template misses b/c
+
+
+def test_load_cap_checkpoint_glove_adapter_roundtrip(tmp_path):
+    '''A checkpoint trained with a GloVe adapter (vectors narrower than
+    d_model_C) must restore the adapter through the shared loader.'''
+    from bmt_tpu.config import Config, build_parser
+    from bmt_tpu.models import CapModelDims, init_bimodal_transformer
+    from bmt_tpu.train.checkpoint import load_cap_checkpoint, save_checkpoint
+
+    argv = ['--procedure', 'train_cap', '--d_model', '16',
+            '--d_model_caps', '10', '--H', '2', '--N', '1', '--dont_log']
+    cfg = Config(build_parser().parse_args(argv))
+    itos = ['<unk>', '<blank>', '<s>', '</s>', 'w']
+    dims = CapModelDims.from_config(cfg, len(itos))
+    glove = np.random.default_rng(0).normal(
+        size=(len(itos), 6)).astype(np.float32)     # width 6 != 10
+    params = init_bimodal_transformer(jax.random.PRNGKey(0), dims,
+                                      glove=glove)
+    assert 'adapter' in params['emb_C']
+    save_checkpoint(str(tmp_path), params,
+                    {'config': cfg.to_dict(), 'epoch': 0,
+                     'vocab_itos': itos})
+
+    _, _, params2, _ = load_cap_checkpoint(str(tmp_path))
+    assert 'adapter' in params2['emb_C']
+    np.testing.assert_array_equal(
+        np.asarray(params2['emb_C']['adapter']['w']),
+        np.asarray(params['emb_C']['adapter']['w']))

@@ -87,3 +87,43 @@ def test_reduce_lr_on_plateau_state_roundtrip():
     # an improving metric must keep the REDUCED lr, not the initial 1.0
     assert fresh.step(9.0) == 0.5
     assert fresh.best == 9.0
+
+
+def test_frozen_grads_excluded_from_clip_norm():
+    '''Frozen-leaf gradients must not inflate the global clip norm (torch:
+    requires_grad=False params have no grads and are excluded from
+    clip_grad_norm_). The freezing mask sits at the HEAD of the chain.'''
+    class _ClipCfg(_Cfg):
+        grad_clip = 1.0
+
+    params = {'frozen': jnp.ones((4,)), 'live': jnp.ones((4,))}
+    mask = {'frozen': True, 'live': False}
+    grads = {'frozen': jnp.full((4,), 1e6),   # would dominate the norm
+             'live': jnp.full((4,), 0.1)}
+
+    tx = build_optimizer(_ClipCfg(), frozen_mask=mask)
+    upd, _ = tx.update(grads, tx.init(params), params)
+
+    # reference: same grads with the frozen leaf zeroed, no mask
+    tx_ref = build_optimizer(_ClipCfg())
+    grads_ref = {'frozen': jnp.zeros((4,)), 'live': grads['live']}
+    upd_ref, _ = tx_ref.update(grads_ref, tx_ref.init(params), params)
+
+    np.testing.assert_allclose(np.asarray(upd['live']),
+                               np.asarray(upd_ref['live']), rtol=1e-6)
+    assert float(jnp.abs(upd['frozen']).sum()) == 0.0
+
+
+def test_plateau_threshold_torch_semantics():
+    '''Noise-level metric drift must count as a bad epoch (torch rel
+    threshold 1e-4), so the LR actually reduces on plateaus.'''
+    sch = ReduceLROnPlateau(1.0, factor=0.5, patience=1)
+    sch.step(2.3)
+    lr = 1.0
+    for i in range(4):                    # drifts by < 1e-4 relative
+        lr = sch.step(2.3 - (i + 1) * 1e-6)
+    assert lr == 0.25                     # reduced twice (patience=1)
+    # a real improvement resets the counter
+    sch2 = ReduceLROnPlateau(1.0, factor=0.5, patience=1)
+    sch2.step(2.3)
+    assert sch2.step(2.0) == 1.0
