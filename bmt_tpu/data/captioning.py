@@ -81,12 +81,6 @@ class CaptioningDataset:
         self.start_idx = vocab[cfg.start_token]
         self.end_idx = vocab[cfg.end_token]
 
-        self.feature_names_list = []
-        if 'video' in cfg.modality:
-            self.feature_names_list.append(f'{cfg.video_feature_name}_features')
-        if 'audio' in cfg.modality:
-            self.feature_names_list.append(f'{cfg.audio_feature_name}_features')
-
         # pre-tokenize all captions once (host-side, cached per dataset)
         self._encoded = [self._encode_caption(r['caption']) for r in self.rows]
 
@@ -148,10 +142,20 @@ class CaptioningDataset:
             Sv = bucket_len(max(self._crop_len(p, r)
                                 for p, r in zip(rgb_paths, rows)),
                             VIDEO_BUCKETS)
-            src['rgb'], _ = batch_load(rgb_paths, starts, ends, durs, full,
-                                       self.pad_idx, Sv, self.cfg.d_vid)
-            src['flow'], _ = batch_load(flow_paths, starts, ends, durs, full,
-                                        0.0, Sv, self.cfg.d_vid)
+            rgb, st_r = batch_load(rgb_paths, starts, ends, durs, full,
+                                   self.pad_idx, Sv, self.cfg.d_vid)
+            flow, st_f = batch_load(flow_paths, starts, ends, durs, full,
+                                    0.0, Sv, self.cfg.d_vid)
+            # a video missing EITHER stream zero-fills BOTH, like the
+            # reference (load_features.py loads rgb+flow in one try block
+            # — a real rgb summed with an absent flow is a feature vector
+            # the reference never produces)
+            either = (st_r | st_f).astype(bool)
+            if either.any():
+                rgb[either] = self.pad_idx
+                rgb[either, 0] = 0.0
+                flow[either] = 0.0
+            src['rgb'], src['flow'] = rgb, flow
         if 'audio' in self.cfg.modality:
             aud_paths = [os.path.join(self.cfg.audio_features_path,
                                       f"{r['video_id']}.npy") for r in rows]

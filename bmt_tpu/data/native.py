@@ -26,20 +26,24 @@ _SO_PATH = os.path.join(_NATIVE_DIR, 'libbmt_io.so')
 
 _lib = None
 _lib_lock = threading.Lock()
-_build_attempted = False
+_build_result = None   # None = not attempted; True/False = build outcome
 
 
 def _try_build() -> bool:
-    global _build_attempted
-    if _build_attempted:
-        return os.path.exists(_SO_PATH)
-    _build_attempted = True
+    '''One build attempt per process, memoizing the OUTCOME (not ".so
+    exists"): a failed rebuild must not let a stale binary load on the
+    next call — that is exactly the silent-old-code case the staleness
+    check exists to prevent.'''
+    global _build_result
+    if _build_result is not None:
+        return _build_result
     try:
         subprocess.run(['make', '-C', _NATIVE_DIR, '-s'], check=True,
                        capture_output=True, timeout=120)
-        return os.path.exists(_SO_PATH)
+        _build_result = os.path.exists(_SO_PATH) and not _so_stale()
     except Exception:
-        return False
+        _build_result = False
+    return _build_result
 
 
 def _so_stale() -> bool:
@@ -128,20 +132,27 @@ def batch_load(paths: List[str], starts, ends, durations, full_flags,
         if rc == 0:
             return out, status
 
-    # numpy fallback
+    # numpy fallback. Unreadable files of ANY kind (missing, truncated,
+    # corrupt header, wrong rank/width, permissions) take the zero-fill
+    # path — matching the native library, which treats every parse/open
+    # failure as missing (bmt_io.cc open_npy), so crash behavior cannot
+    # differ by backend.
     from bmt_tpu.data.features import crop_a_segment
     for i, p in enumerate(paths):
         try:
-            arr = np.load(p).astype(np.float32)
+            arr = np.load(p, allow_pickle=False).astype(np.float32)
+            if arr.ndim != 2 or arr.shape[1] != cols:
+                raise ValueError(f'{p}: expected (n, {cols}) f32, '
+                                 f'got {arr.shape}')
             if not full_flags[i]:
                 arr = crop_a_segment(arr, starts[i], ends[i], durations[i])
-            if arr is None or arr.shape[1] != cols:
-                raise FileNotFoundError(p)
+            if arr is None:
+                raise ValueError(f'{p}: empty crop')
             n = min(arr.shape[0], out_len)
             out[i, :n] = arr[:n]
             out[i, n:] = pad_value
             status[i] = 0
-        except FileNotFoundError:
+        except Exception:
             out[i, 0] = 0.0
             out[i, 1:] = pad_value
             status[i] = 1

@@ -77,17 +77,33 @@ class ProposalDataset:
                 bad.update(json.load(f))
             print(f'Loading filtered examples from: {cache}')
         else:
+            # the only condition _load_stacks' None signals is a missing
+            # file (FileNotFoundError in load_features_from_npy), so test
+            # presence directly instead of np.load-ing and padding every
+            # video's full stacks — a metadata stat per file, not a full
+            # read of the dataset
             missing = []
             for vid in video_ids:
-                stacks = self._load_stacks(vid)
-                if any(v is None for k, v in stacks.items()
-                       if k != 'orig_feat_length'):
+                if any(not os.path.exists(p)
+                       for p in self._feature_paths(vid)):
                     missing.append(vid)
             os.makedirs(self.cache_dir, exist_ok=True)
             with open(cache, 'w') as f:
                 json.dump(missing, f)
             bad.update(missing)
         return [v for v in video_ids if v not in bad]
+
+    def _feature_paths(self, video_id: str):
+        paths = []
+        if 'i3d_features' in self.feature_names_list:
+            paths += [os.path.join(self.cfg.video_features_path,
+                                   f'{video_id}_rgb.npy'),
+                      os.path.join(self.cfg.video_features_path,
+                                   f'{video_id}_flow.npy')]
+        if 'vggish_features' in self.feature_names_list:
+            paths.append(os.path.join(self.cfg.audio_features_path,
+                                      f'{video_id}.npy'))
+        return paths
 
     def _load_stacks(self, video_id: str) -> dict:
         return load_features_from_npy(

@@ -11,8 +11,11 @@ rule data in pure Python:
   after each strip), and finally infix splitting — the same control flow
   as spacy.tokenizer.Tokenizer;
 - prefix / suffix / infix regexes transcribed from spaCy 2.0.12
-  lang/punctuation.py + char_classes.py (no '/' infix in 2.0.x — that
-  arrived in 2.1);
+  lang/punctuation.py + char_classes.py. The alpha'/'alpha infix IS
+  included: rebuilding the vocabulary from the reference train.csv with
+  it yields exactly the checkpoint's 10172 entries, without it 10179 —
+  so the reference environment's tokenizer split those slashes
+  (empirically settled; see tests/test_data.py);
 - the English tokenizer-exception table (contractions incl. apostrophe-less
   variants with the ambiguity exclude-list, abbreviations, emoticons)
   rebuilt programmatically like lang/en/tokenizer_exceptions.py.
@@ -285,8 +288,14 @@ def _rule_tokenize(text: str) -> List[str]:
 
 @lru_cache(maxsize=1)
 def _spacy_tokenizer():
+    '''Real spaCy, but ONLY the reference's 2.0.x line: a modern spaCy has
+    different English rules, and silently preferring it would rebuild a
+    vocabulary that no longer matches the validated 10172-entry one (token
+    ids would then disagree between hosts with and without spaCy).'''
     try:
         import spacy
+        if not getattr(spacy, '__version__', '').startswith('2.0'):
+            return None
         try:
             nlp = spacy.load('en')
         except Exception:

@@ -180,3 +180,56 @@ def test_captioning_dataset_batch_semantics(tmp_path):
     b1 = [b['video_ids'] for b in ds.batches(epoch=1, seed=5)]
     assert b0 == b0_again
     assert b0 != b1 or len(b0) == 1
+
+
+def test_batch_load_fallback_zero_fills_corrupt_files(tmp_path):
+    '''The numpy fallback must zero-fill ANY unreadable file (truncated,
+    wrong rank, wrong width) exactly like the native path, so behavior
+    cannot differ by backend.'''
+    from bmt_tpu.data.native import batch_load
+    good = np.random.default_rng(0).normal(size=(8, 4)).astype(np.float32)
+    p_good = tmp_path / 'good.npy'; np.save(p_good, good)
+    p_trunc = tmp_path / 'trunc.npy'; np.save(p_trunc, good)
+    raw = p_trunc.read_bytes(); p_trunc.write_bytes(raw[:len(raw) // 2])
+    p_3d = tmp_path / 'cube.npy'; np.save(p_3d, np.zeros((2, 2, 4)))
+    p_narrow = tmp_path / 'narrow.npy'; np.save(p_narrow, np.zeros((8, 2)))
+
+    paths = [str(p_good), str(p_trunc), str(p_3d), str(p_narrow),
+             str(tmp_path / 'missing.npy')]
+    out, status = batch_load(paths, [0.0] * 5, [1.0] * 5, [1.0] * 5,
+                             [1] * 5, pad_value=7.0, out_len=4, cols=4,
+                             use_native=False)
+    assert status.tolist() == [0, 1, 1, 1, 1]
+    np.testing.assert_allclose(out[1:, 0], np.zeros((4, 4)))
+    np.testing.assert_allclose(out[1:, 1:], np.full((4, 3, 4), 7.0))
+
+
+def test_missing_flow_zeroes_rgb_too(tmp_path, monkeypatch):
+    '''Reference parity: a video missing either of rgb/flow zero-fills
+    BOTH (the reference loads them in one try block).'''
+    from types import SimpleNamespace
+    from bmt_tpu.data.captioning import CaptioningDataset
+
+    vdir = tmp_path / 'video'; vdir.mkdir()
+    adir = tmp_path / 'audio'; adir.mkdir()
+    rng = np.random.default_rng(0)
+    np.save(vdir / 'v_x_rgb.npy', rng.normal(size=(6, 3)).astype(np.float32))
+    # NO v_x_flow.npy
+    np.save(adir / 'v_x.npy', rng.normal(size=(8, 2)).astype(np.float32))
+
+    meta = tmp_path / 'train.csv'
+    meta.write_text('video_id\tcaption\tstart\tend\tduration\tphase\tidx\n'
+                    'v_x\ta man runs\t0.0\t2.0\t4.0\ttrain\t0\n')
+    cfg = SimpleNamespace(
+        modality='audio_video', train_meta_path=str(meta),
+        val_1_meta_path=str(meta), val_2_meta_path=str(meta),
+        video_features_path=str(vdir), audio_features_path=str(adir),
+        d_vid=3, d_aud=2, start_token='<s>', end_token='</s>',
+        pad_token='<blank>', min_freq_caps=1, max_len=10,
+        train_batch_size=1, inference_batch_size=1, vocab_path=None)
+    ds = CaptioningDataset(cfg, 'train')
+    batch = next(iter(ds.batches(epoch=0, seed=0)))
+    assert np.abs(batch['src']['flow']).sum() == 0.0
+    rgb = batch['src']['rgb']
+    np.testing.assert_allclose(rgb[0, 0], 0.0)          # joint zero-fill
+    assert np.all(rgb[0, 1:] == ds.pad_idx)
