@@ -93,6 +93,10 @@ class ANETcaptions:
         return list(vid_ids)
 
     def evaluate(self):
+        # re-seed the garbage stream per evaluation so scoring the SAME
+        # submission twice in one process yields identical metrics (the
+        # stream otherwise advances across calls)
+        _GARBAGE_RNG.seed(0)
         self.scores = {}
         if not self.only_proposals:
             for tiou in self.tious:
@@ -168,7 +172,8 @@ class ANETcaptions:
                     cur_res[unique_index] = [
                         {'caption': remove_nonascii(pred['sentence'])}]
                     cur_gts[unique_index] = [
-                        {'caption': random_string(random.randint(10, 20))}]
+                        {'caption': random_string(
+                            _GARBAGE_RNG.randint(10, 20))}]
                     vid2capid[vid_id].append(unique_index)
                     unique_index += 1
 

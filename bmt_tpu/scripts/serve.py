@@ -30,6 +30,9 @@ def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument('--pretrained_cap_model_path', required=True)
     p.add_argument('--train_meta_path', default='./data/train.csv')
+    p.add_argument('--allow_vocab_drift', action='store_true',
+                   help='serve even when the rebuilt vocabulary size '
+                        'differs from the checkpoint embedding table')
     p.add_argument('--host', default='127.0.0.1')
     p.add_argument('--port', type=int, default=8000)
     p.add_argument('--max_batch', type=int, default=64)
@@ -76,7 +79,8 @@ def main(argv=None, block=True):
     args = build_parser().parse_args(argv)
     enable_compile_cache()
     cfg, dims, params, vocab = load_cap_checkpoint(
-        args.pretrained_cap_model_path, args.train_meta_path)
+        args.pretrained_cap_model_path, args.train_meta_path,
+        allow_vocab_drift=args.allow_vocab_drift)
     if cfg.modality != 'audio_video':
         raise SystemExit(
             f'serving supports the bi-modal captioner only (checkpoint '

@@ -71,8 +71,12 @@ def _load_pretrained_encoder(params, cfg):
             prop_params, _ = import_unimodal_prop_model(cpt, cfg.modality)
         params['encoder'] = prop_params['encoder']
     else:
-        raise NotImplementedError('native prop checkpoint encoder load: '
-                                  'pass the .pt or extend here')
+        # native checkpoint (npz dir / bare params.npz / orbax dir): only
+        # the encoder subtree transfers (reference filter:
+        # captioning_module.py:157-159 keeps 'encoder' keys)
+        from bmt_tpu.train.checkpoint import load_pretrained_encoder_native
+        params['encoder'] = load_pretrained_encoder_native(
+            path, params['encoder'], 'prop')
     frozen = not getattr(cfg, 'finetune_prop_encoder', False)
     return params, ('encoder' if frozen else None)
 

@@ -63,12 +63,11 @@ def save_pytree_npz(path: str, tree):
     np.savez(path, **_flatten(tree))
 
 
-def load_pytree_npz(path: str, like):
-    '''Restore arrays into the structure of ``like`` (same treedef).
-    Raises if the archive holds keys the template lacks — a silent drop
-    (e.g. a GloVe-adapter subtree missing from a hand-built template)
-    would surface as a shape error or wrong math far from the load.'''
-    data = dict(np.load(path, allow_pickle=False))
+def _restore_into(data: Dict[str, np.ndarray], like, origin: str):
+    '''Rebuild the structure of ``like`` from a flat key->array dict,
+    validating that every restored array matches the template leaf's shape
+    (a silent shape drift would surface as an XLA error or wrong math far
+    from the load). Returns (tree, used_keys).'''
     used = set()
 
     def rebuild(t, prefix=''):
@@ -79,16 +78,54 @@ def load_pytree_npz(path: str, like):
             if hasattr(t, '_fields'):  # NamedTuple (e.g. optax states)
                 return type(t)(*seq)
             return tuple(seq) if isinstance(t, tuple) else seq
-        used.add(prefix[:-1])
-        return data[prefix[:-1]]
+        key = prefix[:-1]
+        used.add(key)
+        arr = data[key]
+        tpl_shape = getattr(t, 'shape', None)
+        if tpl_shape is not None and tuple(arr.shape) != tuple(tpl_shape):
+            raise ValueError(
+                f'{origin}: array {key!r} has shape {tuple(arr.shape)} but '
+                f'the restore template expects {tuple(tpl_shape)} — the '
+                f'checkpoint was written for a different architecture')
+        return arr
 
-    tree = rebuild(like)
+    return rebuild(like), used
+
+
+def load_pytree_npz(path: str, like):
+    '''Restore arrays into the structure of ``like`` (same treedef).
+    Raises if the archive holds keys the template lacks — a silent drop
+    (e.g. a GloVe-adapter subtree missing from a hand-built template)
+    would surface as a shape error or wrong math far from the load.'''
+    data = dict(np.load(path, allow_pickle=False))
+    tree, used = _restore_into(data, like, path)
     leftover = sorted(set(data) - used)
     if leftover:
         raise KeyError(
             f'{path} holds {len(leftover)} arrays absent from the restore '
             f'template (first few: {leftover[:4]}) — the template was '
             f'built for a different architecture/options')
+    return tree
+
+
+def load_subtree_npz(path: str, like, subtree: str = 'encoder'):
+    '''Restore only the ``subtree`` branch of a FULL-checkpoint archive into
+    the structure of ``like`` (which is the subtree itself, not the whole
+    model). The native analog of the reference's encoder-weights filter
+    (reference: model/proposal_generator.py:244-246 keeps ``'encoder' in k``
+    keys and drops the rest), so archive keys outside the subtree are
+    expected and ignored by design; template keys missing from the archive
+    still raise, and shapes are validated.'''
+    data = dict(np.load(path, allow_pickle=False))
+    prefix = subtree + SEP
+    sub = {k[len(prefix):]: v for k, v in data.items()
+           if k.startswith(prefix)}
+    if not sub:
+        raise KeyError(
+            f'{path} holds no arrays under {subtree!r}/ — not a checkpoint '
+            f'of a model with that submodule (keys start with: '
+            f'{sorted({k.split(SEP)[0] for k in data})})')
+    tree, _ = _restore_into(sub, like, f'{path}[{subtree}]')
     return tree
 
 
@@ -563,7 +600,48 @@ def save_torch_checkpoint(path: str, params: dict, meta: dict):
     }, path)
 
 
-def load_cap_checkpoint(path: str, train_meta_path: str = None):
+def load_pretrained_encoder_native(path: str, encoder_like, stage: str):
+    '''Encoder subtree from a NATIVE checkpoint of the other training stage
+    (the torch-free half of the reference's two-stage recipe:
+    scripts/train_proposal_generator.py:15 reuses the captioning encoder,
+    model/captioning_module.py:147-162 the proposal encoder).
+
+    ``path`` forms: a bare ``*.npz`` params archive, or a native checkpoint
+    directory (npz or orbax) holding ``best_{stage}_model.*``.
+    ``encoder_like``: the destination model's encoder subtree (template).
+    ``stage``: 'cap' or 'prop' — which stage wrote the checkpoint at
+    ``path``. Shapes are validated against the template so an architecture
+    mismatch fails at load time with a named leaf, not inside XLA.'''
+    assert stage in ('cap', 'prop'), stage
+    if not os.path.isdir(path):
+        return load_subtree_npz(path, encoder_like)
+    name = f'best_{stage}_model'
+    npz = os.path.join(path, f'{name}.params.npz')
+    if os.path.exists(npz):
+        return load_subtree_npz(npz, encoder_like)
+    # orbax directory: restore through the full stage loader (needs the
+    # meta JSON to rebuild the template), then keep the encoder
+    if stage == 'cap':
+        _, _, full, _ = load_cap_checkpoint(path)
+    else:
+        _, _, full = load_prop_checkpoint(path)
+    enc = full['encoder']
+    got, want = _flatten(enc), _flatten(encoder_like)
+    missing = sorted(set(want) - set(got))
+    if missing:
+        raise KeyError(f'{path}: encoder subtree lacks {missing[:4]} — '
+                       f'written for a different architecture')
+    for k, tpl in want.items():
+        if hasattr(tpl, 'shape') and tuple(got[k].shape) != tuple(tpl.shape):
+            raise ValueError(
+                f'{path}: encoder leaf {k!r} has shape '
+                f'{tuple(got[k].shape)}, template expects '
+                f'{tuple(tpl.shape)}')
+    return enc
+
+
+def load_cap_checkpoint(path: str, train_meta_path: str = None,
+                        allow_vocab_drift: bool = False):
     '''Load a captioning checkpoint from either format; returns
     (cfg, dims, params, vocab). Shared by the single-video app, the serving
     CLI and embedding applications (reference analog:
@@ -571,10 +649,12 @@ def load_cap_checkpoint(path: str, train_meta_path: str = None):
 
     - ``path`` ending in ``.pt``: reference PyTorch pickle; the vocabulary
       is rebuilt from ``train_meta_path`` and checked against the
-      checkpoint's embedding-table size (drift would garble decoded
-      captions).
+      checkpoint's embedding-table size. A size mismatch RAISES (decoding
+      with a drifted id->word map yields silently garbled captions; the
+      reference hard-depends on this equality) unless
+      ``allow_vocab_drift=True`` explicitly overrides.
     - otherwise: native npz dir containing ``best_cap_model.*``; config and
-      vocab itos come from the meta JSON.
+      vocab itos come from the meta JSON (no rebuild, so no drift).
     '''
     from bmt_tpu.config import Config
     from bmt_tpu.data.vocab import Vocab, build_vocab_from_meta
@@ -604,9 +684,14 @@ def load_cap_checkpoint(path: str, train_meta_path: str = None):
         voc_size = cpt.get('trg_voc_size',
                            params[emb_key]['table'].shape[0])
         if len(vocab) != voc_size:
-            print(f'warning: rebuilt vocab size {len(vocab)} != checkpoint '
-                  f'voc size {voc_size}; tokenization drift possible',
-                  file=sys.stderr)
+            msg = (f'rebuilt vocab size {len(vocab)} != checkpoint voc '
+                   f'size {voc_size} ({train_meta_path} is not the CSV '
+                   f'this model was trained on) — decoded captions would '
+                   f'be garbled')
+            if not allow_vocab_drift:
+                raise ValueError(
+                    msg + '; pass --allow_vocab_drift to proceed anyway')
+            print(f'warning: {msg} (override active)', file=sys.stderr)
         dims = CapModelDims.from_config(cfg,
                                         params[emb_key]['table'].shape[0])
         return cfg, dims, params, vocab

@@ -34,7 +34,13 @@ def build_optimizer(cfg, frozen_mask=None) -> optax.GradientTransformation:
         chain.append(optax.clip_by_global_norm(cfg.grad_clip))
     wd = getattr(cfg, 'weight_decay', 0.0) or 0.0
     if wd:
-        chain.append(optax.add_decayed_weights(wd))
+        decay = optax.add_decayed_weights(wd)
+        if frozen_mask is not None:
+            # torch skips requires_grad=False params entirely, so frozen
+            # leaves must not receive decay-driven updates either
+            not_frozen = jax.tree.map(lambda f: not f, frozen_mask)
+            decay = optax.masked(decay, not_frozen)
+        chain.append(decay)
 
     if cfg.optimizer == 'adam':
         chain.append(optax.scale_by_adam(b1=getattr(cfg, 'beta1', 0.9),
@@ -48,8 +54,13 @@ def build_optimizer(cfg, frozen_mask=None) -> optax.GradientTransformation:
         raise ValueError(cfg.optimizer)
 
     chain.append(optax.scale(-1.0))
+    # trailing safety net: whatever any upstream transform produced, the
+    # final update for a frozen leaf is exactly zero (freeze contract)
+    tail = ([optax.masked(optax.set_to_zero(), frozen_mask)]
+            if frozen_mask is not None else [])
     tx = optax.inject_hyperparams(
-        lambda learning_rate: optax.chain(*chain, optax.scale(learning_rate))
+        lambda learning_rate: optax.chain(*chain,
+                                          optax.scale(learning_rate), *tail)
     )(learning_rate=cfg.lr)
     return tx
 

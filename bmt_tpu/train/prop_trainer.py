@@ -87,9 +87,12 @@ def train_prop(cfg: Config):
                 from bmt_tpu.train.checkpoint import import_unimodal_cap_model
                 cap_params, _ = import_unimodal_cap_model(cpt)
         else:
-            from bmt_tpu.train.checkpoint import load_pytree_npz
-            cap_params = {'encoder': params['encoder']}
-            cap_params = load_pytree_npz(path, cap_params)
+            # native checkpoint (npz dir / bare params.npz / orbax dir):
+            # only the encoder subtree transfers, mirroring the reference's
+            # 'encoder' key filter (proposal_generator.py:244-246)
+            from bmt_tpu.train.checkpoint import load_pretrained_encoder_native
+            cap_params = {'encoder': load_pretrained_encoder_native(
+                path, params['encoder'], 'cap')}
         params['encoder'] = cap_params['encoder']
         if not getattr(cfg, 'finetune_cap_encoder', False):
             frozen_module = 'encoder'

@@ -63,10 +63,12 @@ def load_prop_model(prop_generator_model_path: str, max_prop_per_vid: int):
     return load_prop_checkpoint(prop_generator_model_path, max_prop_per_vid)
 
 
-def load_cap_model(pretrained_cap_model_path: str, train_meta_path: str):
+def load_cap_model(pretrained_cap_model_path: str, train_meta_path: str,
+                   allow_vocab_drift: bool = False):
     '''Returns (cfg, dims, params, vocab) — shared dual-format loader
     (reference: single_video_prediction.py:92-117).'''
-    return load_cap_checkpoint(pretrained_cap_model_path, train_meta_path)
+    return load_cap_checkpoint(pretrained_cap_model_path, train_meta_path,
+                               allow_vocab_drift)
 
 
 def generate_proposals(prop_params, prop_dims, feature_paths, pad_idx,
@@ -171,6 +173,11 @@ if __name__ == '__main__':
     parser.add_argument('--max_prop_per_vid', type=int, default=5)
     parser.add_argument('--nms_tiou_thresh', type=float)
     parser.add_argument('--train_meta_path', default='./data/train.csv')
+    parser.add_argument('--allow_vocab_drift', action='store_true',
+                        help='decode even when the vocabulary rebuilt from '
+                             '--train_meta_path differs in size from the '
+                             'checkpoint embedding table (captions will '
+                             'likely be garbled)')
     args = parser.parse_args()
     if args.duration_in_secs is None:
         if not args.video_path:
@@ -184,7 +191,8 @@ if __name__ == '__main__':
     }
 
     cap_cfg, cap_dims, cap_params, vocab = load_cap_model(
-        args.pretrained_cap_model_path, args.train_meta_path)
+        args.pretrained_cap_model_path, args.train_meta_path,
+        args.allow_vocab_drift)
     prop_cfg, prop_dims, prop_params = load_prop_model(
         args.prop_generator_model_path, args.max_prop_per_vid)
     if cap_cfg.modality != 'audio_video' or \

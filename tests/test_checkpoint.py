@@ -290,3 +290,104 @@ def test_load_cap_checkpoint_glove_adapter_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(params2['emb_C']['adapter']['w']),
         np.asarray(params['emb_C']['adapter']['w']))
+
+
+def test_load_subtree_npz_encoder_filter(tmp_path):
+    '''Encoder-only restore from a FULL cap archive: keys outside the
+    subtree are ignored (the reference's 'encoder' in k filter), template
+    keys missing from the archive raise, shapes are validated.'''
+    from bmt_tpu.train.checkpoint import load_subtree_npz, save_pytree_npz
+    params = init_bimodal_transformer(jax.random.PRNGKey(3), SMALL)
+    p = str(tmp_path / 'full.npz')
+    save_pytree_npz(p, params)
+
+    enc = load_subtree_npz(p, params['encoder'])
+    _trees_equal(enc, params['encoder'])
+
+    # a non-existent subtree names the actual top-level keys in the error
+    with pytest.raises(KeyError, match='no arrays under'):
+        load_subtree_npz(p, params['encoder'], subtree='nonexistent')
+
+    # a template for a different architecture (wrong shape) fails loudly
+    bad = jax.tree.map(lambda x: np.zeros((1, 1), np.float32),
+                       params['encoder'])
+    with pytest.raises(ValueError, match='different architecture'):
+        load_subtree_npz(p, bad)
+
+
+def test_load_pretrained_encoder_native_forms(tmp_path):
+    '''The shared two-stage encoder loader accepts a bare params.npz and a
+    native checkpoint directory, for both stages.'''
+    from bmt_tpu.train.checkpoint import (load_pretrained_encoder_native,
+                                          save_checkpoint)
+    params = init_bimodal_transformer(jax.random.PRNGKey(7), SMALL)
+    cap_dir = tmp_path / 'cap_ckpt'
+    save_checkpoint(str(cap_dir), params, {'config': {}, 'epoch': 0})
+
+    tpl = jax.tree.map(np.zeros_like, params['encoder'])
+    # directory form
+    enc = load_pretrained_encoder_native(str(cap_dir), tpl, 'cap')
+    _trees_equal(enc, params['encoder'])
+    # bare-file form
+    enc2 = load_pretrained_encoder_native(
+        str(cap_dir / 'best_cap_model.params.npz'), tpl, 'cap')
+    _trees_equal(enc2, params['encoder'])
+    # prop-stage naming
+    save_checkpoint(str(cap_dir), params, {'config': {}, 'epoch': 0},
+                    name='best_prop_model')
+    enc3 = load_pretrained_encoder_native(str(cap_dir), tpl, 'prop')
+    _trees_equal(enc3, params['encoder'])
+
+
+def test_load_pytree_npz_shape_validation(tmp_path):
+    '''A shape-drifted archive fails at load time with the leaf named,
+    not later inside XLA.'''
+    from bmt_tpu.train.checkpoint import load_pytree_npz, save_pytree_npz
+    p = str(tmp_path / 's.npz')
+    save_pytree_npz(p, {'w': np.ones((4, 3), np.float32)})
+    with pytest.raises(ValueError, match="'w'"):
+        load_pytree_npz(p, {'w': np.zeros((3, 4), np.float32)})
+
+
+def test_load_cap_checkpoint_vocab_drift_fatal(tmp_path):
+    '''A .pt checkpoint whose trg_voc_size disagrees with the vocabulary
+    rebuilt from train_meta_path must RAISE (garbled decode otherwise);
+    allow_vocab_drift downgrades it to a warning.'''
+    from bmt_tpu.config import Config, build_parser
+    from bmt_tpu.data.vocab import build_vocab_from_meta
+    from bmt_tpu.train.checkpoint import (load_cap_checkpoint,
+                                          save_torch_checkpoint)
+
+    meta_path = str(tmp_path / 'train.csv')
+    with open(meta_path, 'w') as f:
+        f.write('video_id\tcaption\tstart\tend\tduration\tphase\tidx\n')
+        f.write('v_x\tman runs fast\t0.0\t5.0\t10.0\ttrain\t0\n')
+
+    argv = ['--procedure', 'train_cap', '--d_model', '16',
+            '--d_model_caps', '10', '--H', '2', '--N', '1',
+            '--min_freq_caps', '1', '--dont_log']
+    cfg = Config(build_parser().parse_args(argv))
+    vocab = build_vocab_from_meta(meta_path, cfg.start_token, cfg.end_token,
+                                  cfg.pad_token, cfg.min_freq_caps)
+
+    drifted = CapModelDims.from_config(cfg, len(vocab) + 3)
+    params = init_bimodal_transformer(jax.random.PRNGKey(0), drifted)
+    pt = str(tmp_path / 'best_cap_model.pt')
+    save_torch_checkpoint(pt, params, {'config': cfg.to_dict(),
+                                       'trg_voc_size': len(vocab) + 3})
+
+    with pytest.raises(ValueError, match='allow_vocab_drift'):
+        load_cap_checkpoint(pt, meta_path)
+    # explicit override: loads, warns, keeps the checkpoint's table size
+    _, dims, _, _ = load_cap_checkpoint(pt, meta_path,
+                                        allow_vocab_drift=True)
+    assert dims.voc_size == len(vocab) + 3
+
+    # matching sizes load cleanly with no override
+    ok = CapModelDims.from_config(cfg, len(vocab))
+    params_ok = init_bimodal_transformer(jax.random.PRNGKey(0), ok)
+    pt_ok = str(tmp_path / 'ok_cap_model.pt')
+    save_torch_checkpoint(pt_ok, params_ok, {'config': cfg.to_dict(),
+                                             'trg_voc_size': len(vocab)})
+    _, dims2, _, _ = load_cap_checkpoint(pt_ok, meta_path)
+    assert dims2.voc_size == len(vocab)

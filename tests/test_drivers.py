@@ -156,6 +156,83 @@ def test_train_prop_with_pretrained_frozen_cap_encoder(mini_data, tmp_path):
 
 
 @pytest.mark.slow
+def test_native_two_stage_cap_to_prop(mini_data, tmp_path):
+    '''The reference's headline recipe with ZERO torch involvement:
+    train_cap writes a native npz checkpoint, train_prop seeds its encoder
+    from it (frozen), and the trained prop model's encoder is bit-equal to
+    the cap checkpoint's (reference: scripts/train_proposal_generator.py:15,
+    model/proposal_generator.py:235-249).'''
+    import jax
+    from bmt_tpu.train.cap_trainer import train_cap
+    from bmt_tpu.train.prop_trainer import train_prop
+    from bmt_tpu.train.checkpoint import load_subtree_npz
+
+    os.chdir(tmp_path)
+    cap_cfg = _mini_cfg(mini_data, tmp_path, 'train_cap')
+    train_cap(cap_cfg)
+    cap_npz = os.path.join(cap_cfg.model_checkpoint_path,
+                           'best_cap_model.params.npz')
+    assert os.path.exists(cap_npz)
+
+    # directory form of --pretrained_cap_model_path
+    prop_cfg = _mini_cfg(
+        mini_data, tmp_path, 'train_prop',
+        pretrained_cap_model_path=cap_cfg.model_checkpoint_path)
+    train_prop(prop_cfg)
+
+    from bmt_tpu.models import (PropModelDims,
+                                init_multimodal_proposal_generator)
+    import jax.numpy as jnp
+    pdims = PropModelDims.from_config(prop_cfg)
+    enc_tpl = init_multimodal_proposal_generator(
+        jax.random.PRNGKey(0), pdims)['encoder']
+    cap_enc = load_subtree_npz(cap_npz, enc_tpl)
+    trained_enc = load_subtree_npz(
+        os.path.join(prop_cfg.log_path, 'best_prop_model.params.npz'),
+        enc_tpl)
+    for a, b in zip(jax.tree.leaves(cap_enc), jax.tree.leaves(trained_enc)):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+    # bare-file form resolves identically
+    prop_cfg2 = _mini_cfg(mini_data, tmp_path, 'train_prop',
+                          pretrained_cap_model_path=cap_npz, epoch_num=0)
+    train_prop(prop_cfg2)
+
+
+@pytest.mark.slow
+def test_native_two_stage_prop_to_cap(mini_data, tmp_path):
+    '''Reverse (ablation) direction: train_cap seeded from a native
+    proposal checkpoint's encoder, frozen during training (reference:
+    model/captioning_module.py:147-162).'''
+    import jax
+    from bmt_tpu.train.cap_trainer import train_cap
+    from bmt_tpu.train.prop_trainer import train_prop
+    from bmt_tpu.train.checkpoint import load_subtree_npz
+
+    os.chdir(tmp_path)
+    prop_cfg = _mini_cfg(mini_data, tmp_path, 'train_prop')
+    train_prop(prop_cfg)
+    prop_npz = os.path.join(prop_cfg.log_path, 'best_prop_model.params.npz')
+    assert os.path.exists(prop_npz)
+
+    cap_cfg = _mini_cfg(mini_data, tmp_path, 'train_cap',
+                        pretrained_prop_model_path=prop_cfg.log_path)
+    train_cap(cap_cfg)
+
+    from bmt_tpu.models import CapModelDims, init_bimodal_transformer
+    cdims = CapModelDims.from_config(cap_cfg, 23)
+    enc_tpl = init_bimodal_transformer(jax.random.PRNGKey(0),
+                                       cdims)['encoder']
+    prop_enc = load_subtree_npz(prop_npz, enc_tpl)
+    trained_enc = load_subtree_npz(
+        os.path.join(cap_cfg.model_checkpoint_path,
+                     'best_cap_model.params.npz'), enc_tpl)
+    for a, b in zip(jax.tree.leaves(prop_enc),
+                    jax.tree.leaves(trained_enc)):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+
+@pytest.mark.slow
 def test_train_prop_unimodal_video(mini_data, tmp_path):
     '''Uni-modal (video-only) proposal generator: train_loop variant +
     ProposalGenerator equivalent (reference: proposal_generator.py:50-212).'''

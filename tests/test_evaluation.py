@@ -171,3 +171,37 @@ def test_anet_eval_reproducible_garbage():
     anet_eval._GARBAGE_RNG = _random.Random(0)
     s2 = [anet_eval.random_string(8) for _ in range(3)]
     assert s1 == s2
+
+
+def test_anet_eval_reproducible_end_to_end(tmp_path):
+    '''Scoring the SAME submission twice through the full evaluator (with
+    unmatched predictions hitting the garbage path, both caption length
+    and content) yields bit-identical metrics — regardless of global RNG
+    state between the runs.'''
+    import json
+    import random as _random
+    from bmt_tpu.evaluation.anet_eval import ANETcaptions
+
+    gt = {'v_a': {'duration': 30.0,
+                  'timestamps': [[0.0, 10.0], [12.0, 25.0]],
+                  'sentences': ['a man runs fast', 'a dog jumps high']}}
+    # second prediction deliberately misses every GT timestamp at
+    # tIoU 0.5 -> garbage-reference branch
+    sub = {'version': 'VERSION 1.0', 'external_data': {},
+           'results': {'v_a': [
+               {'timestamp': [0.0, 10.0], 'sentence': 'a man runs fast'},
+               {'timestamp': [27.0, 29.0], 'sentence': 'something else'}]}}
+    gt_p, sub_p = str(tmp_path / 'gt.json'), str(tmp_path / 'sub.json')
+    json.dump(gt, open(gt_p, 'w'))
+    json.dump(sub, open(sub_p, 'w'))
+
+    def run():
+        ev = ANETcaptions(ground_truth_filenames=[gt_p],
+                          prediction_filename=sub_p, tious=[0.5, 0.7])
+        ev.evaluate()
+        return ev.scores
+
+    s1 = run()
+    _random.seed(12345)     # perturb global RNG: must not matter
+    s2 = run()
+    assert s1 == s2

@@ -114,6 +114,25 @@ def test_frozen_grads_excluded_from_clip_norm():
     assert float(jnp.abs(upd['frozen']).sum()) == 0.0
 
 
+def test_frozen_leaves_immune_to_weight_decay():
+    '''With weight_decay > 0 a frozen leaf must still receive an exactly
+    zero update (torch skips requires_grad=False params entirely, so no
+    L2-into-gradient decay is ever applied to them).'''
+    class _WdCfg(_Cfg):
+        weight_decay = 0.01
+
+    params = {'frozen': jnp.full((4,), 3.0), 'live': jnp.full((4,), 3.0)}
+    mask = {'frozen': True, 'live': False}
+    grads = {'frozen': jnp.zeros((4,)), 'live': jnp.ones((4,))}
+
+    tx = build_optimizer(_WdCfg(), frozen_mask=mask)
+    state = tx.init(params)
+    for _ in range(3):
+        updates, state = tx.update(grads, state, params)
+        assert float(jnp.abs(updates['frozen']).sum()) == 0.0
+        assert float(jnp.abs(updates['live']).sum()) > 0.0
+
+
 def test_plateau_threshold_torch_semantics():
     '''Noise-level metric drift must count as a bad epoch (torch rel
     threshold 1e-4), so the LR actually reduces on plateaus.'''
