@@ -121,14 +121,12 @@ def make_bimodal_greedy_fn(dims: CapModelDims, max_len: int, start_idx: int,
     return fn
 
 
-@partial(jax.jit, static_argnames=('dims', 'max_len', 'start_idx', 'end_idx',
-                                   'pad_idx', 'attention_impl', 'kv_int8'))
-def greedy_decode_unimodal(params, dims: CapModelDims, feature_stacks: dict,
-                           max_len: int, start_idx: int, end_idx: int,
-                           pad_idx: int, attention_impl: str = 'xla',
-                           kv_int8: bool = False):
-    '''KV-cached greedy decode for the uni-modal Transformer ablation models
-    (same structure as the bi-modal decoder; single encoder memory).'''
+def unimodal_step_setup(params, dims: CapModelDims, feature_stacks: dict,
+                        pad_idx: int, max_len: int, attention_impl: str,
+                        kv_int8: bool):
+    '''(state, step_closure, B) for the uni-modal KV-cached decode loop —
+    the single-memory analog of ``bimodal_step_setup``, shared by the
+    greedy and sampling decoders.'''
     from bmt_tpu.models.captioning import (unimodal_decode_init,
                                            unimodal_decode_step,
                                            unimodal_encode)
@@ -144,7 +142,21 @@ def greedy_decode_unimodal(params, dims: CapModelDims, feature_stacks: dict,
         return unimodal_decode_step(params, dims, state, cur, step,
                                     src_mask, attention_impl)
 
-    return _greedy_core(step_closure, state, memory.shape[0], max_len,
+    return state, step_closure, memory.shape[0]
+
+
+@partial(jax.jit, static_argnames=('dims', 'max_len', 'start_idx', 'end_idx',
+                                   'pad_idx', 'attention_impl', 'kv_int8'))
+def greedy_decode_unimodal(params, dims: CapModelDims, feature_stacks: dict,
+                           max_len: int, start_idx: int, end_idx: int,
+                           pad_idx: int, attention_impl: str = 'xla',
+                           kv_int8: bool = False):
+    '''KV-cached greedy decode for the uni-modal Transformer ablation models
+    (same structure as the bi-modal decoder; single encoder memory).'''
+    state, step_closure, B = unimodal_step_setup(
+        params, dims, feature_stacks, pad_idx, max_len, attention_impl,
+        kv_int8)
+    return _greedy_core(step_closure, state, B, max_len,
                         start_idx, end_idx)
 
 

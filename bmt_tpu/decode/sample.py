@@ -18,7 +18,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from bmt_tpu.decode.greedy import _greedy_core, bimodal_step_setup
+from bmt_tpu.decode.greedy import (_greedy_core, bimodal_step_setup,
+                                   unimodal_step_setup)
 from bmt_tpu.models.captioning import CapModelDims
 
 _NEG_INF = float('-inf')
@@ -51,13 +52,16 @@ def filter_logits(log_probs: jnp.ndarray, top_k: int = 0,
         # greedy step on TPU (argsort over (B, 10172) x 30 steps). The
         # nucleus never needs more than a few hundred tokens in practice,
         # so restrict to the top `support` by partial top_k (cheap) and
-        # sort only that slice. Exact whenever the nucleus fits in
-        # `support`; beyond that the filter degrades to combined
-        # top-k(support) + nucleus, which only matters for near-uniform
-        # distributions at top_p ~ 1.
+        # sort only that slice. Probabilities come from the FULL-vocab
+        # softmax gathered on the slice (not a slice-renormalized one),
+        # so the cumulative mass is absolute and the cut is exact
+        # whenever the nucleus fits in `support`; beyond that the filter
+        # degrades to combined top-k(support) + nucleus, which only
+        # matters for near-uniform distributions at top_p ~ 1.
         support = min(_TOP_P_SUPPORT, V)
         top_lp, top_idx = jax.lax.top_k(filtered, support)   # (B, s) desc
-        probs = jax.nn.softmax(top_lp, axis=-1)
+        lse = jax.scipy.special.logsumexp(filtered, axis=-1, keepdims=True)
+        probs = jnp.exp(top_lp - lse)
         csum = jnp.cumsum(probs, axis=-1)
         # sorted position i is OUT when the mass strictly before it
         # already exceeds top_p (so the arg-max token always stays in)
@@ -106,6 +110,26 @@ def sample_decode_bimodal(params, dims: CapModelDims, feature_stacks: dict,
                         end_idx, select_fn=select)
 
 
+@partial(jax.jit, static_argnames=('dims', 'max_len', 'start_idx',
+                                   'end_idx', 'pad_idx', 'temperature',
+                                   'top_k', 'top_p', 'attention_impl',
+                                   'kv_int8'))
+def sample_decode_unimodal(params, dims: CapModelDims, feature_stacks: dict,
+                           rng, max_len: int, start_idx: int, end_idx: int,
+                           pad_idx: int, temperature: float = 1.0,
+                           top_k: int = 0, top_p: float = 1.0,
+                           attention_impl: str = 'xla',
+                           kv_int8: bool = False):
+    '''Uni-modal (audio-only / video-only ablation) stochastic decode;
+    same single-jit KV-cached loop as ``greedy_decode_unimodal``.'''
+    state, step_closure, B = unimodal_step_setup(
+        params, dims, feature_stacks, pad_idx, max_len, attention_impl,
+        kv_int8)
+    select = make_sample_select_fn(rng, temperature, top_k, top_p)
+    return _greedy_core(step_closure, state, B, max_len, start_idx,
+                        end_idx, select_fn=select)
+
+
 def make_bimodal_sample_fn(dims: CapModelDims, max_len: int, start_idx: int,
                            end_idx: int, pad_idx: int,
                            temperature: float = 1.0, top_k: int = 0,
@@ -114,14 +138,18 @@ def make_bimodal_sample_fn(dims: CapModelDims, max_len: int, start_idx: int,
     '''Bind statics; returns fn(params, feature_stacks) matching the
     greedy/beam decoder interface for the validation loops. Each call
     advances an internal counter folded into the key, so successive
-    batches draw fresh (but per-run reproducible) samples.'''
+    batches draw fresh (but per-run reproducible) samples. Dispatches by
+    ``dims.modality`` internally (like ``make_bimodal_beam_fn``), so the
+    uni-modal ablation models sample through the same entry point.'''
     base = jax.random.PRNGKey(seed)
     counter = [0]
+    decode = (sample_decode_bimodal if dims.modality == 'audio_video'
+              else sample_decode_unimodal)
 
     def fn(params, feature_stacks):
         key = jax.random.fold_in(base, counter[0])
         counter[0] += 1
-        return sample_decode_bimodal(
+        return decode(
             params, dims, feature_stacks, key, max_len, start_idx,
             end_idx, pad_idx, temperature, top_k, top_p, attention_impl,
             kv_int8)

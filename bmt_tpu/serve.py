@@ -155,6 +155,14 @@ class CaptionEngine:
         if not crops:
             return np.zeros((0, self.max_len + 1), np.int32)
         for c in crops:
+            if c['rgb'].shape[0] != c['flow'].shape[0]:
+                # I3D emits rgb/flow in lockstep; a length mismatch means
+                # corrupted inputs, and a longer flow would otherwise be
+                # silently truncated to the rgb-derived bucket
+                raise ValueError(
+                    f'rgb/flow length mismatch: {c["rgb"].shape[0]} vs '
+                    f'{c["flow"].shape[0]} frames (I3D emits both streams '
+                    f'at the same temporal stride)')
             if c['rgb'].shape[0] > VIDEO_BUCKETS[-1] \
                     or c['audio'].shape[0] > AUDIO_BUCKETS[-1]:
                 raise ValueError(
@@ -402,6 +410,11 @@ def _crop_from_json(obj: dict, dims, max_lens=None) -> dict:
                 f'{key}: {arr.shape[0]} frames exceeds the maximum '
                 f'{max_lens[kind]} — split the segment')
         crop[key] = arr
+    if crop['rgb'].shape[0] != crop['flow'].shape[0]:
+        raise ValueError(
+            f'rgb/flow length mismatch: {crop["rgb"].shape[0]} vs '
+            f'{crop["flow"].shape[0]} frames (I3D emits both streams at '
+            f'the same temporal stride)')
     return crop
 
 

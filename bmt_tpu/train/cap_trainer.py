@@ -144,8 +144,7 @@ def train_cap(cfg: Config):
             train_ds.pad_idx, cfg.beam_size, cfg.length_penalty,
             cfg.attention_impl, getattr(cfg, 'kv_cache_int8', False))
     elif getattr(cfg, 'decode_strategy', 'greedy') == 'sample':
-        assert cfg.modality == 'audio_video', \
-            'sampling decode is implemented for the bi-modal captioner'
+        # make_bimodal_sample_fn dispatches by dims.modality internally
         greedy_fn = make_bimodal_sample_fn(
             dims, cfg.max_len, train_ds.start_idx, train_ds.end_idx,
             train_ds.pad_idx, cfg.temperature,

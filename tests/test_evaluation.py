@@ -205,3 +205,70 @@ def test_anet_eval_reproducible_end_to_end(tmp_path):
     _random.seed(12345)     # perturb global RNG: must not matter
     s2 = run()
     assert s1 == s2
+
+
+def test_meteor_jar_stdio_protocol(tmp_path, monkeypatch):
+    '''Exercise _compute_meteor_java against a scripted fake `java` that
+    honors the meteor-1.5 -stdio SCORE/EVAL framing: validates the line
+    protocol, the persistent-process reuse, and the kill-and-restart
+    behavior on a protocol error.'''
+    import os
+    import stat
+    from bmt_tpu.evaluation import meteor as M
+
+    fake = tmp_path / 'java'
+    fake.write_text('''#!/usr/bin/env python3
+import sys
+# argv mirrors: java -jar -Xmx2G <jar> - - -stdio -l en -norm
+assert '-stdio' in sys.argv, sys.argv
+stats = []
+for line in sys.stdin:
+    parts = line.rstrip('\\n').split(' ||| ')
+    if parts[0] == 'SCORE':
+        hypo = parts[-1]
+        if 'DIE' in hypo:
+            sys.exit(3)                      # simulated JVM crash
+        # one stats line per SCORE (the real jar emits sufficient stats)
+        s = len(hypo.split())
+        stats.append(s)
+        print(s)
+        sys.stdout.flush()
+    elif parts[0] == 'EVAL':
+        vals = [float(x) / 100.0 for x in parts[1:]]
+        for v in vals:
+            print(v)
+        print(sum(vals) / len(vals))
+        sys.stdout.flush()
+        stats = []
+''')
+    fake.chmod(fake.stat().st_mode | stat.S_IEXEC)
+    jar = tmp_path / 'meteor-1.5.jar'
+    jar.write_text('not a real jar')
+    monkeypatch.setenv('PATH', f'{tmp_path}{os.pathsep}' +
+                       os.environ['PATH'])
+    monkeypatch.setenv('METEOR_JAR', str(jar))
+    M._kill_java_proc()                  # fresh proc under the fake PATH
+    try:
+        gts = {'a': ['the man runs'], 'b': ['a dog jumps high']}
+        res = {'a': ['the man runs'], 'b': ['dog jumps']}
+        avg, per_key = M.compute_meteor(gts, res)
+        # fake scores: word counts / 100, keys in sorted order
+        assert per_key == [0.03, 0.02]
+        assert abs(avg - 0.025) < 1e-12
+        proc1 = M._java_proc
+        assert proc1 is not None and proc1.poll() is None
+
+        # the process PERSISTS across calls (one JVM per session)
+        avg2, _ = M.compute_meteor(gts, res)
+        assert M._java_proc is proc1
+        assert abs(avg2 - avg) < 1e-12
+
+        # a protocol error kills the proc (no leak); next call restarts
+        with pytest.raises(Exception):
+            M.compute_meteor({'x': ['ref']}, {'x': ['DIE hard']})
+        assert M._java_proc is None
+        avg3, _ = M.compute_meteor(gts, res)
+        assert abs(avg3 - avg) < 1e-12
+        assert M._java_proc is not proc1
+    finally:
+        M._kill_java_proc()

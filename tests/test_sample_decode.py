@@ -128,3 +128,33 @@ def test_nucleus_cut_is_index_exact():
     lp = jnp.log(jnp.asarray([[0.25, 0.25, 0.25, 0.25]]))
     out = np.asarray(filter_logits(lp, top_p=0.5))
     assert np.isfinite(out[0]).sum() == 3
+
+
+def test_nucleus_mass_is_absolute_not_slice_relative():
+    '''The nucleus cut must measure TRUE vocabulary probability mass, not
+    mass renormalized over the top-support slice: with substantial tail
+    mass outside the slice, a slice-relative cumsum inflates slice
+    probabilities and cuts the nucleus too narrow.'''
+    import numpy as np
+    from bmt_tpu.decode.sample import filter_logits, _TOP_P_SUPPORT
+
+    V = _TOP_P_SUPPORT + 88
+    probs = np.empty(V)
+    probs[:10] = 0.04                        # 0.4 mass on ten head tokens
+    probs[10:] = 0.6 / (V - 10)              # rest spread over the tail
+    # distinct head values keep the sort order deterministic
+    probs[:10] += np.arange(10)[::-1] * 1e-6
+    probs /= probs.sum()
+    logp = np.log(probs)[None, :]
+    top_p = 0.41
+
+    out = np.asarray(filter_logits(jnp.asarray(logp), top_p=top_p))[0]
+    kept = np.isfinite(out).sum()
+
+    # expected from a FULL-vocab descending cumsum (position is out when
+    # the mass strictly before it already exceeds top_p)
+    order = np.argsort(-probs, kind='stable')
+    csum = np.cumsum(probs[order])
+    expected = int(((csum - probs[order]) <= top_p).sum())
+    assert expected > 10          # the true nucleus extends into the tail
+    assert kept == expected

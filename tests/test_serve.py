@@ -594,3 +594,30 @@ def test_backpressure_queue_full(engine):
         assert ei.value.code == 503
     finally:
         server.shutdown()
+
+
+def test_flow_length_mismatch_rejected(engine):
+    '''A flow stream longer than rgb must be rejected (engine API and
+    HTTP), not silently truncated to the rgb-derived bucket.'''
+    import urllib.error
+    rng = np.random.default_rng(21)
+    bad = _crop(rng, 5, 4)
+    bad['flow'] = rng.normal(size=(9, DIMS.d_vid)).astype(np.float32)
+    with pytest.raises(ValueError, match='mismatch'):
+        engine.caption_tokens([bad])
+
+    server = CaptionHTTPServer(('127.0.0.1', 0), engine, max_wait_ms=1.0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        body = json.dumps(
+            {'features': {k: v.tolist() for k, v in bad.items()}}).encode()
+        req = urllib.request.Request(
+            f'http://127.0.0.1:{port}/caption', data=body,
+            headers={'Content-Type': 'application/json'})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
+        assert 'mismatch' in ei.value.read().decode()
+    finally:
+        server.shutdown()
