@@ -40,6 +40,7 @@ import atexit
 import json
 import os
 import subprocess
+import sys
 import threading
 from dataclasses import dataclass, field
 from functools import lru_cache
@@ -287,18 +288,61 @@ def meteor_sentence(hyp: str, refs: List[str]) -> float:
     return best_ref_stats(hyp, refs).score()
 
 
+def _score_chunk(pairs: List[Tuple[str, List[str]]]) -> List[MeteorStats]:
+    '''Worker: sufficient stats for a list of (hypothesis, references)
+    pairs. Top-level (picklable) and pure-Python — safe to run in a forked
+    process even when the parent holds JAX/XLA state.'''
+    return [best_ref_stats(h, r) for h, r in pairs]
+
+
+# Keys-per-call threshold below which process-parallel scoring is not
+# worth the fork/IPC overhead (~50 ms); the learned-props eval scores
+# ~10k segments per tIoU, far above it.
+_PARALLEL_MIN_KEYS = 2000
+
+
 def compute_meteor(gts: Dict, res: Dict) -> Tuple[float, List[float]]:
     '''pycocoevalcap Meteor interface: per-segment scores plus ONE corpus
     score computed from summed sufficient statistics (the jar's final EVAL
-    aggregate line) — not the mean of segment scores.'''
+    aggregate line) — not the mean of segment scores.
+
+    Large batches (the learned-props eval scores ~10k matched segments
+    per tIoU; the reference offloads this to a persistent JVM,
+    evaluate.py:169-262) are sharded across forked worker processes —
+    ~3.6 s/10k single-core on this host, /nproc with workers. Set
+    ``BMT_METEOR_PROCS=1`` to force serial; any pool failure falls back
+    to serial scoring.'''
     jar = os.environ.get('METEOR_JAR')
     if jar and os.path.exists(jar):
         return _compute_meteor_java(jar, gts, res)
+    keys = sorted(gts.keys(), key=str)
+    for k in keys:
+        assert len(res[k]) == 1
+
+    n_procs = int(os.environ.get('BMT_METEOR_PROCS',
+                                 min(8, os.cpu_count() or 1)))
+    stats: Optional[List[MeteorStats]] = None
+    if len(keys) >= _PARALLEL_MIN_KEYS and n_procs > 1:
+        try:
+            import multiprocessing as mp
+            pairs = [(res[k][0], list(gts[k])) for k in keys]
+            chunk = (len(pairs) + n_procs - 1) // n_procs
+            parts = [pairs[i:i + chunk]
+                     for i in range(0, len(pairs), chunk)]
+            ctx = mp.get_context('fork')
+            with ctx.Pool(len(parts)) as pool:
+                stats = [st for part in pool.map(_score_chunk, parts)
+                         for st in part]
+        except Exception as e:                      # pragma: no cover
+            print(f'meteor: parallel scoring failed ({e!r}); '
+                  f'falling back to serial', file=sys.stderr)
+            stats = None
+    if stats is None:
+        stats = [best_ref_stats(res[k][0], gts[k]) for k in keys]
+
     per_key: List[float] = []
     agg = MeteorStats()
-    for k in sorted(gts.keys(), key=str):
-        assert len(res[k]) == 1
-        st = best_ref_stats(res[k][0], gts[k])
+    for st in stats:
         per_key.append(st.score())
         agg.add(st)
     return agg.score(), per_key

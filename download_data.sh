@@ -1,10 +1,60 @@
 #!/bin/bash
 # Fetch the pre-extracted features + GloVe vectors used by the BMT pipeline
 # (same public archives as the reference, md5-verified), unpack under ./data.
+#
+# --scorers: best-effort probe for the OFFICIAL scorer assets the offline
+# METEOR stand-in lacks (meteor-1.5.jar + WordNet synonyms). Fails soft:
+# each attempt logs success or the exact failure, so an egress-less host
+# leaves a record proving the assets are unreachable (see PARITY.md §4).
 set -u
 
 DATA_DIR="./data"
 BASE_URL="https://a3s.fi/swift/v1/AUTH_a235c0f452d648828f745589cde1219a/bmt"
+
+fetch_scorers() {
+  mkdir -p "$DATA_DIR/scorers"
+  local log="$DATA_DIR/scorers/probe.log"
+  : > "$log"
+  local jar_urls=(
+    "https://github.com/tylin/coco-caption/raw/master/pycocoevalcap/meteor/meteor-1.5.jar"
+    "https://raw.githubusercontent.com/salaniz/pycocoevalcap/master/meteor/meteor-1.5.jar"
+  )
+  local ok_jar=""
+  for url in "${jar_urls[@]}"; do
+    echo "probing $url" | tee -a "$log"
+    if wget -q --timeout=30 -O "$DATA_DIR/scorers/meteor-1.5.jar" "$url" \
+        && [ -s "$DATA_DIR/scorers/meteor-1.5.jar" ]; then
+      ok_jar=1
+      echo "  OK ($(stat -c%s "$DATA_DIR/scorers/meteor-1.5.jar") bytes)" \
+        | tee -a "$log"
+      break
+    fi
+    echo "  FAILED (exit=$?, egress blocked or URL gone)" | tee -a "$log"
+    rm -f "$DATA_DIR/scorers/meteor-1.5.jar"
+  done
+  if [ -n "$ok_jar" ] && command -v java >/dev/null; then
+    echo "export METEOR_JAR=$DATA_DIR/scorers/meteor-1.5.jar" | tee -a "$log"
+  elif [ -n "$ok_jar" ]; then
+    echo "jar fetched but no java on PATH — METEOR_JAR unusable here" \
+      | tee -a "$log"
+  fi
+  echo "probing nltk wordnet download" | tee -a "$log"
+  python - >> "$log" 2>&1 <<'PYEOF'
+try:
+    import nltk
+    ok = nltk.download('wordnet', quiet=True)
+    print(f'  nltk wordnet download: {"OK" if ok else "FAILED"}')
+except Exception as e:
+    print(f'  FAILED: {type(e).__name__}: {e}')
+PYEOF
+  tail -1 "$log"
+  echo "probe log: $log"
+}
+
+if [ "${1:-}" = "--scorers" ]; then
+  fetch_scorers
+  exit 0
+fi
 
 declare -A MD5S=(
   [i3d_25fps_stack64step64_2stream_npy.zip]=d7266e440f8c616acbc0d8aaa4a336dc

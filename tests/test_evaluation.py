@@ -272,3 +272,29 @@ for line in sys.stdin:
         assert M._java_proc is not proc1
     finally:
         M._kill_java_proc()
+
+
+def test_meteor_parallel_equals_serial(monkeypatch):
+    '''Process-parallel scoring (forked workers over key chunks) must be
+    bit-identical to serial scoring — same per-key list order and the
+    same aggregate score.'''
+    import random as _random
+    from bmt_tpu.evaluation import meteor as M
+
+    _random.seed(3)
+    words = 'man woman dog runs jumps plays park fast the a is and'.split()
+
+    def sent(n):
+        return ' '.join(_random.choice(words) for _ in range(n))
+
+    N = 300
+    gts = {i: [sent(_random.randint(6, 14))] for i in range(N)}
+    res = {i: [sent(_random.randint(4, 10))] for i in range(N)}
+
+    monkeypatch.setenv('BMT_METEOR_PROCS', '1')
+    avg_s, per_s = M.compute_meteor(gts, res)
+    monkeypatch.setenv('BMT_METEOR_PROCS', '4')
+    monkeypatch.setattr(M, '_PARALLEL_MIN_KEYS', 100)
+    avg_p, per_p = M.compute_meteor(gts, res)
+    assert avg_p == avg_s
+    assert per_p == per_s
