@@ -148,6 +148,7 @@ class Config:
         self.ckpt_format = getattr(args, 'ckpt_format', 'npz')
         self.prng_impl = getattr(args, 'prng_impl', 'rbg')
         self.grad_accum_steps = getattr(args, 'grad_accum_steps', 1)
+        self.length_sort_window = getattr(args, 'length_sort_window', 100)
         self.decode_strategy = getattr(args, 'decode_strategy', 'greedy')
         self.profile_steps = getattr(args, 'profile_steps', 0)
         self.beam_size = getattr(args, 'beam_size', 4)
@@ -342,6 +343,14 @@ def build_parser() -> argparse.ArgumentParser:
                              'step (exact full-batch gradient at 1/k '
                              'activation memory); B must be divisible '
                              'by it')
+    parser.add_argument('--length_sort_window', type=int, default=100,
+                        help='train batching: pool this many batches of '
+                             'shuffled rows and sort the pool by feature '
+                             'crop length before batching, so batchmates '
+                             'land in the same length bucket (cuts pad '
+                             'waste; batch ORDER stays shuffled). 0 '
+                             'disables (uniform shuffle, reference-'
+                             'faithful order)')
     parser.add_argument('--remat', action='store_true', default=False,
                         help='rematerialize encoder layers in the backward '
                              'pass (jax.checkpoint) to save HBM')

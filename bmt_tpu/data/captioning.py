@@ -173,16 +173,70 @@ class CaptioningDataset:
             'ends': np.asarray(ends, np.float32),
         }
 
+    def _sort_lens(self) -> np.ndarray:
+        '''Per-row crop length of the DOMINANT modality (video when
+        present: d_vid=1024 makes Sv the FLOP driver; else audio), used
+        as the within-window sort key. Computed once: the npy header
+        reads are memoized per file (many rows share a video).'''
+        if getattr(self, '_sort_lens_cache', None) is None:
+            shape_memo: dict = {}
+
+            def crop_len(path, row):
+                if path not in shape_memo:
+                    try:
+                        shape_memo[path] = npy_shape(path)[0]
+                    except FileNotFoundError:
+                        shape_memo[path] = None
+                S = shape_memo[path]
+                if S is None:
+                    return 1
+                s = int(S * (row['start'] / row['duration']))
+                e = int(S * (row['end'] / row['duration']))
+                return max(min(e, S) - max(s, 0), 1) if s != e else 1
+
+            if 'video' in self.cfg.modality:
+                base, suffix = self.cfg.video_features_path, '_rgb.npy'
+            else:
+                base, suffix = self.cfg.audio_features_path, '.npy'
+            self._sort_lens_cache = np.asarray([
+                crop_len(os.path.join(base, f"{r['video_id']}{suffix}"), r)
+                for r in self.rows], np.int32)
+        return self._sort_lens_cache
+
     def batches(self, epoch: int = 0, shuffle: Optional[bool] = None,
                 seed: int = 0, prefetch: int = 2) -> Iterator[dict]:
-        '''Yield batches for one epoch; deterministic per (seed, epoch).'''
+        '''Yield batches for one epoch; deterministic per (seed, epoch).
+
+        Shuffled epochs use torchtext-BucketIterator-style windowed length
+        sorting (cfg.length_sort_window batches per pool): rows shuffle
+        uniformly, each pool is then stably sorted by crop length so
+        batchmates share a length bucket (a batch with one 384-frame
+        outlier no longer pads 31 rows to 384), and finally the BATCH
+        order is reshuffled so sequence length stays uncorrelated with
+        the step index. Everything keys off (seed, epoch) — resume-safe.
+        (The reference's BucketIterator is configured with a constant
+        sort_key — captioning_dataset.py:51-52 — so it never actually
+        length-sorts; this is a pure padding-waste optimization enabled
+        by our bucketed static shapes. --length_sort_window 0 restores
+        the uniform order.)'''
         if shuffle is None:
             shuffle = self.phase == 'train'
         order = np.arange(len(self.rows))
+        rng = np.random.default_rng(seed + epoch)
+        window = getattr(self.cfg, 'length_sort_window', 100) or 0
         if shuffle:
-            np.random.default_rng(seed + epoch).shuffle(order)
+            rng.shuffle(order)
+            if window > 1:
+                lens = self._sort_lens()
+                pool = window * self.batch_size
+                order = np.concatenate([
+                    chunk[np.argsort(lens[chunk], kind='stable')]
+                    for chunk in (order[i:i + pool]
+                                  for i in range(0, len(order), pool))])
         index_batches = [order[i:i + self.batch_size].tolist()
                          for i in range(0, len(order), self.batch_size)]
+        if shuffle and window > 1:
+            rng.shuffle(index_batches)
         yield from _prefetched(self.make_batch, index_batches, prefetch)
 
 

@@ -43,6 +43,26 @@ def main():
                          for leaf in jax.tree.leaves(state.params)))
     print(f'RESULT {loss:.8f} {checksum:.8f}', flush=True)
 
+    # orbax COLLECTIVE save across both processes (the pod code path:
+    # every process participates in the array writes, process 0 writes the
+    # meta sidecar), then a restore that must reproduce the params
+    import os
+    ckpt_dir = os.environ.get('BMT_TEST_CKPT_DIR')
+    if ckpt_dir:
+        from bmt_tpu.train.checkpoint import (load_checkpoint_orbax,
+                                              save_checkpoint_orbax)
+        save_checkpoint_orbax(ckpt_dir, state.params,
+                              {'epoch': 0, 'loss': loss},
+                              name='dist_cap_model')
+        template = jax.tree.map(lambda x: np.zeros(x.shape, x.dtype),
+                                jax.device_get(state.params))
+        restored, meta, _ = load_checkpoint_orbax(ckpt_dir, template,
+                                                  name='dist_cap_model')
+        assert meta['epoch'] == 0
+        rsum = float(sum(np.abs(np.asarray(leaf)).sum()
+                         for leaf in jax.tree.leaves(restored)))
+        print(f'ORBAX {rsum:.8f}', flush=True)
+
 
 if __name__ == '__main__':
     sys.exit(main())

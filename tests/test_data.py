@@ -233,3 +233,81 @@ def test_missing_flow_zeroes_rgb_too(tmp_path, monkeypatch):
     rgb = batch['src']['rgb']
     np.testing.assert_allclose(rgb[0, 0], 0.0)          # joint zero-fill
     assert np.all(rgb[0, 1:] == ds.pad_idx)
+
+
+def _length_spread_dataset(tmp_path, n=24, batch_size=4):
+    '''Videos with strongly varied frame counts so bucket padding waste is
+    visible: lengths alternate short (6-9) and long (40-64).'''
+    rng = np.random.default_rng(2)
+    (tmp_path / 'v').mkdir()
+    (tmp_path / 'a').mkdir()
+    rows = []
+    for i in range(n):
+        vid = f'v_len{i:02d}'
+        S = int(rng.integers(6, 10)) if i % 2 == 0 else \
+            int(rng.integers(40, 65))
+        np.save(tmp_path / 'v' / f'{vid}_rgb.npy',
+                rng.normal(size=(S, 4)).astype(np.float32))
+        np.save(tmp_path / 'v' / f'{vid}_flow.npy',
+                rng.normal(size=(S, 4)).astype(np.float32))
+        np.save(tmp_path / 'a' / f'{vid}.npy',
+                rng.normal(size=(S, 3)).astype(np.float32))
+        rows.append((vid, 'a man runs', 0.0, 10.0, 10.0, 'train', i))
+    meta = tmp_path / 'train.csv'
+    with open(meta, 'w') as f:
+        f.write('video_id\tcaption\tstart\tend\tduration\tphase\tidx\n')
+        for r in rows:
+            f.write('\t'.join(map(str, r)) + '\n')
+    from bmt_tpu.config import Config
+    return Config.from_dict({
+        'train_meta_path': str(meta), 'val_1_meta_path': str(meta),
+        'val_2_meta_path': str(meta), 'modality': 'audio_video',
+        'video_feature_name': 'i3d', 'audio_feature_name': 'vggish',
+        'video_features_path': str(tmp_path / 'v'),
+        'audio_features_path': str(tmp_path / 'a'),
+        'd_vid': 4, 'd_aud': 3, 'start_token': '<s>', 'end_token': '</s>',
+        'pad_token': '<blank>', 'min_freq_caps': 1,
+        'train_batch_size': batch_size, 'inference_batch_size': batch_size,
+        'max_len': 30,
+    })
+
+
+def test_length_sorted_batching_cuts_padding(tmp_path):
+    '''Windowed length sorting groups batchmates into the same bucket:
+    fewer padded rows than the uniform shuffle, identical row coverage,
+    deterministic per (seed, epoch), and batch order decorrelated from
+    length.'''
+    from bmt_tpu.data.captioning import CaptioningDataset
+
+    cfg = _length_spread_dataset(tmp_path)
+    ds = CaptioningDataset(cfg, 'train')
+
+    def epoch_stats(window):
+        ds.cfg.length_sort_window = window
+        ids, padded = [], 0
+        for b in ds.batches(epoch=0, seed=7, prefetch=0):
+            ids.extend(b['video_ids'])
+            padded += int(b['src']['rgb'].shape[1]) * len(b['video_ids'])
+        return ids, padded
+
+    ids_sorted, cells_sorted = epoch_stats(window=3)
+    ids_uniform, cells_uniform = epoch_stats(window=0)
+
+    # same coverage (every row exactly once), different arrangement
+    assert sorted(ids_sorted) == sorted(ids_uniform)
+    # alternating short/long rows make uniform batches almost always pad
+    # short rows to the long bucket; sorting must strictly reduce cells
+    assert cells_sorted < cells_uniform
+
+    # deterministic per (seed, epoch)
+    ds.cfg.length_sort_window = 3
+    again = []
+    for b in ds.batches(epoch=0, seed=7, prefetch=0):
+        again.extend(b['video_ids'])
+    assert again == ids_sorted
+
+    # different epoch -> different arrangement
+    other = []
+    for b in ds.batches(epoch=1, seed=7, prefetch=0):
+        other.extend(b['video_ids'])
+    assert other != ids_sorted

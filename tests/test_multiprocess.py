@@ -51,6 +51,7 @@ def test_two_process_train_step_matches_single_process(tmp_path):
         'JAX_COORDINATOR_ADDRESS': f'127.0.0.1:{port}',
         'JAX_NUM_PROCESSES': '2',
         'PYTHONPATH': REPO,
+        'BMT_TEST_CKPT_DIR': str(tmp_path / 'dist_ckpt'),
     })
     env.pop('XLA_FLAGS', None)  # 1 local device per process
 
@@ -62,16 +63,23 @@ def test_two_process_train_step_matches_single_process(tmp_path):
             env=penv, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True, cwd=REPO))
 
-    results = []
+    results, orbax_sums = [], []
     for p in procs:
         out, err = p.communicate(timeout=420)
         assert p.returncode == 0, f'worker failed:\n{err[-3000:]}'
         line = [ln for ln in out.splitlines() if ln.startswith('RESULT')][-1]
         _, loss, checksum = line.split()
         results.append((float(loss), float(checksum)))
+        oline = [ln for ln in out.splitlines() if ln.startswith('ORBAX')][-1]
+        orbax_sums.append(float(oline.split()[1]))
 
     # both processes observe the identical replicated state
     assert results[0] == results[1]
+
+    # the collective orbax save/restore round-trips the trained params on
+    # BOTH processes (multi-process array writes + meta sidecar)
+    for osum, (_, checksum) in zip(orbax_sums, results):
+        np.testing.assert_allclose(osum, checksum, rtol=1e-6)
 
     ref_loss, ref_checksum = _single_process_reference()
     np.testing.assert_allclose(results[0][0], ref_loss, rtol=1e-5)
