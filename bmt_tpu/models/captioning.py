@@ -140,10 +140,16 @@ def bimodal_encode(params, dims: CapModelDims, src: dict, masks: dict,
 def bimodal_transformer_forward(params, dims: CapModelDims, src: dict,
                                 trg: jnp.ndarray, masks: dict, rng=None,
                                 deterministic: bool = True,
-                                attention_impl: str = 'xla') -> jnp.ndarray:
+                                attention_impl: str = 'xla',
+                                return_logits: bool = False) -> jnp.ndarray:
     '''Full teacher-forced forward -> (B, Sc, voc_size) log-probs.
 
     Reference: captioning_module.py:164-187.
+
+    ``return_logits=True`` stops at the compute-dtype LOGITS (no fp32
+    log_softmax): the train loss computes its own row logsumexp
+    (losses.label_smoothing_kl_logits), avoiding a (B, Sc, V) fp32
+    materialization — measured 1.3 ms of a 13 ms flagship train step.
     '''
     rngs = _rng_stream(rng)
     pe_A, pe_V, pe_C = _pe_tables(dims)
@@ -161,6 +167,8 @@ def bimodal_transformer_forward(params, dims: CapModelDims, src: dict,
                                 dims.dout_p, rngs, deterministic,
                                 attention_impl)
     logits = linear(params['generator'], C)
+    if return_logits:
+        return logits
     return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 
 
@@ -259,8 +267,10 @@ def init_unimodal_transformer(key, dims: CapModelDims,
 def unimodal_transformer_forward(params, dims: CapModelDims, src: dict,
                                  trg: jnp.ndarray, masks: dict, rng=None,
                                  deterministic: bool = True,
-                                 attention_impl: str = 'xla') -> jnp.ndarray:
-    '''Reference: captioning_module.py:71-98.'''
+                                 attention_impl: str = 'xla',
+                                 return_logits: bool = False) -> jnp.ndarray:
+    '''Reference: captioning_module.py:71-98. ``return_logits`` as in
+    ``bimodal_transformer_forward``.'''
     rngs = _rng_stream(rng)
     if dims.modality == 'audio':
         x = src['audio']
@@ -286,4 +296,6 @@ def unimodal_transformer_forward(params, dims: CapModelDims, src: dict,
                           dims.H, dims.dout_p, rngs, deterministic,
                           attention_impl)
     logits = linear(params['generator'], out)
+    if return_logits:
+        return logits
     return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

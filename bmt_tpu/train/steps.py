@@ -24,7 +24,8 @@ from bmt_tpu.models.proposal import (PropModelDims,
                                      multimodal_proposal_forward,
                                      unimodal_proposal_forward)
 from bmt_tpu.ops.masks import make_masks
-from bmt_tpu.train.losses import label_smoothing_kl
+from bmt_tpu.train.losses import (label_smoothing_kl,
+                                  label_smoothing_kl_logits)
 
 
 class TrainState(NamedTuple):
@@ -94,10 +95,13 @@ def make_cap_train_step(dims: CapModelDims, optimizer, smoothing: float,
         cap_x, cap_y = _masked_targets(caption, row_valid)
         src = jax.tree.map(lambda x: x.astype(compute_dtype), src_raw)
         masks = make_masks(src_raw, cap_x, dims.modality, pad_idx)
-        log_probs = fwd(cast_tree(p, compute_dtype), dims, src, cap_x,
-                        masks, rng=rng, deterministic=False,
-                        attention_impl=attention_impl)
-        kl = label_smoothing_kl(log_probs, cap_y, smoothing, pad_idx)
+        # logits path: the loss does its own row logsumexp, so no
+        # (B, S, V) fp32 log_softmax is materialized (see
+        # label_smoothing_kl_logits; ~10% of the flagship step)
+        logits = fwd(cast_tree(p, compute_dtype), dims, src, cap_x,
+                     masks, rng=rng, deterministic=False,
+                     attention_impl=attention_impl, return_logits=True)
+        kl = label_smoothing_kl_logits(logits, cap_y, smoothing, pad_idx)
         return kl, jnp.sum(cap_y != pad_idx)
 
     def step(state: TrainState, batch):
@@ -171,11 +175,11 @@ def make_cap_val_step(dims: CapModelDims, smoothing: float, pad_idx: int,
         src = jax.tree.map(lambda x: x.astype(compute_dtype), batch['src'])
         masks = make_masks(batch['src'], cap_x, dims.modality, pad_idx)
         n_tokens = jnp.maximum(jnp.sum(cap_y != pad_idx), 1)
-        log_probs = fwd(cast_tree(params, compute_dtype), dims, src, cap_x,
-                        masks, deterministic=True,
-                        attention_impl=attention_impl)
-        return label_smoothing_kl(log_probs, cap_y, smoothing,
-                                  pad_idx) / n_tokens
+        logits = fwd(cast_tree(params, compute_dtype), dims, src, cap_x,
+                     masks, deterministic=True,
+                     attention_impl=attention_impl, return_logits=True)
+        return label_smoothing_kl_logits(logits, cap_y, smoothing,
+                                         pad_idx) / n_tokens
     return step
 
 

@@ -196,3 +196,32 @@ def test_int8_kv_cache_decode_parity(rng):
                                              END, PAD, kv_int8=True))
     agreement = (quant == fast).mean()
     assert agreement >= 0.9, (agreement, fast, quant)
+
+
+def test_label_smoothing_logits_form_matches(rng):
+    '''The fused logits-form loss equals the log-prob form in value AND
+    gradient (it is the same closed form with logsumexp pulled inside).'''
+    import jax
+    from bmt_tpu.train.losses import (label_smoothing_kl,
+                                      label_smoothing_kl_logits)
+    B, S, V = 3, 5, 37
+    logits = jnp.asarray(rng.normal(size=(B, S, V)) * 3, jnp.float32)
+    target = jnp.asarray(rng.integers(0, V, size=(B, S)), jnp.int32)
+
+    def f_ref(lg):
+        lp = jax.nn.log_softmax(lg.astype(jnp.float32), axis=-1)
+        return label_smoothing_kl(lp, target, 0.7, PAD)
+
+    def f_fused(lg):
+        return label_smoothing_kl_logits(lg, target, 0.7, PAD)
+
+    v_ref, g_ref = jax.value_and_grad(f_ref)(logits)
+    v_fus, g_fus = jax.value_and_grad(f_fused)(logits)
+    np.testing.assert_allclose(float(v_fus), float(v_ref), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_fus), np.asarray(g_ref),
+                               atol=1e-6)
+
+    # bf16 logits (the train compute dtype) stay close in fp32 terms
+    lb = logits.astype(jnp.bfloat16)
+    np.testing.assert_allclose(float(f_fused(lb)), float(f_ref(lb)),
+                               rtol=1e-4)
