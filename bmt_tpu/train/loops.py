@@ -214,6 +214,13 @@ def train_epoch_prop(train_step, state, dataset, epoch: int, logger=None,
             if k != 'loss':
                 acc[k] = acc.get(k, 0.0) + float(v)
         n += 1
+    if n == 0:
+        import sys
+        print(f'WARNING: proposal train epoch {epoch} ran ZERO batches — '
+              f'the dataset has fewer videos than train_batch_size '
+              f'(B x dp_devices) and the last partial batch is dropped '
+              f'(reference drop_last); nothing was trained this epoch',
+              file=sys.stderr)
     mean = total / max(n, 1)
     if logger is not None:
         logger.add_scalar('debug/loss_epoch', mean, epoch)

@@ -17,7 +17,8 @@ from bmt_tpu.models import (PropModelDims,
                             init_unimodal_proposal_generator)
 from bmt_tpu.parallel import DataParallel
 from bmt_tpu.parallel.mesh import maybe_init_distributed
-from bmt_tpu.train.checkpoint import (import_cap_model,
+from bmt_tpu.train.checkpoint import (detect_checkpoint_format,
+                                      import_cap_model,
                                       get_checkpoint_io,
                                       load_torch_checkpoint)
 from bmt_tpu.train.loops import train_epoch_prop, validate_prop
@@ -140,8 +141,34 @@ def train_prop(cfg: Config):
 
     best_metric = -np.inf
     unchanged = 0
+    start_epoch = 0
 
-    for epoch in range(cfg.epoch_num):
+    # rolling resume, symmetric with train_cap: a crash mid-run restarts
+    # from the last completed epoch instead of epoch 0 (the reference can
+    # only save — proposal_generator training restarts from scratch)
+    ckpt_fmt = getattr(cfg, 'ckpt_format', 'npz')
+    save_ckpt, _ = get_checkpoint_io(ckpt_fmt)
+    ckpt_dir = cfg.log_path if cfg.to_log else None
+    on_disk_fmt = (detect_checkpoint_format(ckpt_dir, 'last_prop_model',
+                                            ckpt_fmt) if ckpt_dir else None)
+    if on_disk_fmt is not None:
+        if on_disk_fmt != ckpt_fmt:
+            print(f'Resuming from a {on_disk_fmt} checkpoint '
+                  f'(--ckpt_format is {ckpt_fmt}; new saves use {ckpt_fmt})')
+        _, load_ckpt = get_checkpoint_io(on_disk_fmt)
+        p, meta, opt = load_ckpt(ckpt_dir, state.params,
+                                 state.opt_state, 'last_prop_model')
+        state = state._replace(
+            params=p, opt_state=opt or state.opt_state,
+            step=jnp.asarray(meta.get('step', 0), jnp.int32))
+        start_epoch = meta.get('epoch', -1) + 1
+        best_metric = meta.get('best_metric', -np.inf)
+        unchanged = meta.get('unchanged', 0)
+        if scheduler is not None and meta.get('scheduler'):
+            scheduler.load_state_dict(meta['scheduler'])
+        print(f'Resumed from epoch {start_epoch}')
+
+    for epoch in range(start_epoch, cfg.epoch_num):
         print(f'The best metric was unchanged for {unchanged} epochs.')
         print(f'Started @ {cfg.curr_time}; '
               f'Current timer: {timer(cfg.curr_time)}')
@@ -157,25 +184,33 @@ def train_prop(cfg: Config):
             state = state._replace(opt_state=set_learning_rate(
                 state.opt_state, scheduler.step(avg_f1)))
 
-        if avg_f1 > best_metric:
+        is_best = avg_f1 > best_metric
+        if is_best:
             best_metric = avg_f1
             unchanged = 0
-            if cfg.to_log:
-                meta = {
-                    'config': cfg.to_dict(),
-                    'epoch': epoch,
-                    'anchors': anchors,
-                    'val_anet_metrics': metrics,
-                    'best_metric': float(best_metric),
-                }
-                save_ckpt, _ = get_checkpoint_io(
-                    getattr(cfg, 'ckpt_format', 'npz'))
-                save_ckpt(cfg.log_path, state.params, meta,
+        else:
+            unchanged += 1
+
+        if ckpt_dir:
+            meta = {
+                'config': cfg.to_dict(),
+                'epoch': epoch,
+                'step': int(state.step),
+                'anchors': anchors,
+                'val_anet_metrics': metrics,
+                'best_metric': float(best_metric),
+                'unchanged': unchanged,
+                'scheduler': (scheduler.state_dict()
+                              if scheduler is not None else None),
+            }
+            # rolling checkpoint every epoch (resume), best kept separately
+            save_ckpt(ckpt_dir, state.params, meta,
+                      state.opt_state, 'last_prop_model')
+            if is_best:
+                save_ckpt(ckpt_dir, state.params, meta,
                           state.opt_state, 'best_prop_model')
                 print(f'Saved model @ {epoch} epoch. '
                       f'Best metric: {best_metric:.5f}')
-        else:
-            unchanged += 1
 
     print(f'Experiment: {cfg.curr_time[2:]}')
     logger.close()

@@ -9,7 +9,10 @@ import pytest
 
 from bmt_tpu.config import Config, build_parser
 
-N_VIDEOS = 4
+# >= train_batch_size (B=4 x dp_devices=2): the proposal loader drops the
+# last partial batch like the reference, so fewer videos than one batch
+# would silently train the prop model for ZERO steps
+N_VIDEOS = 8
 D_VID, D_AUD = 12, 8
 
 
@@ -89,7 +92,7 @@ def _mini_cfg(mini_data, tmp_path, procedure, **overrides):
         '--anchors_num_audio', '3', '--anchors_num_video', '4',
         '--kernel_sizes_audio', '3', '5', '--kernel_sizes_video', '1', '3',
         '--conv_layers_audio', '8', '--conv_layers_video', '8',
-        '--pad_audio_feats_up_to', '16', '--pad_video_feats_up_to', '16',
+        '--pad_audio_feats_up_to', '24', '--pad_video_feats_up_to', '24',
         '--compute_dtype', 'float32',
         '--log_dir', str(tmp_path / 'log'),
         '--max_prop_per_vid', '10',
@@ -271,3 +274,29 @@ def test_train_prop_and_eval_end_to_end(mini_data, tmp_path):
     metrics = eval_on_learned_props(eval_cfg)
     assert metrics is not None
     assert 'Average across tIoUs' in metrics
+
+
+@pytest.mark.slow
+def test_train_prop_resume(mini_data, tmp_path):
+    '''Interrupted proposal training resumes from the rolling checkpoint
+    (symmetric with train_cap: epoch counter, best metric, optimizer state
+    and RNG step all restored).'''
+    import json as _json
+    from bmt_tpu.train.prop_trainer import train_prop
+
+    os.chdir(tmp_path)
+    cfg = _mini_cfg(mini_data, tmp_path, 'train_prop')
+    train_prop(cfg)      # epoch 0 completes, last_prop_model written
+
+    meta_path = os.path.join(cfg.log_path, 'last_prop_model.meta.json')
+    with open(meta_path) as f:
+        assert _json.load(f)['epoch'] == 0
+
+    cfg2 = _mini_cfg(mini_data, tmp_path, 'train_prop')
+    cfg2.log_path = cfg.log_path
+    cfg2.epoch_num = 2
+    train_prop(cfg2)
+    with open(meta_path) as f:
+        meta = _json.load(f)
+    assert meta['epoch'] == 1
+    assert meta['step'] > 0
