@@ -97,12 +97,22 @@ class CaptioningDataset:
 
     # -- batch assembly ----------------------------------------------------
 
+    def _npy_rows(self, path: str):
+        '''Memoized npy header read (many caption rows share one video
+        file; the sort-key pass touches every row).'''
+        memo = self.__dict__.setdefault('_npy_rows_memo', {})
+        if path not in memo:
+            try:
+                memo[path] = npy_shape(path)[0]
+            except FileNotFoundError:
+                memo[path] = None
+        return memo[path]
+
     def _crop_len(self, path: str, row) -> int:
         '''Length of the proportional crop without loading data
         (reference crop rule: load_features.py:14-28).'''
-        try:
-            S = npy_shape(path)[0]
-        except FileNotFoundError:
+        S = self._npy_rows(path)
+        if S is None:
             return 1
         s = int(S * (row['start'] / row['duration']))
         e = int(S * (row['end'] / row['duration']))
@@ -176,30 +186,17 @@ class CaptioningDataset:
     def _sort_lens(self) -> np.ndarray:
         '''Per-row crop length of the DOMINANT modality (video when
         present: d_vid=1024 makes Sv the FLOP driver; else audio), used
-        as the within-window sort key. Computed once: the npy header
-        reads are memoized per file (many rows share a video).'''
+        as the within-window sort key. One pass through the SAME
+        ``_crop_len`` rule the batch bucketer uses (memoized headers), so
+        the sort key can never desynchronize from the batch geometry.'''
         if getattr(self, '_sort_lens_cache', None) is None:
-            shape_memo: dict = {}
-
-            def crop_len(path, row):
-                if path not in shape_memo:
-                    try:
-                        shape_memo[path] = npy_shape(path)[0]
-                    except FileNotFoundError:
-                        shape_memo[path] = None
-                S = shape_memo[path]
-                if S is None:
-                    return 1
-                s = int(S * (row['start'] / row['duration']))
-                e = int(S * (row['end'] / row['duration']))
-                return max(min(e, S) - max(s, 0), 1) if s != e else 1
-
             if 'video' in self.cfg.modality:
                 base, suffix = self.cfg.video_features_path, '_rgb.npy'
             else:
                 base, suffix = self.cfg.audio_features_path, '.npy'
             self._sort_lens_cache = np.asarray([
-                crop_len(os.path.join(base, f"{r['video_id']}{suffix}"), r)
+                self._crop_len(
+                    os.path.join(base, f"{r['video_id']}{suffix}"), r)
                 for r in self.rows], np.int32)
         return self._sort_lens_cache
 

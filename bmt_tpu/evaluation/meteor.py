@@ -290,15 +290,42 @@ def meteor_sentence(hyp: str, refs: List[str]) -> float:
 
 def _score_chunk(pairs: List[Tuple[str, List[str]]]) -> List[MeteorStats]:
     '''Worker: sufficient stats for a list of (hypothesis, references)
-    pairs. Top-level (picklable) and pure-Python — safe to run in a forked
-    process even when the parent holds JAX/XLA state.'''
+    pairs. Top-level (picklable) and pure-Python.'''
     return [best_ref_stats(h, r) for h, r in pairs]
 
 
 # Keys-per-call threshold below which process-parallel scoring is not
-# worth the fork/IPC overhead (~50 ms); the learned-props eval scores
-# ~10k segments per tIoU, far above it.
+# worth the pool/IPC overhead; the learned-props eval scores ~10k
+# segments per tIoU, far above it.
 _PARALLEL_MIN_KEYS = 2000
+
+# One persistent SPAWN-context pool (like the persistent JVM above).
+# spawn, not fork: the caller is usually the training process, which
+# holds XLA runtime threads and prefetch threads — forking a
+# multi-threaded process can deadlock the child on locks held at fork
+# time. Spawned workers import only this (pure-Python) module tree, pay
+# ~2 s startup ONCE, and amortize it over every validation scoring call.
+_score_pool = None
+_score_pool_procs = 0
+
+
+def _get_score_pool(n_procs: int):
+    global _score_pool, _score_pool_procs
+    if _score_pool is None or _score_pool_procs != n_procs:
+        _shutdown_score_pool()
+        import multiprocessing as mp
+        _score_pool = mp.get_context('spawn').Pool(n_procs)
+        _score_pool_procs = n_procs
+        atexit.register(_shutdown_score_pool)
+    return _score_pool
+
+
+def _shutdown_score_pool():
+    global _score_pool
+    if _score_pool is not None:
+        _score_pool.terminate()
+        _score_pool.join()
+    _score_pool = None
 
 
 def compute_meteor(gts: Dict, res: Dict) -> Tuple[float, List[float]]:
@@ -308,10 +335,10 @@ def compute_meteor(gts: Dict, res: Dict) -> Tuple[float, List[float]]:
 
     Large batches (the learned-props eval scores ~10k matched segments
     per tIoU; the reference offloads this to a persistent JVM,
-    evaluate.py:169-262) are sharded across forked worker processes —
-    ~3.6 s/10k single-core on this host, /nproc with workers. Set
-    ``BMT_METEOR_PROCS=1`` to force serial; any pool failure falls back
-    to serial scoring.'''
+    evaluate.py:169-262) are sharded across a persistent SPAWN-context
+    worker pool — ~3.6 s/10k single-core on this host, /nproc with
+    workers. Set ``BMT_METEOR_PROCS=1`` to force serial; a pool failure
+    or per-chunk timeout falls back to serial scoring.'''
     jar = os.environ.get('METEOR_JAR')
     if jar and os.path.exists(jar):
         return _compute_meteor_java(jar, gts, res)
@@ -324,18 +351,20 @@ def compute_meteor(gts: Dict, res: Dict) -> Tuple[float, List[float]]:
     stats: Optional[List[MeteorStats]] = None
     if len(keys) >= _PARALLEL_MIN_KEYS and n_procs > 1:
         try:
-            import multiprocessing as mp
             pairs = [(res[k][0], list(gts[k])) for k in keys]
             chunk = (len(pairs) + n_procs - 1) // n_procs
             parts = [pairs[i:i + chunk]
                      for i in range(0, len(pairs), chunk)]
-            ctx = mp.get_context('fork')
-            with ctx.Pool(len(parts)) as pool:
-                stats = [st for part in pool.map(_score_chunk, parts)
-                         for st in part]
+            pool = _get_score_pool(n_procs)
+            # bounded wait (generous vs the ~4 s worst case measured):
+            # a wedged pool degrades to serial scoring, never a hang
+            async_res = pool.map_async(_score_chunk, parts)
+            stats = [st for part in async_res.get(timeout=120)
+                     for st in part]
         except Exception as e:                      # pragma: no cover
             print(f'meteor: parallel scoring failed ({e!r}); '
                   f'falling back to serial', file=sys.stderr)
+            _shutdown_score_pool()
             stats = None
     if stats is None:
         stats = [best_ref_stats(res[k][0], gts[k]) for k in keys]

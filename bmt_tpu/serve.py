@@ -147,6 +147,26 @@ class CaptionEngine:
 
     # -- public API -------------------------------------------------------
 
+    def validate_crop(self, crop: dict) -> None:
+        '''Per-request shape/length validation — raised at ADMISSION (the
+        MicroBatcher and the HTTP parser both call it), so one bad crop
+        400s alone instead of poisoning a coalesced batch.'''
+        if crop['rgb'].shape[0] != crop['flow'].shape[0]:
+            # I3D emits rgb/flow in lockstep; a length mismatch means
+            # corrupted inputs, and a longer flow would otherwise be
+            # silently truncated to the rgb-derived bucket
+            raise ValueError(
+                f'rgb/flow length mismatch: {crop["rgb"].shape[0]} vs '
+                f'{crop["flow"].shape[0]} frames (I3D emits both streams '
+                f'at the same temporal stride)')
+        if crop['rgb'].shape[0] > VIDEO_BUCKETS[-1] \
+                or crop['audio'].shape[0] > AUDIO_BUCKETS[-1]:
+            raise ValueError(
+                f'crop too long: video {crop["rgb"].shape[0]} frames '
+                f'(max {VIDEO_BUCKETS[-1]}), audio '
+                f'{crop["audio"].shape[0]} (max {AUDIO_BUCKETS[-1]}) — '
+                f'split the segment')
+
     def caption_tokens(self, crops: Sequence[dict],
                        _count: bool = True) -> np.ndarray:
         '''Decode a list of crops; returns (len(crops), max_len+1) int32.
@@ -155,21 +175,7 @@ class CaptionEngine:
         if not crops:
             return np.zeros((0, self.max_len + 1), np.int32)
         for c in crops:
-            if c['rgb'].shape[0] != c['flow'].shape[0]:
-                # I3D emits rgb/flow in lockstep; a length mismatch means
-                # corrupted inputs, and a longer flow would otherwise be
-                # silently truncated to the rgb-derived bucket
-                raise ValueError(
-                    f'rgb/flow length mismatch: {c["rgb"].shape[0]} vs '
-                    f'{c["flow"].shape[0]} frames (I3D emits both streams '
-                    f'at the same temporal stride)')
-            if c['rgb'].shape[0] > VIDEO_BUCKETS[-1] \
-                    or c['audio'].shape[0] > AUDIO_BUCKETS[-1]:
-                raise ValueError(
-                    f'crop too long: video {c["rgb"].shape[0]} frames '
-                    f'(max {VIDEO_BUCKETS[-1]}), audio '
-                    f'{c["audio"].shape[0]} (max {AUDIO_BUCKETS[-1]}) — '
-                    f'split the segment')
+            self.validate_crop(c)
         out = []
         for lo in range(0, len(crops), self.max_batch):
             chunk = crops[lo:lo + self.max_batch]
@@ -267,6 +273,9 @@ class MicroBatcher:
         self._worker.start()
 
     def submit(self, crop: dict) -> 'Future[str]':
+        # validate at ADMISSION: a bad crop must fail its own submit()
+        # call, not the whole coalesced batch it would have joined
+        self.engine.validate_crop(crop)
         fut: Future = Future()
         with self._mu:
             if self._closed:

@@ -24,8 +24,7 @@ from bmt_tpu.models.proposal import (PropModelDims,
                                      multimodal_proposal_forward,
                                      unimodal_proposal_forward)
 from bmt_tpu.ops.masks import make_masks
-from bmt_tpu.train.losses import (label_smoothing_kl,
-                                  label_smoothing_kl_logits)
+from bmt_tpu.train.losses import label_smoothing_kl_logits
 
 
 class TrainState(NamedTuple):

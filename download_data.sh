@@ -39,7 +39,12 @@ fetch_scorers() {
       | tee -a "$log"
   fi
   echo "probing nltk wordnet download" | tee -a "$log"
-  python - >> "$log" 2>&1 <<'PYEOF'
+  local py
+  py=$(command -v python3 || command -v python) || {
+    echo "  FAILED: no python interpreter on PATH" | tee -a "$log"
+    return
+  }
+  "$py" - >> "$log" 2>&1 <<'PYEOF'
 try:
     import nltk
     ok = nltk.download('wordnet', quiet=True)

@@ -621,3 +621,20 @@ def test_flow_length_mismatch_rejected(engine):
         assert 'mismatch' in ei.value.read().decode()
     finally:
         server.shutdown()
+
+
+def test_microbatcher_rejects_bad_crop_at_admission(engine):
+    '''A malformed crop must fail its OWN submit() call; concurrent
+    healthy requests coalesced around it are unaffected.'''
+    rng = np.random.default_rng(33)
+    batcher = MicroBatcher(engine, max_wait_ms=20.0)
+    try:
+        good_futs = [batcher.submit(_crop(rng, 5, 4)) for _ in range(3)]
+        bad = _crop(rng, 5, 4)
+        bad['flow'] = rng.normal(size=(9, DIMS.d_vid)).astype(np.float32)
+        with pytest.raises(ValueError, match='mismatch'):
+            batcher.submit(bad)
+        for f in good_futs:
+            assert isinstance(f.result(timeout=120), str)
+    finally:
+        batcher.close()
