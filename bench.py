@@ -236,6 +236,77 @@ def main():
     mfu = (train_flops / (step_ms / 1e3) / PEAK_FLOPS
            if train_flops else None)
 
+    # ---- proposal-generator train step (stage 2) --------------------------
+    # Flagship prop shapes: B=16, padded 800 audio / 300 video rows, all 20
+    # conv heads (reference: scripts/train_proposal_generator.py defaults).
+    # BMT_BENCH_PROP=0 skips; the smoke test shrinks via BMT_BENCH_P* env.
+    prop_ms = prop_mfu = None
+    if os.environ.get('BMT_BENCH_PROP', '1') != '0':
+        from bmt_tpu.models import (PropModelDims,
+                                    init_multimodal_proposal_generator)
+        from bmt_tpu.train.steps import make_prop_train_step
+        PB = _env_int('BMT_BENCH_PB', 16)
+        PSa = _env_int('BMT_BENCH_PSA', 800)
+        PSv = _env_int('BMT_BENCH_PSV', 300)
+        pdm = _env_int('BMT_BENCH_PDM', 0)   # smoke override: tiny widths
+        if pdm:
+            pdims = PropModelDims(
+                d_model_A=max(pdm // 4, 4), d_model_V=pdm, d_model=pdm,
+                H=2, N=1, d_ff_A=pdm, d_ff_V=pdm, d_vid=1024, d_aud=128,
+                use_linear_embedder=True, kernel_sizes_A=(3, 5),
+                kernel_sizes_V=(3, 5), conv_layers_A=(8,),
+                conv_layers_V=(8,), anchors_num_A=2, anchors_num_V=2)
+        else:
+            pdims = PropModelDims(remat=True)  # the prop trainer's default
+        try:
+            pparams = init_multimodal_proposal_generator(
+                jax.random.PRNGKey(1), pdims)
+            pparams['anchors_A'] = jnp.asarray(
+                np.linspace(2.0, 300.0, pdims.anchors_num_A), jnp.float32)
+            pparams['anchors_V'] = jnp.asarray(
+                np.linspace(3.0, 400.0, pdims.anchors_num_V), jnp.float32)
+            popt = build_optimizer(_Cfg())
+            pstep = jax.jit(make_prop_train_step(pdims, popt, 1,
+                                                 compute_dtype=bf16))
+            pstate = init_train_state(pparams, popt, prng_impl='rbg')
+            E = 6
+            pbatch = {
+                'src': {
+                    'rgb': jnp.asarray(
+                        rng.normal(size=(PB, PSv, 1024)), jnp.float32),
+                    'flow': jnp.asarray(
+                        rng.normal(size=(PB, PSv, 1024)), jnp.float32),
+                    'audio': jnp.asarray(
+                        rng.normal(size=(PB, PSa, 128)), jnp.float32),
+                },
+                'centers': jnp.asarray(
+                    rng.uniform(5, 700, size=(PB, E)), jnp.float32),
+                'lengths': jnp.asarray(
+                    rng.uniform(2, 60, size=(PB, E)), jnp.float32),
+                'valid': jnp.ones((PB, E), bool),
+            }
+            prop_flops = None
+            try:
+                pcost = pstep.lower(pstate, pbatch).compile().cost_analysis()
+                if isinstance(pcost, (list, tuple)):
+                    pcost = pcost[0]
+                prop_flops = float(pcost.get('flops', 0.0)) or None
+            except Exception:
+                pass
+
+            def prop_once():
+                _, m = pstep(pstate, pbatch)
+                return m['loss']
+            _warmup(prop_once)
+            _warmup(prop_once)
+            prop_ms = _time_best(prop_once, iters=max(ITERS // 2, 1),
+                                 reps=min(REPS, 3)) * 1e3
+            prop_mfu = (prop_flops / (prop_ms / 1e3) / PEAK_FLOPS
+                        if prop_flops else None)
+        except Exception as e:
+            print(f'prop train bench failed: {type(e).__name__}: {e}',
+                  file=sys.stderr)
+
     result = {
         'metric': 'greedy_decode_captions_per_sec_per_chip',
         'value': round(captions_per_sec, 2),
@@ -255,6 +326,12 @@ def main():
             result[f'train_{impl}_ms'] = round(train_ms[impl], 3)
     if decode_q8 is not None:
         result['decode_int8kv_caps_per_sec'] = round(decode_q8, 2)
+    if prop_ms is not None:
+        result['prop_train_step_ms'] = round(prop_ms, 3)
+        result['prop_train_videos_per_sec'] = round(
+            _env_int('BMT_BENCH_PB', 16) / (prop_ms / 1e3), 2)
+        if prop_mfu is not None:
+            result['prop_train_mfu'] = round(prop_mfu, 4)
     print(json.dumps(result))
 
 

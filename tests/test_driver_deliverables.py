@@ -41,7 +41,9 @@ def test_bench_smoke_prints_one_json_line():
                JAX_PLATFORMS='cpu',
                BMT_BENCH_VOC='128', BMT_BENCH_B='2', BMT_BENCH_SA='16',
                BMT_BENCH_SV='8', BMT_BENCH_MAX_LEN='3', BMT_BENCH_ITERS='1',
-               BMT_BENCH_REPS='1', BMT_BENCH_TB='2', BMT_BENCH_SC='6')
+               BMT_BENCH_REPS='1', BMT_BENCH_TB='2', BMT_BENCH_SC='6',
+               BMT_BENCH_PB='1', BMT_BENCH_PSA='16', BMT_BENCH_PSV='8',
+               BMT_BENCH_PDM='16')
     proc = subprocess.run([sys.executable, 'bench.py'], cwd=REPO, env=env,
                           capture_output=True, text=True, timeout=1200)
     assert proc.returncode == 0, proc.stderr[-2000:]
@@ -49,6 +51,7 @@ def test_bench_smoke_prints_one_json_line():
     assert len(lines) == 1, proc.stdout
     result = json.loads(lines[0])
     for key in ('metric', 'value', 'unit', 'vs_baseline',
-                'train_samples_per_sec', 'train_step_ms', 'decode_impl'):
+                'train_samples_per_sec', 'train_step_ms', 'decode_impl',
+                'prop_train_step_ms'):
         assert key in result, (key, result)
     assert result['value'] > 0 and result['vs_baseline'] > 0, result

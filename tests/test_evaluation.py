@@ -298,3 +298,36 @@ def test_meteor_parallel_equals_serial(monkeypatch):
     avg_p, per_p = M.compute_meteor(gts, res)
     assert avg_p == avg_s
     assert per_p == per_s
+
+
+def test_meteor_synonym_stage_activates(tmp_path, monkeypatch):
+    '''The METEOR_SYNONYMS-driven synonym stage: words sharing a synset id
+    match at stage weight 0.8 — between exact (1.0) and nothing. The
+    module loads the table at import, so the test swaps the module-level
+    dict the way the env load would have produced it.'''
+    import json as _json
+    from bmt_tpu.evaluation import meteor as M
+
+    syn_path = tmp_path / 'synonyms.json'
+    _json.dump({'dog': ['n.canid.1'], 'canine': ['n.canid.1'],
+                'cat': ['n.felid.1']}, open(syn_path, 'w'))
+    monkeypatch.setenv('METEOR_SYNONYMS', str(syn_path))
+    table = M._load_synonyms()
+    assert table == {'dog': frozenset({'n.canid.1'}),
+                     'canine': frozenset({'n.canid.1'}),
+                     'cat': frozenset({'n.felid.1'})}
+
+    without = M.meteor_pair('the canine runs', 'the dog runs')
+    monkeypatch.setattr(M, '_SYNONYMS', table)
+    with_syn = M.meteor_pair('the canine runs', 'the dog runs')
+    exact = M.meteor_pair('the dog runs', 'the dog runs')
+    # synonym match raises the score but stays below an exact match
+    assert with_syn > without
+    assert exact > with_syn
+    # non-synonymous words (disjoint synsets) do NOT match
+    disjoint = M.meteor_pair('the cat runs', 'the dog runs')
+    assert disjoint == without
+
+    # env unset -> no table (drop-in activation contract)
+    monkeypatch.delenv('METEOR_SYNONYMS')
+    assert M._load_synonyms() is None
