@@ -339,10 +339,11 @@ def build_parser() -> argparse.ArgumentParser:
                              'faster train step) or threefry2x32 '
                              '(bit-stable across shardings)')
     parser.add_argument('--grad_accum_steps', type=int, default=1,
-                        help='train_cap only: microbatches per optimizer '
-                             'step (exact full-batch gradient at 1/k '
-                             'activation memory); B must be divisible '
-                             'by it')
+                        help='microbatches per optimizer step (exact '
+                             'full-batch gradient at 1/k activation '
+                             'memory, both stages — the proposal losses '
+                             'use a target-only full-batch cell-count '
+                             'pre-pass); B must be divisible by it')
     parser.add_argument('--length_sort_window', type=int, default=100,
                         help='train batching: pool this many batches of '
                              'shuffled rows and sort the pool by feature '

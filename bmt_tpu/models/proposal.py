@@ -272,19 +272,34 @@ def _masked_mean(x: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
 
 
 def yolo_losses(decoded: dict, targets: tuple, obj_coeff: float,
-                noobj_coeff: float):
+                noobj_coeff: float, denoms=None):
     '''Localization MSE on obj cells + weighted objectness BCE
-    (reference: proposal_generator.py:156-176).'''
+    (reference: proposal_generator.py:156-176).
+
+    ``denoms``: optional (obj_total, noobj_total) cell counts to normalize
+    by INSTEAD of this batch's own mask sums — the gradient-accumulation
+    hook: per-microbatch sums divided by the FULL batch's counts add up to
+    exactly the full-batch masked means (the counts depend only on the
+    targets, never on params, so they can be precomputed).'''
     obj_mask, noobj_mask, target_x, target_w = targets
     obj = obj_mask.astype(jnp.float32)
     noobj = noobj_mask.astype(jnp.float32)
 
-    loss_x = _masked_mean(jnp.square(decoded['sigma_c'] - target_x), obj)
-    loss_w = _masked_mean(jnp.square(decoded['l'] - target_w), obj)
+    if denoms is None:
+        mean_obj = lambda x: _masked_mean(x, obj)          # noqa: E731
+        mean_noobj = lambda x: _masked_mean(x, noobj)      # noqa: E731
+    else:
+        d_obj = jnp.maximum(denoms[0], 1.0)
+        d_noobj = jnp.maximum(denoms[1], 1.0)
+        mean_obj = lambda x: jnp.sum(x * obj) / d_obj      # noqa: E731
+        mean_noobj = lambda x: jnp.sum(x * noobj) / d_noobj  # noqa: E731
+
+    loss_x = mean_obj(jnp.square(decoded['sigma_c'] - target_x))
+    loss_w = mean_obj(jnp.square(decoded['l'] - target_w))
     # gt objectness is obj_mask itself: 1 on obj cells, 0 elsewhere
     bce_o = _bce(decoded['sigma_o'], obj)
-    loss_obj = _masked_mean(bce_o, obj)
-    loss_noobj = _masked_mean(bce_o, noobj)
+    loss_obj = mean_obj(bce_o)
+    loss_noobj = mean_noobj(bce_o)
 
     loss = loss_x + loss_w + obj_coeff * loss_obj + noobj_coeff * loss_noobj
     return loss, {'loss_x': loss_x, 'loss_w': loss_w,
@@ -321,7 +336,8 @@ def init_multimodal_proposal_generator(key, dims: PropModelDims) -> dict:
 
 
 def _forward_modality_heads(heads, x, anchors, stride, dense_targets,
-                            obj_coeff, noobj_coeff, dout_p, rng, deterministic):
+                            obj_coeff, noobj_coeff, dout_p, rng,
+                            deterministic, loss_denoms=None):
     '''Run every kernel-size head of one modality; targets computed once.'''
     S = x.shape[1]
     targets = None
@@ -338,7 +354,8 @@ def _forward_modality_heads(heads, x, anchors, stride, dense_targets,
         decoded = yolo_decode(raw, anchors, stride)
         all_preds.append(decoded['predictions'])
         if targets is not None:
-            loss, ldict = yolo_losses(decoded, targets, obj_coeff, noobj_coeff)
+            loss, ldict = yolo_losses(decoded, targets, obj_coeff,
+                                      noobj_coeff, denoms=loss_denoms)
             total_loss = total_loss + loss
             losses = _sum_loss_dicts(losses, ldict)
     return jnp.concatenate(all_preds, axis=1), total_loss, losses
@@ -347,11 +364,14 @@ def _forward_modality_heads(heads, x, anchors, stride, dense_targets,
 def multimodal_proposal_forward(params, dims: PropModelDims, src: dict,
                                 dense_targets, masks: dict, rng=None,
                                 deterministic: bool = True,
-                                attention_impl: str = 'xla'):
+                                attention_impl: str = 'xla',
+                                loss_denoms=None):
     '''Reference: proposal_generator.py:339-387.
 
     dense_targets: None (inference) or (centers, lengths, valid) with shapes
     (B, E_max) — padded ground-truth events shared by both modalities.
+    loss_denoms: None or ((obj_A, noobj_A), (obj_V, noobj_V)) external cell
+    counts for gradient accumulation (see ``yolo_losses``).
 
     Returns (all_predictions (B, sum_A*S over both modalities, 3),
              total_loss, losses_A, losses_V).
@@ -377,12 +397,16 @@ def multimodal_proposal_forward(params, dims: PropModelDims, src: dict,
     anchors_A = params['anchors_A'] if 'anchors_A' in params else None
     anchors_V = params['anchors_V'] if 'anchors_V' in params else None
 
+    denoms_A, denoms_V = (loss_denoms if loss_denoms is not None
+                          else (None, None))
     preds_A, loss_A, losses_A = _forward_modality_heads(
         params['heads_A'], Av, anchors_A, dims.stride_A, dense_targets,
-        dims.obj_coeff, dims.noobj_coeff, dims.dout_p, next(rngs), deterministic)
+        dims.obj_coeff, dims.noobj_coeff, dims.dout_p, next(rngs),
+        deterministic, loss_denoms=denoms_A)
     preds_V, loss_V, losses_V = _forward_modality_heads(
         params['heads_V'], Va, anchors_V, dims.stride_V, dense_targets,
-        dims.obj_coeff, dims.noobj_coeff, dims.dout_p, next(rngs), deterministic)
+        dims.obj_coeff, dims.noobj_coeff, dims.dout_p, next(rngs),
+        deterministic, loss_denoms=denoms_V)
 
     all_predictions = jnp.concatenate([preds_A, preds_V], axis=1)
     return all_predictions, loss_A + loss_V, losses_A, losses_V
@@ -417,8 +441,10 @@ def init_unimodal_proposal_generator(key, dims: PropModelDims) -> dict:
 def unimodal_proposal_forward(params, dims: PropModelDims, src: dict,
                               dense_targets, masks: dict, rng=None,
                               deterministic: bool = True,
-                              attention_impl: str = 'xla'):
-    '''Reference: proposal_generator.py:184-212.'''
+                              attention_impl: str = 'xla',
+                              loss_denoms=None):
+    '''Reference: proposal_generator.py:184-212. ``loss_denoms``: None or
+    one (obj, noobj) count pair (see ``yolo_losses``).'''
     from bmt_tpu.models.captioning import _rng_stream
     rngs = _rng_stream(rng)
 
@@ -442,5 +468,6 @@ def unimodal_proposal_forward(params, dims: PropModelDims, src: dict,
     anchors = params['anchors']
     preds, loss, losses = _forward_modality_heads(
         params['heads'], x, anchors, stride, dense_targets,
-        dims.obj_coeff, dims.noobj_coeff, dims.dout_p, next(rngs), deterministic)
+        dims.obj_coeff, dims.noobj_coeff, dims.dout_p, next(rngs),
+        deterministic, loss_denoms=loss_denoms)
     return preds, loss, losses

@@ -109,15 +109,12 @@ def train_prop(cfg: Config):
     dp = DataParallel(getattr(cfg, 'dp_devices', None))
     compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == 'bfloat16'
                      else jnp.float32)
-    if getattr(cfg, 'grad_accum_steps', 1) != 1:
-        # the YOLO losses are masked MEANS over obj/noobj cells whose
-        # counts vary per microbatch, so naive accumulation would not be
-        # the full-batch gradient — refuse rather than silently deviate
-        raise ValueError('--grad_accum_steps is only supported by '
-                         'train_cap (the proposal losses are cell-count-'
-                         'normalized means, not row sums)')
+    # accum is EXACT here too: the YOLO masked-mean denominators depend
+    # only on targets, so a target-only pre-pass supplies the full-batch
+    # cell counts to every microbatch (see make_prop_train_step)
     train_step = dp.jit_step(make_prop_train_step(
-        dims, optimizer, pad_idx, cfg.attention_impl, compute_dtype),
+        dims, optimizer, pad_idx, cfg.attention_impl, compute_dtype,
+        accum_steps=getattr(cfg, 'grad_accum_steps', 1)),
         donate_state=True)
     inference_step = jax.jit(make_prop_inference_step(
         dims, pad_idx, cfg.attention_impl, compute_dtype))

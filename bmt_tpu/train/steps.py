@@ -190,21 +190,44 @@ def _prop_forward(dims: PropModelDims):
 
 def make_prop_train_step(dims: PropModelDims, optimizer, pad_idx: int,
                          attention_impl: str = 'xla',
-                         compute_dtype=jnp.float32):
+                         compute_dtype=jnp.float32, accum_steps: int = 1):
     '''Proposal-generator train step
-    (reference: proposal_epoch_loops.py:27-63).'''
+    (reference: proposal_epoch_loops.py:27-63).
+
+    accum_steps > 1 is EXACT like the captioning accumulation, despite the
+    YOLO losses being masked MEANS over obj/noobj cells: the cell counts
+    depend only on the targets (never on params), so a cheap target-only
+    pre-pass computes the FULL batch's counts per modality, each
+    microbatch contributes sum/total_count (``yolo_losses(denoms=...)``),
+    and the summed microbatch gradients equal the full-batch gradient.'''
     fwd = _prop_forward(dims)
+
+    def _denoms(batch):
+        '''Full-batch obj/noobj cell counts per modality — pure target
+        math (make_targets_dense uses no parameters except the frozen
+        anchors).'''
+        from bmt_tpu.models.proposal import make_targets_dense
+        centers, lengths = batch['centers'], batch['lengths']
+        valid = batch['valid']
+
+        def counts(anchors, stride, S):
+            obj, noobj, _, _ = make_targets_dense(
+                centers, lengths, valid, jax.lax.stop_gradient(anchors),
+                stride, S)
+            return (jnp.sum(obj.astype(jnp.float32)),
+                    jnp.sum(noobj.astype(jnp.float32)))
+        return counts
 
     def step(state: TrainState, batch):
         rng = jax.random.fold_in(state.rng, state.step)
-        src = jax.tree.map(lambda x: x.astype(compute_dtype), batch['src'])
-        masks = make_masks(batch['src'], None, dims.modality, pad_idx)
-        targets = (batch['centers'], batch['lengths'], batch['valid'])
 
-        def loss_fn(p):
+        def loss_fn(p, src_raw, targets, mrng, loss_denoms=None):
+            src = jax.tree.map(lambda x: x.astype(compute_dtype), src_raw)
+            masks = make_masks(src_raw, None, dims.modality, pad_idx)
             out = fwd(cast_tree(p, compute_dtype), dims, src, targets, masks,
-                      rng=rng, deterministic=False,
-                      attention_impl=attention_impl)
+                      rng=mrng, deterministic=False,
+                      attention_impl=attention_impl,
+                      loss_denoms=loss_denoms)
             if dims.modality == 'audio_video':
                 _, loss, losses_A, losses_V = out
                 return loss, (losses_A, losses_V)
@@ -214,8 +237,65 @@ def make_prop_train_step(dims: PropModelDims, optimizer, pad_idx: int,
                 return loss, ({}, losses)
             return loss, (losses, {})
 
-        (loss, (lA, lV)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
+        if accum_steps == 1:
+            targets = (batch['centers'], batch['lengths'], batch['valid'])
+            (loss, (lA, lV)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, batch['src'], targets,
+                                       rng)
+        else:
+            B = batch['valid'].shape[0]
+            if B % accum_steps:
+                raise ValueError(
+                    f'batch size {B} not divisible by '
+                    f'grad_accum_steps={accum_steps}')
+            counts = _denoms(batch)
+            if dims.modality == 'audio_video':
+                loss_denoms = (
+                    counts(state.params['anchors_A'], dims.stride_A,
+                           batch['src']['audio'].shape[1]),
+                    counts(state.params['anchors_V'], dims.stride_V,
+                           batch['src']['rgb'].shape[1]))
+            else:
+                S = (batch['src']['rgb'].shape[1]
+                     if dims.modality == 'video'
+                     else batch['src']['audio'].shape[1])
+                stride = (dims.stride_V if dims.modality == 'video'
+                          else dims.stride_A)
+                loss_denoms = counts(state.params['anchors'], stride, S)
+
+            def split(x):
+                return x.reshape(accum_steps, x.shape[0] // accum_steps,
+                                 *x.shape[1:])
+            micro = {'src': jax.tree.map(split, batch['src']),
+                     'centers': split(batch['centers']),
+                     'lengths': split(batch['lengths']),
+                     'valid': split(batch['valid'])}
+
+            def body(carry, mb):
+                acc_g, acc_loss, acc_lA, acc_lV, i = carry
+                (loss, (lA, lV)), g = jax.value_and_grad(
+                    loss_fn, has_aux=True)(
+                        state.params, mb['src'],
+                        (mb['centers'], mb['lengths'], mb['valid']),
+                        jax.random.fold_in(rng, i), loss_denoms)
+                return (jax.tree.map(jnp.add, acc_g, g), acc_loss + loss,
+                        jax.tree.map(jnp.add, acc_lA, lA),
+                        jax.tree.map(jnp.add, acc_lV, lV), i + 1), None
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            # trace once with microbatch 0 to learn the loss-dict pytrees
+            zl = jnp.zeros((), jnp.float32)
+            zero_l = jax.eval_shape(
+                lambda p: loss_fn(p, jax.tree.map(lambda x: x[0], micro['src']),
+                                  (micro['centers'][0], micro['lengths'][0],
+                                   micro['valid'][0]), rng, loss_denoms)[1],
+                state.params)
+            zlA = jax.tree.map(lambda _: zl, zero_l[0])
+            zlV = jax.tree.map(lambda _: zl, zero_l[1])
+            (grads, loss, lA, lV, _), _ = jax.lax.scan(
+                body, (zeros, zl, zlA, zlV, jnp.zeros((), jnp.int32)),
+                micro)
+
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)

@@ -111,3 +111,54 @@ def test_grad_accum_with_row_valid_tail():
                                rtol=1e-5)
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+
+
+@pytest.mark.parametrize('accum', [2, 4])
+def test_prop_grad_accum_matches_full_batch(accum):
+    '''Proposal-stage accumulation is exact: the YOLO masked-mean
+    denominators (obj/noobj cell counts) come from a target-only pre-pass
+    over the FULL batch, so summed microbatch gradients equal the
+    full-batch gradient even though per-microbatch cell counts differ.'''
+    from bmt_tpu.models import (PropModelDims,
+                                init_multimodal_proposal_generator)
+    from bmt_tpu.train.steps import make_prop_train_step
+    import jax.numpy as jnp
+
+    pdims = PropModelDims(d_model_A=8, d_model_V=8, d_model=16, H=2, N=1,
+                          d_ff_A=16, d_ff_V=16, d_vid=8, d_aud=8,
+                          kernel_sizes_A=(3,), kernel_sizes_V=(3, 5),
+                          conv_layers_A=(8,), conv_layers_V=(8,),
+                          anchors_num_A=2, anchors_num_V=2, dout_p=0.0)
+    params = init_multimodal_proposal_generator(jax.random.PRNGKey(2),
+                                                pdims)
+    params['anchors_A'] = jnp.asarray([2.0, 6.0])
+    params['anchors_V'] = jnp.asarray([3.0, 9.0])
+    optimizer = build_optimizer(_Cfg())
+
+    rng = np.random.default_rng(1)
+    B, E = 8, 3
+    batch = {
+        'src': {
+            'rgb': rng.normal(size=(B, 6, 8)).astype(np.float32),
+            'flow': rng.normal(size=(B, 6, 8)).astype(np.float32),
+            'audio': rng.normal(size=(B, 7, 8)).astype(np.float32),
+        },
+        # ragged event counts per row -> unequal obj cells per microbatch
+        'centers': rng.uniform(1, 12, size=(B, E)).astype(np.float32),
+        'lengths': rng.uniform(1, 6, size=(B, E)).astype(np.float32),
+        'valid': (np.arange(E)[None, :]
+                  < (1 + np.arange(B)[:, None] % 3)),
+    }
+
+    def run(accum_steps):
+        step = jax.jit(make_prop_train_step(pdims, optimizer, PAD,
+                                            accum_steps=accum_steps))
+        state = init_train_state(params, optimizer)
+        state, metrics = step(state, batch)
+        return float(metrics['loss']), state.params
+
+    loss1, params1 = run(1)
+    lossk, paramsk = run(accum)
+    np.testing.assert_allclose(lossk, loss1, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(params1), jax.tree.leaves(paramsk)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
