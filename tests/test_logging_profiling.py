@@ -1,0 +1,71 @@
+'''Observability subsystems: MetricsLogger (TB + JSONL), jax.profiler
+trace capture, step timer, trace annotations (SURVEY §5 tracing row).'''
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+
+from bmt_tpu.utils.logging import MetricsLogger, NullLogger
+from bmt_tpu.utils.profiling import StepTimer, annotate, trace
+
+
+def test_metrics_logger_writes_tb_and_jsonl(tmp_path):
+    log = MetricsLogger(str(tmp_path))
+    log.add_scalar('debug/loss_epoch', 1.5, 0)
+    log.add_scalar('metrics/meteor', 10.9, 1)
+    log.close()
+
+    files = os.listdir(tmp_path)
+    # TensorBoard event file (torch.utils.tensorboard is in the image)
+    assert any(f.startswith('events.out.tfevents') for f in files), files
+    with open(tmp_path / 'metrics.jsonl') as f:
+        rows = [json.loads(ln) for ln in f]
+    assert rows[0]['tag'] == 'debug/loss_epoch'
+    assert rows[0]['value'] == 1.5 and rows[0]['step'] == 0
+    assert rows[1]['tag'] == 'metrics/meteor'
+
+
+def test_metrics_logger_appends_across_resume(tmp_path):
+    '''A resumed run must append to the JSONL, not truncate the history.'''
+    log = MetricsLogger(str(tmp_path))
+    log.add_scalar('a', 1.0, 0)
+    log.close()
+    log2 = MetricsLogger(str(tmp_path))
+    log2.add_scalar('a', 2.0, 1)
+    log2.close()
+    with open(tmp_path / 'metrics.jsonl') as f:
+        assert len(f.readlines()) == 2
+
+
+def test_null_logger_is_inert(tmp_path):
+    log = NullLogger()
+    log.add_scalar('x', 1.0, 0)     # no-op, no files, no crash
+    log.close()
+    assert os.listdir(tmp_path) == []
+
+
+def test_profiler_trace_capture(tmp_path):
+    '''trace() wraps jax.profiler and produces an on-disk trace the
+    --profile_steps flag relies on; None is a no-op.'''
+    with trace(str(tmp_path)):
+        with annotate('test-region'):
+            jnp.square(jnp.arange(8.0)).block_until_ready()
+    # a plugins/profile/<ts>/ tree with at least one trace artifact
+    prof_root = tmp_path / 'plugins' / 'profile'
+    assert prof_root.is_dir()
+    runs = list(prof_root.iterdir())
+    assert runs and any(runs[0].iterdir())
+
+    with trace(None):               # disabled path: no-op
+        pass
+
+
+def test_step_timer_counts_and_syncs():
+    t = StepTimer(sync_every=2)
+    for i in range(4):
+        t.start()
+        out = jnp.sum(jnp.ones((16,)))
+        t.stop(out)
+    assert t.count == 4
+    assert t.mean_ms >= 0.0
