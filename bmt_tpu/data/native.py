@@ -88,10 +88,22 @@ def native_available() -> bool:
 
 
 def npy_shape(path: str):
+    '''Shape of a 2-d .npy. EVERY unreadable-file failure (missing,
+    truncated, corrupt header, wrong rank) raises FileNotFoundError on
+    BOTH backends — the native library maps all parse failures to one
+    error code, so the fallback must not leak np.load's ValueError to
+    callers that only catch the missing-file case.'''
     lib = get_lib()
     if lib is None:
-        a = np.load(path, mmap_mode='r')
-        return tuple(a.shape)
+        try:
+            a = np.load(path, mmap_mode='r')
+            if a.ndim != 2:
+                raise ValueError(f'expected 2-d array, got rank {a.ndim}')
+            return tuple(a.shape)
+        except FileNotFoundError:
+            raise
+        except Exception as e:
+            raise FileNotFoundError(f'{path}: unreadable npy ({e})') from e
     shape = (ctypes.c_int64 * 2)()
     if lib.bmt_npy_shape(path.encode(), shape) != 0:
         raise FileNotFoundError(path)
@@ -144,6 +156,11 @@ def batch_load(paths: List[str], starts, ends, durations, full_flags,
             if arr.ndim != 2 or arr.shape[1] != cols:
                 raise ValueError(f'{p}: expected (n, {cols}) f32, '
                                  f'got {arr.shape}')
+            if arr.shape[0] == 0:
+                # an empty stack must zero-fill with status 1 on the FULL
+                # load path too (the native backend does; status drives
+                # the paired rgb/flow zero-fill in the dataset)
+                raise ValueError(f'{p}: empty feature stack')
             if not full_flags[i]:
                 arr = crop_a_segment(arr, starts[i], ends[i], durations[i])
             if arr is None:

@@ -26,11 +26,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from bmt_tpu.models.captioning import (CapModelDims, bimodal_decode_init,
-                                       bimodal_decode_step, bimodal_encode,
-                                       unimodal_decode_init,
-                                       unimodal_decode_step, unimodal_encode)
-from bmt_tpu.ops.masks import make_masks
+from bmt_tpu.models.captioning import CapModelDims
 
 _NEG_INF = -1e9
 
@@ -127,22 +123,11 @@ def beam_search_bimodal(params, dims: CapModelDims, feature_stacks: dict,
     beam width, and beam reordering only gathers the small self-attention
     caches.
     '''
+    from bmt_tpu.decode.greedy import bimodal_step_setup
     K = beam_size
-    masks = make_masks(feature_stacks, None, 'audio_video', pad_idx)
-    Av, Va = bimodal_encode(params, dims, feature_stacks, masks,
-                            deterministic=True, attention_impl=attention_impl)
-    B = Av.shape[0]
-
-    state = bimodal_decode_init(params, dims, Av, Va, max_len,
-                                kv_int8=kv_int8, cache_batch=B * K,
-                                A_mask=masks['A_mask'],
-                                V_mask=masks['V_mask'])
-
-    def step_closure(state, cur, step):
-        return bimodal_decode_step(params, dims, state, cur, step,
-                                   masks['A_mask'], masks['V_mask'],
-                                   attention_impl)
-
+    state, step_closure, B = bimodal_step_setup(
+        params, dims, feature_stacks, pad_idx, max_len, attention_impl,
+        kv_int8, cache_batch_mult=K)
     return _beam_core(step_closure, state, B, K, dims.voc_size, max_len,
                       start_idx, end_idx, length_penalty)
 
@@ -156,21 +141,11 @@ def beam_search_unimodal(params, dims: CapModelDims, feature_stacks: dict,
                          length_penalty: float = 0.0,
                          attention_impl: str = 'xla', kv_int8: bool = False):
     '''Beam search for the uni-modal ablation captioners.'''
+    from bmt_tpu.decode.greedy import unimodal_step_setup
     K = beam_size
-    masks = make_masks(feature_stacks, None, dims.modality, pad_idx)
-    src_mask = masks['A_mask' if dims.modality == 'audio' else 'V_mask']
-    memory = unimodal_encode(params, dims, feature_stacks, src_mask,
-                             attention_impl)
-    B = memory.shape[0]
-
-    state = unimodal_decode_init(params, dims, memory, max_len,
-                                 kv_int8=kv_int8, cache_batch=B * K,
-                                 src_mask=src_mask)
-
-    def step_closure(state, cur, step):
-        return unimodal_decode_step(params, dims, state, cur, step,
-                                    src_mask, attention_impl)
-
+    state, step_closure, B = unimodal_step_setup(
+        params, dims, feature_stacks, pad_idx, max_len, attention_impl,
+        kv_int8, cache_batch_mult=K)
     return _beam_core(step_closure, state, B, K, dims.voc_size, max_len,
                       start_idx, end_idx, length_penalty)
 

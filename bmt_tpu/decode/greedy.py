@@ -66,22 +66,30 @@ def _greedy_core(step_closure, state, B: int, max_len: int, start_idx: int,
 
 def bimodal_step_setup(params, dims: CapModelDims, feature_stacks: dict,
                        pad_idx: int, max_len: int,
-                       attention_impl: str = 'xla', kv_int8: bool = False):
-    '''Encoder + cross-KV + cache init shared by greedy and sampling
-    decoders. Returns (state, step_closure, B).'''
+                       attention_impl: str = 'xla', kv_int8: bool = False,
+                       cache_batch_mult: int = 1):
+    '''Encoder + cross-KV + cache init shared by the greedy, sampling AND
+    beam decoders. Returns (state, step_closure, B).
+    ``cache_batch_mult``: self-attention cache rows per batch element
+    (beam search passes its beam width K; the cross-KV memories are never
+    tiled per beam — cross_attention_step folds beams into queries).'''
     masks = make_masks(feature_stacks, None, 'audio_video', pad_idx)
     A_mask, V_mask = masks['A_mask'], masks['V_mask']
     Av, Va = bimodal_encode(params, dims, feature_stacks, masks,
                             deterministic=True, attention_impl=attention_impl)
+    B = Av.shape[0]
     state = bimodal_decode_init(params, dims, Av, Va, max_len,
-                                kv_int8=kv_int8, A_mask=A_mask,
-                                V_mask=V_mask)
+                                kv_int8=kv_int8,
+                                cache_batch=(B * cache_batch_mult
+                                             if cache_batch_mult != 1
+                                             else None),
+                                A_mask=A_mask, V_mask=V_mask)
 
     def step_closure(state, cur, step):
         return bimodal_decode_step(params, dims, state, cur, step,
                                    A_mask, V_mask, attention_impl)
 
-    return state, step_closure, Av.shape[0]
+    return state, step_closure, B
 
 
 @partial(jax.jit, static_argnames=('dims', 'max_len', 'start_idx', 'end_idx',
@@ -123,10 +131,10 @@ def make_bimodal_greedy_fn(dims: CapModelDims, max_len: int, start_idx: int,
 
 def unimodal_step_setup(params, dims: CapModelDims, feature_stacks: dict,
                         pad_idx: int, max_len: int, attention_impl: str,
-                        kv_int8: bool):
+                        kv_int8: bool, cache_batch_mult: int = 1):
     '''(state, step_closure, B) for the uni-modal KV-cached decode loop —
     the single-memory analog of ``bimodal_step_setup``, shared by the
-    greedy and sampling decoders.'''
+    greedy, sampling and beam decoders (``cache_batch_mult`` as there).'''
     from bmt_tpu.models.captioning import (unimodal_decode_init,
                                            unimodal_decode_step,
                                            unimodal_encode)
@@ -135,14 +143,19 @@ def unimodal_step_setup(params, dims: CapModelDims, feature_stacks: dict,
 
     memory = unimodal_encode(params, dims, feature_stacks, src_mask,
                              attention_impl)
+    B = memory.shape[0]
     state = unimodal_decode_init(params, dims, memory, max_len,
-                                 kv_int8=kv_int8, src_mask=src_mask)
+                                 kv_int8=kv_int8,
+                                 cache_batch=(B * cache_batch_mult
+                                              if cache_batch_mult != 1
+                                              else None),
+                                 src_mask=src_mask)
 
     def step_closure(state, cur, step):
         return unimodal_decode_step(params, dims, state, cur, step,
                                     src_mask, attention_impl)
 
-    return state, step_closure, memory.shape[0]
+    return state, step_closure, B
 
 
 @partial(jax.jit, static_argnames=('dims', 'max_len', 'start_idx', 'end_idx',

@@ -11,6 +11,7 @@
 // Build: make -C native   (g++ -O3 -shared -fPIC -pthread)
 
 #include <atomic>
+#include <cmath>
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
@@ -117,9 +118,19 @@ NpyView open_npy(const char* path) {
     munmap(base, st.st_size);
     return v;
   }
-  if (hoff + hlen +
-          static_cast<size_t>(rows) * cols * dsize >
-      static_cast<size_t>(st.st_size)) {
+  // rows*cols*dsize must be computed overflow-free: a corrupt header
+  // declaring a huge shape would wrap the product mod 2^64, pass the
+  // bounds check, and re-open the SIGBUS hole this check closes
+  if (rows < 0 || cols <= 0 || dsize <= 0 ||
+      static_cast<uint64_t>(rows) >
+          UINT64_MAX / static_cast<uint64_t>(cols) /
+              static_cast<uint64_t>(dsize)) {
+    munmap(base, st.st_size);
+    return v;
+  }
+  uint64_t data_bytes =
+      static_cast<uint64_t>(rows) * cols * dsize;
+  if (data_bytes > static_cast<uint64_t>(st.st_size) - hoff - hlen) {
     munmap(base, st.st_size);
     return v;
   }
@@ -220,17 +231,42 @@ ThreadPool* pool() {
 }
 
 // reference crop semantics (datasets/load_features.py:14-34): proportional
-// indices with a 1-frame fallback for degenerate segments
-void crop_range(int64_t rows, double start, double end, double duration,
+// indices with a 1-frame fallback for degenerate segments, then PYTHON
+// slice semantics (the reference crops with feature[s:e], so negative
+// indices wrap from the end). Returns false for inputs the Python side
+// cannot compute (duration == 0 raises ZeroDivisionError there; NaN/inf
+// indices have no defined int conversion) -> caller zero-fills, exactly
+// like the numpy fallback's except path.
+bool crop_range(int64_t rows, double start, double end, double duration,
                 int64_t* r0, int64_t* r1) {
-  int64_t s = static_cast<int64_t>(rows * (start / duration));
-  int64_t e = static_cast<int64_t>(rows * (end / duration));
+  if (!(std::isfinite(start) && std::isfinite(end) &&
+        std::isfinite(duration)) ||
+      duration == 0.0) {
+    return false;
+  }
+  double fs = static_cast<double>(rows) * (start / duration);
+  double fe = static_cast<double>(rows) * (end / duration);
+  // int64 cast of out-of-range doubles is UB; such indices only arise
+  // from corrupt metadata, which the fallback also zero-fills
+  if (!(std::isfinite(fs) && std::isfinite(fe)) || fs >= 9.2e18 ||
+      fs <= -9.2e18 || fe >= 9.2e18 || fe <= -9.2e18) {
+    return false;
+  }
+  int64_t s = static_cast<int64_t>(fs);
+  int64_t e = static_cast<int64_t>(fe);
   if (s == e) {
     if (s == rows) s -= 1;
     else e += 1;
   }
+  if (s < 0) s += rows;
+  if (s < 0) s = 0;
+  if (s > rows) s = rows;
+  if (e < 0) e += rows;
+  if (e < 0) e = 0;
+  if (e > rows) e = rows;
   *r0 = s;
   *r1 = e;
+  return true;
 }
 
 }  // namespace
@@ -270,11 +306,13 @@ int bmt_batch_load(const char** paths, int64_t n, const double* starts,
       int64_t copied = 0;
       if (v.ok && v.cols == cols) {
         int64_t r0 = 0, r1 = v.rows;
-        if (!full[b]) crop_range(v.rows, starts[b], ends[b], durations[b],
-                                 &r0, &r1);
-        if (r0 < 0) r0 = 0;
-        if (r1 > v.rows) r1 = v.rows;
-        int64_t take = std::min<int64_t>(r1 - r0, out_len);
+        bool crop_ok = true;
+        if (!full[b]) {
+          crop_ok = crop_range(v.rows, starts[b], ends[b], durations[b],
+                               &r0, &r1);
+        }
+        int64_t take =
+            crop_ok ? std::min<int64_t>(r1 - r0, out_len) : 0;
         if (take > 0) {
           copy_rows(v, r0, r0 + take, dst);
           copied = take;

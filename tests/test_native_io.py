@@ -96,3 +96,81 @@ def test_native_rejects_truncated_and_3d_npy(tmp_path):
                              pad_value=1.0, out_len=4, cols=16)
     assert status.tolist() == [1, 1]          # both zero-filled as missing
     np.testing.assert_allclose(out[:, 0], np.zeros((2, 16)))
+
+
+def _both_backends(paths, starts, ends, durations, full, out_len=16,
+                   cols=16, pad=7.0):
+    outs = {}
+    for use_native in (True, False):
+        if use_native and not native_available():
+            pytest.skip('native lib unavailable')
+        outs[use_native] = batch_load(paths, starts, ends, durations, full,
+                                      pad, out_len, cols,
+                                      use_native=use_native)
+    return outs
+
+
+def test_negative_start_parity(npy_files):
+    '''Negative proportional indices follow PYTHON slice semantics on both
+    backends (the reference crops with feature[s:e], so negatives wrap
+    from the end): a small negative start wraps to the array tail and an
+    inverted wrapped range zero-fills — identically native and numpy.'''
+    paths, arrays = npy_files
+    cases = [
+        (-3.0, -1.0, 10.0),   # wraps: rows from the tail, status 0
+        (-0.5, 2.0, 10.0),    # wrapped start > end -> empty -> status 1
+    ]
+    for s, e, d in cases:
+        outs = _both_backends([paths[0]], [s], [e], [d], [0])
+        (o_n, st_n), (o_f, st_f) = outs[True], outs[False]
+        np.testing.assert_array_equal(st_n, st_f)
+        np.testing.assert_array_equal(o_n, o_f)
+
+
+def test_zero_duration_parity(npy_files):
+    '''duration == 0 (corrupt metadata) zero-fills with status 1 on both
+    backends — Python raises ZeroDivisionError into the fallback's except
+    path; the native crop_range guards the division explicitly (the
+    int64 cast of inf would otherwise be UB).'''
+    paths, _ = npy_files
+    outs = _both_backends([paths[0]], [1.0], [5.0], [0.0], [0])
+    for use_native, (out, status) in outs.items():
+        assert status[0] == 1, use_native
+        np.testing.assert_array_equal(out[0, 0], 0.0)
+        np.testing.assert_array_equal(out[0, 1:], 7.0)
+
+
+def test_empty_stack_full_load_parity(tmp_path):
+    '''A (0, D) feature stack on the FULL-load path zero-fills with
+    status 1 on both backends (status drives the paired rgb/flow
+    zero-fill in the dataset).'''
+    p = str(tmp_path / 'empty.npy')
+    np.save(p, np.zeros((0, 16), np.float32))
+    outs = _both_backends([p], [0.0], [1.0], [10.0], [1])
+    for use_native, (out, status) in outs.items():
+        assert status[0] == 1, use_native
+        np.testing.assert_array_equal(out[0, 0], 0.0)
+        np.testing.assert_array_equal(out[0, 1:], 7.0)
+
+
+def test_overflow_shape_header_rejected(tmp_path):
+    '''A crafted npy header whose declared shape product overflows uint64
+    must be rejected as unreadable (zero-fill, status 1) — not pass the
+    bounds check and read past the mapping (SIGBUS).'''
+    p = str(tmp_path / 'evil.npy')
+    # shape (2^62, 2) float32: 2^62 * 2 * 4 == 2^65 wraps to 0 mod 2^64
+    header = ("{'descr': '<f4', 'fortran_order': False, "
+              "'shape': (4611686018427387904, 2), }")
+    header = header + ' ' * ((64 - (10 + len(header) + 1) % 64) % 64) + '\n'
+    with open(p, 'wb') as f:
+        f.write(b'\x93NUMPY\x01\x00')
+        f.write(len(header).to_bytes(2, 'little'))
+        f.write(header.encode())
+        f.write(b'\x00' * 32)          # tiny payload, nowhere near 2^65
+
+    if native_available():
+        with pytest.raises(FileNotFoundError):
+            npy_shape(p)
+    out, status = batch_load([p], [0.0], [1.0], [10.0], [1], 7.0, 8, 2)
+    assert status[0] == 1
+    np.testing.assert_array_equal(out[0, 0], 0.0)
