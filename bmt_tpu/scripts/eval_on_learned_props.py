@@ -69,7 +69,15 @@ def eval_on_learned_props(args_cfg: Config):
     ckpt_vocab = None
     if path.endswith('.pt'):
         cpt = load_torch_checkpoint(path)
-        params, cfg_dict = import_cap_model(cpt)
+        # dispatch on the state-dict layout like load_cap_checkpoint: the
+        # uni-modal ablation captioners embed captions as 'trg_emb'
+        sd_keys = cpt['model_state_dict'].keys()
+        if any(k.split('module.', 1)[-1].startswith('trg_emb.')
+               for k in sd_keys):
+            from bmt_tpu.train.checkpoint import import_unimodal_cap_model
+            params, cfg_dict = import_unimodal_cap_model(cpt)
+        else:
+            params, cfg_dict = import_cap_model(cpt)
         epoch = cpt.get('epoch', 0)
     else:
         with open(os.path.join(path, 'best_cap_model.meta.json')) as f:
@@ -106,35 +114,57 @@ def eval_on_learned_props(args_cfg: Config):
         args_cfg.prop_pred_path, cfg.reference_paths[0], cfg.avail_mp4_path)
     print(cfg.log_path)
 
-    train_ds = CaptioningDataset(cfg, 'train', vocab=ckpt_vocab)
-    pred_prop_ds = CaptioningDataset(cfg, 'learned_props',
-                                     vocab=train_ds.train_vocab)
+    # only the VOCABULARY is needed from the train split — building the
+    # full train dataset would tokenize+pre-encode ~50k captions at
+    # startup for nothing (same optimization as prop_trainer.py:49-58);
+    # the checkpoint's own vocab wins when present (token-order safety)
+    if ckpt_vocab is None:
+        from bmt_tpu.data.vocab import build_vocab_from_meta
+        ckpt_vocab = build_vocab_from_meta(
+            cfg.train_meta_path, cfg.start_token, cfg.end_token,
+            cfg.pad_token, cfg.min_freq_caps)
+    pred_prop_ds = CaptioningDataset(cfg, 'learned_props', vocab=ckpt_vocab)
     print(f'Loader will use: {pred_prop_ds.meta_path}')
 
-    dims = CapModelDims.from_config(cfg, train_ds.trg_voc_size)
+    dims = CapModelDims.from_config(cfg, pred_prop_ds.trg_voc_size)
     if params is None:
-        from bmt_tpu.models import init_bimodal_transformer
-        template = init_bimodal_transformer(jax.random.PRNGKey(0), dims)
+        from bmt_tpu.models import (init_bimodal_transformer,
+                                    init_unimodal_transformer)
+        init_fn = (init_bimodal_transformer
+                   if cfg.modality == 'audio_video'
+                   else init_unimodal_transformer)
+        template = init_fn(jax.random.PRNGKey(0), dims)
         params = load_model_params(path, 'best_cap_model', template)
 
+    ds = pred_prop_ds
     if getattr(args_cfg, 'decode_strategy', 'greedy') == 'beam':
+        # make_bimodal_beam_fn dispatches by dims.modality internally
         greedy_fn = make_bimodal_beam_fn(
-            dims, cfg.max_len, train_ds.start_idx, train_ds.end_idx,
-            train_ds.pad_idx, args_cfg.beam_size, args_cfg.length_penalty,
+            dims, cfg.max_len, ds.start_idx, ds.end_idx,
+            ds.pad_idx, args_cfg.beam_size, args_cfg.length_penalty,
             getattr(cfg, 'attention_impl', 'xla'),
             getattr(args_cfg, 'kv_cache_int8', False))
     elif getattr(args_cfg, 'decode_strategy', 'greedy') == 'sample':
+        # dispatches by dims.modality internally too
         greedy_fn = make_bimodal_sample_fn(
-            dims, cfg.max_len, train_ds.start_idx, train_ds.end_idx,
-            train_ds.pad_idx, args_cfg.temperature,
+            dims, cfg.max_len, ds.start_idx, ds.end_idx,
+            ds.pad_idx, args_cfg.temperature,
             getattr(args_cfg, 'sample_top_k', 0),
             getattr(args_cfg, 'sample_top_p', 1.0),
             getattr(cfg, 'attention_impl', 'xla'),
             getattr(args_cfg, 'kv_cache_int8', False))
-    else:
+    elif cfg.modality == 'audio_video':
         greedy_fn = make_bimodal_greedy_fn(
-            dims, cfg.max_len, train_ds.start_idx, train_ds.end_idx,
-            train_ds.pad_idx, getattr(cfg, 'attention_impl', 'xla'),
+            dims, cfg.max_len, ds.start_idx, ds.end_idx,
+            ds.pad_idx, getattr(cfg, 'attention_impl', 'xla'),
+            getattr(args_cfg, 'kv_cache_int8', False))
+    else:
+        # uni-modal ablation checkpoints decode through the uni-modal
+        # KV-cached greedy loop (same dispatch as cap_trainer)
+        from bmt_tpu.decode import make_unimodal_greedy_fn
+        greedy_fn = make_unimodal_greedy_fn(
+            dims, cfg.max_len, ds.start_idx, ds.end_idx,
+            ds.pad_idx, getattr(cfg, 'attention_impl', 'xla'),
             getattr(args_cfg, 'kv_cache_int8', False))
 
     # decode dtype follows the CHECKPOINT's training config (imported

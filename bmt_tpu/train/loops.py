@@ -66,7 +66,10 @@ def train_epoch_cap(train_step, state, dataset, epoch: int, logger=None,
             if dp is not None:
                 dev = dp.shard(dev)
             state, metrics = train_step(state, dev)
-            total += float(metrics['loss'])
+            # keep the loss ON DEVICE: a float() here would block the host
+            # on every step and defeat JAX's async dispatch (the next
+            # batch's shard/device_put should overlap this step's compute)
+            total = total + metrics['loss']
             n += 1
             if ctx is not None and n >= profile_steps:
                 ctx.__exit__(None, None, None)
@@ -74,7 +77,7 @@ def train_epoch_cap(train_step, state, dataset, epoch: int, logger=None,
     finally:
         if ctx is not None:
             ctx.__exit__(None, None, None)
-    mean = total / max(n, 1)
+    mean = float(total) / max(n, 1)
     if logger is not None:
         logger.add_scalar('debug/train_loss_epoch', mean, epoch)
     return state, mean
@@ -95,9 +98,9 @@ def validate_next_word(val_step, params, dataset, epoch: int,
         dev['row_valid'] = np.arange(B) < n_valid
         if dp is not None:
             dev = dp.shard(dev)
-        total += float(val_step(params, dev))
+        total = total + val_step(params, dev)   # device-side (async)
         n += 1
-    return total / max(n, 1)
+    return float(total) / max(n, 1)
 
 
 def make_decode_fn(greedy_fn, dp=None, compute_dtype=None):
@@ -169,12 +172,14 @@ def validation_1by1(cfg, params, decoder_fn, dataset, epoch: int,
             }
             predictions['results'].setdefault(vid, []).append(segment)
 
-    if cfg.log_path is None:
-        return None
-
-    os.makedirs(cfg.log_path, exist_ok=True)
+    # a disabled (--dont_log) or empty log dir must not disable SCORING:
+    # the decode work is already paid and best-model/early-stop tracking
+    # depends on the metrics — fall back to ./tmp for the submission file
+    # (AnetPredictions uses the same fallback)
+    out_dir = cfg.log_path or './tmp'
+    os.makedirs(out_dir, exist_ok=True)
     submission_path = os.path.join(
-        cfg.log_path, f'captioning_results_{phase}_e{epoch}.json')
+        out_dir, f'captioning_results_{phase}_e{epoch}.json')
     if os.path.exists(submission_path):
         submission_path = submission_path.replace('.json', f'_{time()}.json')
     with open(submission_path, 'w') as f:
@@ -209,10 +214,12 @@ def train_epoch_prop(train_step, state, dataset, epoch: int, logger=None,
         if dp is not None:
             dev = dp.shard(dev)
         state, metrics = train_step(state, dev)
-        total += float(metrics['loss'])
-        for k, v in metrics.items():
-            if k != 'loss':
-                acc[k] = acc.get(k, 0.0) + float(v)
+        # device-side accumulation (no per-step host sync); the shared
+        # loss-dict accumulator works on jax scalars unchanged
+        from bmt_tpu.utils.proposal_utils import add_dict_to_another_dict
+        total = total + metrics['loss']
+        acc = add_dict_to_another_dict(
+            {k: v for k, v in metrics.items() if k != 'loss'}, acc)
         n += 1
     if n == 0:
         import sys
@@ -221,11 +228,12 @@ def train_epoch_prop(train_step, state, dataset, epoch: int, logger=None,
               f'(B x dp_devices) and the last partial batch is dropped '
               f'(reference drop_last); nothing was trained this epoch',
               file=sys.stderr)
-    mean = total / max(n, 1)
+    mean = float(total) / max(n, 1)
     if logger is not None:
         logger.add_scalar('debug/loss_epoch', mean, epoch)
         for k, v in acc.items():
-            logger.add_scalar(f'debug/train_{k}', v / max(n, 1), epoch)
+            logger.add_scalar(f'debug/train_{k}', float(v) / max(n, 1),
+                              epoch)
     else:
         print(f'Train Loss @ {epoch} epoch: {mean}')
     return state, mean

@@ -300,3 +300,30 @@ def test_train_prop_resume(mini_data, tmp_path):
         meta = _json.load(f)
     assert meta['epoch'] == 1
     assert meta['step'] > 0
+
+
+@pytest.mark.slow
+def test_eval_on_learned_props_unimodal(mini_data, tmp_path):
+    '''The headline eval accepts uni-modal ablation checkpoints: greedy
+    decode dispatches to the uni-modal loop and the npz restore template
+    matches the checkpoint layout.'''
+    from bmt_tpu.train.cap_trainer import train_cap
+    from bmt_tpu.train.prop_trainer import train_prop
+    from bmt_tpu.scripts.eval_on_learned_props import eval_on_learned_props
+
+    os.chdir(tmp_path)
+    prop_cfg = _mini_cfg(mini_data, tmp_path, 'train_prop',
+                         modality='video')
+    train_prop(prop_cfg)
+    subs = os.listdir(os.path.join(prop_cfg.log_path, 'submissions'))
+
+    cap_cfg = _mini_cfg(mini_data, tmp_path, 'train_cap', modality='video')
+    train_cap(cap_cfg)
+
+    eval_cfg = _mini_cfg(
+        mini_data, tmp_path, 'evaluate',
+        pretrained_cap_model_path=cap_cfg.model_checkpoint_path,
+        prop_pred_path=os.path.join(prop_cfg.log_path, 'submissions',
+                                    subs[0]))
+    metrics = eval_on_learned_props(eval_cfg)
+    assert metrics is not None and 'Average across tIoUs' in metrics
