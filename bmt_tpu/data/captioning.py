@@ -149,9 +149,18 @@ class CaptioningDataset:
             flow_paths = [os.path.join(self.cfg.video_features_path,
                                        f"{r['video_id']}_flow.npy")
                           for r in rows]
-            Sv = bucket_len(max(self._crop_len(p, r)
-                                for p, r in zip(rgb_paths, rows)),
-                            VIDEO_BUCKETS)
+            max_v = max(self._crop_len(p, r)
+                        for p, r in zip(rgb_paths, rows))
+            if max_v > VIDEO_BUCKETS[-1] and \
+                    not getattr(self, '_warned_trunc_v', False):
+                self._warned_trunc_v = True
+                import sys as _sys
+                print(f'WARNING: video crop of {max_v} frames exceeds the '
+                      f'largest bucket ({VIDEO_BUCKETS[-1]}) and will be '
+                      f'truncated (the reference pads dynamically); extend '
+                      f'VIDEO_BUCKETS if long segments matter',
+                      file=_sys.stderr)
+            Sv = bucket_len(max_v, VIDEO_BUCKETS)
             rgb, st_r = batch_load(rgb_paths, starts, ends, durs, full,
                                    self.pad_idx, Sv, self.cfg.d_vid)
             flow, st_f = batch_load(flow_paths, starts, ends, durs, full,
@@ -161,6 +170,14 @@ class CaptioningDataset:
             # — a real rgb summed with an absent flow is a feature vector
             # the reference never produces)
             either = (st_r | st_f).astype(bool)
+            # I3D emits rgb/flow in lockstep; a row-count mismatch means a
+            # truncated/corrupt stream whose crop would pad zeros where
+            # the sibling has real frames — the summed rgb+flow would be
+            # temporally garbled, so the pair zero-fills (the reference
+            # asserts the equality, load_features.py:78)
+            for _i, (_rp, _fp) in enumerate(zip(rgb_paths, flow_paths)):
+                if (self._npy_rows(_rp) or 0) != (self._npy_rows(_fp) or 0):
+                    either[_i] = True
             if either.any():
                 rgb[either] = self.pad_idx
                 rgb[either, 0] = 0.0
@@ -169,9 +186,17 @@ class CaptioningDataset:
         if 'audio' in self.cfg.modality:
             aud_paths = [os.path.join(self.cfg.audio_features_path,
                                       f"{r['video_id']}.npy") for r in rows]
-            Sa = bucket_len(max(self._crop_len(p, r)
-                                for p, r in zip(aud_paths, rows)),
-                            AUDIO_BUCKETS)
+            max_a = max(self._crop_len(p, r)
+                        for p, r in zip(aud_paths, rows))
+            if max_a > AUDIO_BUCKETS[-1] and \
+                    not getattr(self, '_warned_trunc_a', False):
+                self._warned_trunc_a = True
+                import sys as _sys
+                print(f'WARNING: audio crop of {max_a} frames exceeds the '
+                      f'largest bucket ({AUDIO_BUCKETS[-1]}) and will be '
+                      f'truncated; extend AUDIO_BUCKETS if long segments '
+                      f'matter', file=_sys.stderr)
+            Sa = bucket_len(max_a, AUDIO_BUCKETS)
             src['audio'], _ = batch_load(aud_paths, starts, ends, durs, full,
                                          self.pad_idx, Sa, self.cfg.d_aud)
 

@@ -18,7 +18,6 @@ from typing import Iterator, List, Optional
 
 import numpy as np
 
-from bmt_tpu.data.features import load_features_from_npy
 from bmt_tpu.data.vocab import read_meta_csv
 
 
@@ -77,11 +76,11 @@ class ProposalDataset:
                 bad.update(json.load(f))
             print(f'Loading filtered examples from: {cache}')
         else:
-            # the only condition _load_stacks' None signals is a missing
-            # file (FileNotFoundError in load_features_from_npy), so test
-            # presence directly instead of np.load-ing and padding every
-            # video's full stacks — a metadata stat per file, not a full
-            # read of the dataset
+            # presence is tested directly instead of np.load-ing and
+            # padding every video's full stacks — a metadata stat per
+            # file, not a full read of the dataset. (A stale cache is
+            # harmless for correctness: make_batch zero-fills any file
+            # that disappeared after the cache was written.)
             missing = []
             for vid in video_ids:
                 if any(not os.path.exists(p)
@@ -105,11 +104,6 @@ class ProposalDataset:
                                       f'{video_id}.npy'))
         return paths
 
-    def _load_stacks(self, video_id: str) -> dict:
-        return load_features_from_npy(
-            self.cfg, self.feature_names_list, video_id, start=None,
-            end=None, duration=None, pad_idx=self.pad_idx, get_full_feat=True)
-
     # -- batching ------------------------------------------------------------
     def __len__(self):
         if self.phase == 'train':
@@ -117,14 +111,51 @@ class ProposalDataset:
         return (len(self.video_ids) + self.batch_size - 1) // self.batch_size
 
     def make_batch(self, video_ids: List[str]) -> dict:
+        '''Full padded stacks for B videos through the native batch loader
+        (mmap + C++ thread pool — the same hot path the captioning dataset
+        uses; numpy fallback is bit-identical). Unreadable files zero-fill
+        (reference fill_missing_features semantics), so a STALE filter
+        cache degrades to zero features instead of crashing mid-epoch, and
+        a missing/short rgb or flow stream zero-fills BOTH (the summed
+        rgb+flow must never mix real frames of one stream with pads of the
+        other).'''
+        from bmt_tpu.data.native import batch_load, npy_shape
         B = len(video_ids)
+        zeros = [0.0] * B
+        ones_d = [1.0] * B
+        full = [1] * B
+        pads = getattr(self.cfg, 'pad_feats_up_to', None) or {
+            'video': self.cfg.pad_video_feats_up_to,
+            'audio': self.cfg.pad_audio_feats_up_to}
         src = {}
-        stacks = [self._load_stacks(v) for v in video_ids]
         if 'video' in self.modality:
-            src['rgb'] = np.stack([s['rgb'] for s in stacks])
-            src['flow'] = np.stack([s['flow'] for s in stacks])
+            rgb_paths = [os.path.join(self.cfg.video_features_path,
+                                      f'{v}_rgb.npy') for v in video_ids]
+            flow_paths = [os.path.join(self.cfg.video_features_path,
+                                       f'{v}_flow.npy') for v in video_ids]
+            rgb, st_r = batch_load(rgb_paths, zeros, zeros, ones_d, full,
+                                   self.pad_idx, pads['video'],
+                                   self.cfg.d_vid)
+            flow, st_f = batch_load(flow_paths, zeros, zeros, ones_d, full,
+                                    0.0, pads['video'], self.cfg.d_vid)
+            either = (st_r | st_f).astype(bool)
+            for i, (rp, fp) in enumerate(zip(rgb_paths, flow_paths)):
+                try:
+                    if npy_shape(rp)[0] != npy_shape(fp)[0]:
+                        either[i] = True   # I3D lockstep violated
+                except FileNotFoundError:
+                    pass                   # already status-flagged
+            if either.any():
+                rgb[either] = self.pad_idx
+                rgb[either, 0] = 0.0
+                flow[either] = 0.0
+            src['rgb'], src['flow'] = rgb, flow
         if 'audio' in self.modality:
-            src['audio'] = np.stack([s['audio'] for s in stacks])
+            aud_paths = [os.path.join(self.cfg.audio_features_path,
+                                      f'{v}.npy') for v in video_ids]
+            src['audio'], _ = batch_load(aud_paths, zeros, zeros, ones_d,
+                                         full, self.pad_idx, pads['audio'],
+                                         self.cfg.d_aud)
 
         E = self.max_events
         centers = np.zeros((B, E), np.float32)

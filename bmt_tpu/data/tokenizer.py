@@ -91,7 +91,12 @@ _INFIX_RE = re.compile('|'.join(_INFIX_PIECES))
 
 # spaCy 2.0.12 URL token_match (lang/tokenizer_exceptions.py URL_PATTERN,
 # simplified to the forms that occur in natural captions: scheme:..., www.,
-# user@host)
+# user@host). NOTE the scheme arm accepts any '<3-9 letters>:<host-chars>'
+# WITHOUT requiring '://' — deliberately: exactly one train.csv token takes
+# this path ('for:copyright', 1 occurrence) and keeping it whole is what
+# reproduces the reference checkpoint's exact 10172-entry vocabulary
+# (golden-tested); tightening the pattern would split it and break the
+# count parity this tokenizer exists to provide.
 _URL_RE = re.compile(
     r'^(?:[A-Za-z]{3,9}:(?://)?(?:[-;:&=+$,\w]+@)?[A-Za-z0-9.\-]+'
     r'|(?:www\.|[-;:&=+$,\w]+@)[A-Za-z0-9.\-]+)'

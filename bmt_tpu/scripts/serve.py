@@ -121,6 +121,12 @@ def main(argv=None, block=True):
     shapes = [tuple(int(x) for x in s.split('x'))
               for s in args.warmup_shapes.split(',') if s]
     batches = [int(b) for b in args.warmup_batches.split(',') if b]
+    # max_batch's bucket must always be in the warmup set (a saturated
+    # burst maps to it immediately; CaptionEngine.warmup's own default
+    # unions it too) — otherwise --max_batch above the listed buckets
+    # compiles for seconds inside the first loaded request
+    if args.max_batch not in batches:
+        batches.append(args.max_batch)
     n = engine.warmup(batch_sizes=batches, shapes=shapes)
     print(f'warmed {n} executables over shapes={shapes} batches={batches}')
 

@@ -31,6 +31,7 @@ import json
 import threading
 import time
 from concurrent.futures import Future
+from concurrent.futures import TimeoutError as FutureTimeoutError
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, List, Optional, Sequence
 
@@ -304,16 +305,31 @@ class MicroBatcher:
                     if left <= 0:
                         break
                     self._mu.wait(timeout=left)
+                # drop requests whose clients already gave up (cancelled
+                # futures): overload must not amplify into wasted device
+                # work on answers nobody is waiting for
+                self._pending = [(c, f) for c, f in self._pending
+                                 if not f.cancelled()]
                 # admit at most one device batch; later arrivals stay
                 # queued and are picked up (with fresh company) next round
                 take = self.engine.max_batch
                 batch = self._pending[:take]
                 del self._pending[:take]
+            if not batch:
+                continue
             crops = [c for c, _ in batch]
             try:
                 sentences = self.engine.caption_crops(crops)
                 for (_, fut), s in zip(batch, sentences):
-                    fut.set_result(s)
+                    # a future cancelled mid-decode must not poison its
+                    # batchmates (set_result on it raises
+                    # InvalidStateError); races between the check and the
+                    # set are absorbed per-future
+                    try:
+                        if not fut.cancelled():
+                            fut.set_result(s)
+                    except Exception:
+                        pass
             except Exception as e:  # propagate to every waiter
                 for _, fut in batch:
                     if not fut.done():
@@ -471,6 +487,11 @@ class _CaptionHandler(BaseHTTPRequestHandler):
         except QueueFull as e:
             self._reply(503, {'error': f'server saturated: {e}'})
             return
+        except FutureTimeoutError:
+            # overload: tell the client to retry (504, not a generic 500)
+            self._reply(504, {'error': 'request timed out in queue; '
+                                       'retry against a replica'})
+            return
         except (ValueError, KeyError, TypeError) as e:
             # anything raised while interpreting client values is a client
             # error (wrong nesting, ragged rows, non-numeric, missing keys)
@@ -483,8 +504,14 @@ class _CaptionHandler(BaseHTTPRequestHandler):
 
     def _handle_caption(self, obj: dict):
         crop = _crop_from_json(obj, self.server.engine.dims)
-        return self.server.batcher.caption(
-            crop, timeout=self.server.request_timeout)
+        fut = self.server.batcher.submit(crop)
+        try:
+            return fut.result(timeout=self.server.request_timeout)
+        except FutureTimeoutError:
+            # the client is gone: cancel so an undispatched crop is
+            # dropped at the next drain instead of wasting device work
+            fut.cancel()
+            raise
 
     def _handle_predict(self, obj: dict):
         # full-video features must fit the proposal model's fixed padded

@@ -311,3 +311,101 @@ def test_length_sorted_batching_cuts_padding(tmp_path):
     for b in ds.batches(epoch=1, seed=7, prefetch=0):
         other.extend(b['video_ids'])
     assert other != ids_sorted
+
+
+def test_rgb_flow_length_mismatch_zero_fills_pair(tmp_path):
+    '''A truncated flow stream (fewer rows than rgb) must zero-fill BOTH
+    streams like a missing file — a summed rgb+flow mixing real frames
+    with pads is a feature vector the reference never produces (it
+    asserts rgb.shape == flow.shape, load_features.py:78).'''
+    rng = np.random.default_rng(5)
+    (tmp_path / 'v').mkdir()
+    (tmp_path / 'a').mkdir()
+    rows = []
+    for i, flow_rows in enumerate([8, 5]):      # second video truncated
+        vid = f'v_m{i}'
+        np.save(tmp_path / 'v' / f'{vid}_rgb.npy',
+                rng.normal(size=(8, 4)).astype(np.float32))
+        np.save(tmp_path / 'v' / f'{vid}_flow.npy',
+                rng.normal(size=(flow_rows, 4)).astype(np.float32))
+        np.save(tmp_path / 'a' / f'{vid}.npy',
+                rng.normal(size=(6, 3)).astype(np.float32))
+        rows.append((vid, 'a man runs', 0.0, 10.0, 10.0, 'train', i))
+    meta = tmp_path / 'train.csv'
+    with open(meta, 'w') as f:
+        f.write('video_id\tcaption\tstart\tend\tduration\tphase\tidx\n')
+        for r in rows:
+            f.write('\t'.join(map(str, r)) + '\n')
+
+    from bmt_tpu.config import Config
+    cfg = Config.from_dict({
+        'train_meta_path': str(meta), 'val_1_meta_path': str(meta),
+        'val_2_meta_path': str(meta), 'modality': 'audio_video',
+        'video_feature_name': 'i3d', 'audio_feature_name': 'vggish',
+        'video_features_path': str(tmp_path / 'v'),
+        'audio_features_path': str(tmp_path / 'a'),
+        'd_vid': 4, 'd_aud': 3, 'start_token': '<s>', 'end_token': '</s>',
+        'pad_token': '<blank>', 'min_freq_caps': 1, 'train_batch_size': 2,
+        'inference_batch_size': 2, 'max_len': 30,
+    })
+    from bmt_tpu.data.captioning import CaptioningDataset
+    ds = CaptioningDataset(cfg, 'train')
+    batch = ds.make_batch([0, 1])
+    # video 0 intact: real values
+    assert not np.all(batch['src']['rgb'][0, :8] == 1.0)
+    # video 1 mismatched: rgb zero-row + pad, flow all zeros
+    assert np.all(batch['src']['rgb'][1, 0] == 0.0)
+    assert np.all(batch['src']['rgb'][1, 1:] == 1.0)
+    assert np.all(batch['src']['flow'][1] == 0.0)
+
+
+def test_prop_dataset_stale_cache_zero_fills(tmp_path, monkeypatch):
+    '''A feature file that disappears AFTER the filter cache was written
+    must zero-fill (reference fill_missing_features), not crash the epoch
+    mid-stream.'''
+    import os
+    rng = np.random.default_rng(6)
+    (tmp_path / 'v').mkdir()
+    (tmp_path / 'a').mkdir()
+    rows = []
+    for i in range(2):
+        vid = f'v_s{i}'
+        np.save(tmp_path / 'v' / f'{vid}_rgb.npy',
+                rng.normal(size=(8, 4)).astype(np.float32))
+        np.save(tmp_path / 'v' / f'{vid}_flow.npy',
+                rng.normal(size=(8, 4)).astype(np.float32))
+        np.save(tmp_path / 'a' / f'{vid}.npy',
+                rng.normal(size=(6, 3)).astype(np.float32))
+        rows.append((vid, 'a man runs', 1.0, 8.0, 10.0, 'train', i))
+    meta = tmp_path / 'train.csv'
+    with open(meta, 'w') as f:
+        f.write('video_id\tcaption\tstart\tend\tduration\tphase\tidx\n')
+        for r in rows:
+            f.write('\t'.join(map(str, r)) + '\n')
+
+    from bmt_tpu.config import Config
+    cfg = Config.from_dict({
+        'train_meta_path': str(meta), 'val_1_meta_path': str(meta),
+        'val_2_meta_path': str(meta), 'modality': 'audio_video',
+        'video_feature_name': 'i3d', 'audio_feature_name': 'vggish',
+        'video_features_path': str(tmp_path / 'v'),
+        'audio_features_path': str(tmp_path / 'a'),
+        'd_vid': 4, 'd_aud': 3, 'start_token': '<s>', 'end_token': '</s>',
+        'pad_token': '<blank>', 'min_freq_caps': 1, 'train_batch_size': 2,
+        'inference_batch_size': 2, 'max_len': 30,
+        'pad_audio_feats_up_to': 16, 'pad_video_feats_up_to': 12,
+    })
+    from bmt_tpu.data.proposal_data import ProposalDataset
+    ds = ProposalDataset(cfg, 'train', pad_idx=1,
+                         cache_dir=str(tmp_path / 'cache'))
+    assert len(ds.video_ids) == 2   # cache written with both present
+
+    os.remove(tmp_path / 'v' / 'v_s1_rgb.npy')   # vanishes post-cache
+    ds2 = ProposalDataset(cfg, 'train', pad_idx=1,
+                          cache_dir=str(tmp_path / 'cache'))
+    assert len(ds2.video_ids) == 2  # stale cache keeps it
+    batch = ds2.make_batch(['v_s0', 'v_s1'])     # must NOT crash
+    # the vanished pair zero-fills both streams
+    assert np.all(batch['src']['rgb'][1, 0] == 0.0)
+    assert np.all(batch['src']['flow'][1] == 0.0)
+    assert not np.all(batch['src']['rgb'][0, :8] == 1.0)  # intact video

@@ -638,3 +638,21 @@ def test_microbatcher_rejects_bad_crop_at_admission(engine):
             assert isinstance(f.result(timeout=120), str)
     finally:
         batcher.close()
+
+
+def test_cancelled_future_does_not_poison_batch(engine):
+    '''A client cancelling its own request (timeout) must not fail the
+    coalesced batchmates, and an undispatched cancelled crop is dropped
+    at drain time instead of wasting device work.'''
+    rng = np.random.default_rng(41)
+    batcher = MicroBatcher(engine, max_wait_ms=150.0)
+    try:
+        f_good1 = batcher.submit(_crop(rng, 5, 4))
+        f_dead = batcher.submit(_crop(rng, 5, 4))
+        assert f_dead.cancel()          # client gave up before dispatch
+        f_good2 = batcher.submit(_crop(rng, 5, 4))
+        assert isinstance(f_good1.result(timeout=120), str)
+        assert isinstance(f_good2.result(timeout=120), str)
+        assert f_dead.cancelled()
+    finally:
+        batcher.close()
