@@ -135,8 +135,19 @@ class DataParallel:
 
     def jit_step(self, fn, donate_state: bool = False, **jit_kwargs):
         '''jit a (state, batch) -> (state, aux) step: state replicated,
-        batch dp-sharded; XLA inserts the grad psum over ICI.'''
+        batch dp-sharded; XLA inserts the grad psum over ICI.
+
+        With mp > 1 the state's shardings are INHERITED from the arrays
+        themselves (place_params' Megatron rules): pinning them replicated
+        here would silently undo tensor parallelism — 2x param memory and
+        no mp compute split — on every call.'''
         donate = (0,) if donate_state else ()
+        if self.mesh.shape.get('mp', 1) > 1:
+            return jax.jit(
+                fn,
+                in_shardings=(None, self.batch_sh),
+                donate_argnums=donate,
+                **jit_kwargs)
         return jax.jit(
             fn,
             in_shardings=(self.repl_sh, self.batch_sh),

@@ -80,8 +80,8 @@ def eval_on_learned_props(args_cfg: Config):
             params, cfg_dict = import_cap_model(cpt)
         epoch = cpt.get('epoch', 0)
     else:
-        with open(os.path.join(path, 'best_cap_model.meta.json')) as f:
-            meta = json.load(f)
+        from bmt_tpu.train.checkpoint import read_checkpoint_meta
+        meta = read_checkpoint_meta(path, 'best_cap_model')
         cfg_dict, epoch = meta['config'], meta.get('epoch', 0)
         params = None  # loaded below once the template exists
         # decode with the vocab the checkpoint was TRAINED with: rebuilding

@@ -167,8 +167,14 @@ def train_cap(cfg: Config):
     state = state._replace(params=dp.replicate_tree(state.params),
                            opt_state=dp.replicate_tree(state.opt_state))
 
-    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params)
-                   if hasattr(p, 'shape'))
+    # TRAINABLE means not frozen: the reference counts requires_grad
+    # params only, so the GloVe table / frozen encoders / anchors are
+    # excluded here too
+    n_params = sum(
+        int(np.prod(p.shape))
+        for p, frozen in zip(jax.tree.leaves(params),
+                             jax.tree.leaves(mask))
+        if hasattr(p, 'shape') and not frozen)
     print(f'Total Number of Trainable Parameters: {n_params / 1e6} Mil.')
 
     logger = MetricsLogger(cfg.log_path) if cfg.to_log else NullLogger()
@@ -214,7 +220,8 @@ def train_cap(cfg: Config):
         print(f'The best metric was unchanged for {unchanged} epochs.')
         print(f'Started @ {cfg.curr_time}; '
               f'Current timer: {timer(cfg.curr_time)}')
-        if unchanged == cfg.early_stop_after:
+        # >=: a resume with a LOWERED --early_stop_after must still stop
+        if unchanged >= cfg.early_stop_after:
             break
 
         state, train_loss = train_epoch_cap(

@@ -60,7 +60,13 @@ def _json_meta_default(obj):
 
 
 def save_pytree_npz(path: str, tree):
-    np.savez(path, **_flatten(tree))
+    '''Atomic: np.savez truncates in place, so a crash mid-write would
+    destroy the ONLY copy of a rolling resume checkpoint — write to a
+    temp name in the same directory and os.replace (atomic on POSIX).'''
+    tmp = f'{path}.tmp-{os.getpid()}'
+    np.savez(tmp, **_flatten(tree))
+    # np.savez appends .npz when missing; the tmp name has none
+    os.replace(tmp if os.path.exists(tmp) else f'{tmp}.npz', path)
 
 
 def _restore_into(data: Dict[str, np.ndarray], like, origin: str):
@@ -143,8 +149,13 @@ def save_checkpoint(ckpt_dir: str, params, meta: dict, opt_state=None,
     save_pytree_npz(os.path.join(ckpt_dir, f'{name}.params.npz'), params)
     if opt_state is not None:
         save_pytree_npz(os.path.join(ckpt_dir, f'{name}.opt.npz'), opt_state)
-    with open(os.path.join(ckpt_dir, f'{name}.meta.json'), 'w') as f:
+    # meta written last and atomically: on a crash mid-save the previous
+    # meta still pairs with the previous (atomically-replaced) arrays
+    meta_path = os.path.join(ckpt_dir, f'{name}.meta.json')
+    tmp = f'{meta_path}.tmp-{os.getpid()}'
+    with open(tmp, 'w') as f:
         json.dump(meta, f, default=_json_meta_default)
+    os.replace(tmp, meta_path)
 
 
 def load_checkpoint(ckpt_dir: str, params_like, opt_state_like=None,
@@ -188,8 +199,16 @@ def save_checkpoint_orbax(ckpt_dir: str, params, meta: dict, opt_state=None,
                 os.path.join(ckpt_dir, f'{name}.opt.orbax')),
                 opt_state, force=True)
     if jax.process_index() == 0:
-        with open(os.path.join(ckpt_dir, f'{name}.meta.json'), 'w') as f:
-            json.dump(meta, f, default=str)
+        # the orbax format keeps its OWN meta sidecar: sharing
+        # {name}.meta.json with the npz format would pair stale arrays of
+        # one format with newer meta of the other after a --ckpt_format
+        # switch-and-revert. Same strict serialization as the npz path
+        # (default=str silently stringifies ndarrays), written atomically.
+        meta_path = os.path.join(ckpt_dir, f'{name}.orbax.meta.json')
+        tmp = f'{meta_path}.tmp-{os.getpid()}'
+        with open(tmp, 'w') as f:
+            json.dump(meta, f, default=_json_meta_default)
+        os.replace(tmp, meta_path)
 
 
 def load_checkpoint_orbax(ckpt_dir: str, params_like, opt_state_like=None,
@@ -204,9 +223,26 @@ def load_checkpoint_orbax(ckpt_dir: str, params_like, opt_state_like=None,
         if opt_state_like is not None and os.path.exists(opt_path):
             opt_state = ckptr.restore(os.path.abspath(opt_path),
                                       opt_state_like)
-    with open(os.path.join(ckpt_dir, f'{name}.meta.json')) as f:
+    meta_path = os.path.join(ckpt_dir, f'{name}.orbax.meta.json')
+    if not os.path.exists(meta_path):     # pre-round-3 orbax checkpoints
+        meta_path = os.path.join(ckpt_dir, f'{name}.meta.json')
+    with open(meta_path) as f:
         meta = json.load(f)
     return params, meta, opt_state
+
+
+def read_checkpoint_meta(ckpt_dir: str, name: str) -> dict:
+    '''Read a checkpoint's meta sidecar, whichever format wrote it last:
+    prefers the NEWER of {name}.meta.json (npz) and
+    {name}.orbax.meta.json when both exist.'''
+    cands = [os.path.join(ckpt_dir, f'{name}.meta.json'),
+             os.path.join(ckpt_dir, f'{name}.orbax.meta.json')]
+    cands = [p for p in cands if os.path.exists(p)]
+    if not cands:
+        raise FileNotFoundError(
+            f'no {name} meta sidecar under {ckpt_dir}')
+    with open(max(cands, key=os.path.getmtime)) as f:
+        return json.load(f)
 
 
 def checkpoint_exists(ckpt_dir: str, name: str, fmt: str = 'npz') -> bool:
@@ -696,8 +732,7 @@ def load_cap_checkpoint(path: str, train_meta_path: str = None,
                                         params[emb_key]['table'].shape[0])
         return cfg, dims, params, vocab
 
-    with open(os.path.join(path, 'best_cap_model.meta.json')) as f:
-        meta = json.load(f)
+    meta = read_checkpoint_meta(path, 'best_cap_model')
     cfg = Config.from_dict(meta['config'])
     vocab = Vocab(meta['vocab_itos'])
     dims = CapModelDims.from_config(cfg, len(vocab))
@@ -706,7 +741,8 @@ def load_cap_checkpoint(path: str, train_meta_path: str = None,
     emb_key = 'emb_C' if cfg.modality == 'audio_video' else 'trg_emb'
     # GloVe-adapter checkpoints (vectors narrower than d_model_C) carry an
     # extra '<emb>/adapter' Linear — the restore template must have it or
-    # the load errors. Peek the saved table width to rebuild it.
+    # the load errors. Peek the saved table width to rebuild it (npz: read
+    # the archive keys; orbax: the checkpoint's own structure metadata).
     glove_tpl = None
     npz_path = os.path.join(path, 'best_cap_model.params.npz')
     if os.path.exists(npz_path):
@@ -714,6 +750,22 @@ def load_cap_checkpoint(path: str, train_meta_path: str = None,
             if f'{emb_key}{SEP}adapter{SEP}w' in z.files:
                 glove_tpl = np.zeros(z[f'{emb_key}{SEP}table'].shape,
                                      np.float32)
+    elif os.path.exists(os.path.join(path, 'best_cap_model.orbax')):
+        try:
+            import orbax.checkpoint as ocp
+            with ocp.StandardCheckpointer() as ckptr:
+                md = ckptr.metadata(os.path.abspath(
+                    os.path.join(path, 'best_cap_model.orbax')))
+            # StepMetadata -> item_metadata (TreeMetadata) -> .tree dict
+            tree = getattr(getattr(md, 'item_metadata', md), 'tree', md)
+            emb_md = tree[emb_key]
+            if 'adapter' in emb_md:
+                glove_tpl = np.zeros(tuple(emb_md['table'].shape),
+                                     np.float32)
+        except Exception as e:    # metadata API drift: fail with context
+            print(f'warning: could not probe orbax checkpoint structure '
+                  f'for a GloVe adapter ({e!r}); restoring without one',
+                  file=sys.stderr)
     template = init_fn(jax.random.PRNGKey(0), dims, glove=glove_tpl)
     params = load_model_params(path, 'best_cap_model', template)
     return cfg, dims, params, vocab
@@ -741,8 +793,7 @@ def load_prop_checkpoint(path: str, max_prop_per_vid: int = None):
         else:
             params, cfg_dict = import_unimodal_prop_model(cpt, modality)
     else:
-        with open(os.path.join(path, 'best_prop_model.meta.json')) as f:
-            meta = json.load(f)
+        meta = read_checkpoint_meta(path, 'best_prop_model')
         cfg_dict = meta['config']
         cfg_tmp = Config.from_dict(cfg_dict)
         dims_tmp = PropModelDims.from_config(cfg_tmp)

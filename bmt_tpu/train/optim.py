@@ -111,7 +111,11 @@ class ReduceLROnPlateau:
     def __init__(self, init_lr: float, factor: float, patience: int,
                  mode: str = 'min', threshold: float = 1e-4):
         self.lr = init_lr
-        self.factor = factor
+        # --lr_reduce_factor / --lr_patience default to None in the CLI
+        # (like the reference's); fall back to torch's own defaults
+        # (factor=0.1, patience=10) instead of crashing with a TypeError
+        # at the first reduction, hours into training
+        self.factor = factor if factor is not None else 0.1
         self.patience = patience if patience is not None else 10
         self.mode = mode
         self.threshold = threshold   # torch default: rel mode, 1e-4

@@ -391,3 +391,44 @@ def test_load_cap_checkpoint_vocab_drift_fatal(tmp_path):
                                              'trg_voc_size': len(vocab)})
     _, dims2, _, _ = load_cap_checkpoint(pt_ok, meta_path)
     assert dims2.voc_size == len(vocab)
+
+
+def test_orbax_glove_adapter_roundtrip(tmp_path):
+    '''An orbax checkpoint whose embedder carries a GloVe adapter must be
+    loadable by the shared eval/serving loader (the adapter probe reads
+    the orbax structure metadata, since there is no npz to peek).'''
+    from bmt_tpu.config import Config, build_parser
+    from bmt_tpu.train.checkpoint import (load_cap_checkpoint,
+                                          save_checkpoint_orbax)
+
+    argv = ['--procedure', 'train_cap', '--d_model', '16',
+            '--d_model_caps', '10', '--H', '2', '--N', '1', '--dont_log']
+    cfg = Config(build_parser().parse_args(argv))
+    cfg.ckpt_format = 'orbax'
+    itos = ['<unk>', '<blank>', '<s>', '</s>', 'w']
+    dims = CapModelDims.from_config(cfg, len(itos))
+    glove = np.random.default_rng(0).normal(
+        size=(len(itos), 6)).astype(np.float32)     # width 6 != 10
+    params = init_bimodal_transformer(jax.random.PRNGKey(0), dims,
+                                      glove=glove)
+    assert 'adapter' in params['emb_C']
+    save_checkpoint_orbax(str(tmp_path), params,
+                          {'config': cfg.to_dict(), 'epoch': 0,
+                           'vocab_itos': itos})
+
+    _, _, params2, _ = load_cap_checkpoint(str(tmp_path))
+    assert 'adapter' in params2['emb_C']
+    np.testing.assert_array_equal(
+        np.asarray(params2['emb_C']['adapter']['w']),
+        np.asarray(params['emb_C']['adapter']['w']))
+
+
+def test_orbax_meta_rejects_unserializable(tmp_path):
+    '''The orbax meta sidecar uses the same strict serialization as the
+    npz path: a non-JSON value fails AT SAVE TIME instead of being
+    silently stringified.'''
+    from bmt_tpu.train.checkpoint import save_checkpoint_orbax
+    params = {'w': np.ones((2,), np.float32)}
+    with pytest.raises(TypeError):
+        save_checkpoint_orbax(str(tmp_path), params,
+                              {'config': {}, 'bad': object()})

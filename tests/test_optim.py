@@ -146,3 +146,15 @@ def test_plateau_threshold_torch_semantics():
     sch2 = ReduceLROnPlateau(1.0, factor=0.5, patience=1)
     sch2.step(2.3)
     assert sch2.step(2.0) == 1.0
+
+
+def test_plateau_none_factor_uses_torch_defaults():
+    '''--lr_reduce_factor/--lr_patience default to None in the CLI; the
+    scheduler must fall back to torch's defaults (0.1 / 10) instead of
+    crashing with a TypeError at the first reduction.'''
+    s = ReduceLROnPlateau(1.0, None, None)
+    s.step(5.0)
+    lr = 1.0
+    for _ in range(12):           # exceed the default patience of 10
+        lr = s.step(6.0)
+    assert lr == 0.1              # reduced once by the default factor

@@ -67,14 +67,13 @@ def test_train_cap_resume(mini_data, tmp_path, ckpt_format):  # noqa: F811
     '''Interrupted training resumes from the rolling checkpoint.'''
     from bmt_tpu.train.cap_trainer import train_cap
 
+    from bmt_tpu.train.checkpoint import read_checkpoint_meta
     cfg = _mini_cfg(mini_data, tmp_path, 'train_cap')
     cfg.ckpt_format = ckpt_format
     train_cap(cfg)  # epoch 0 completes, last_cap_model written
 
-    meta_path = os.path.join(cfg.model_checkpoint_path,
-                             'last_cap_model.meta.json')
-    with open(meta_path) as f:
-        assert json.load(f)['epoch'] == 0
+    ckpt_dir = cfg.model_checkpoint_path
+    assert read_checkpoint_meta(ckpt_dir, 'last_cap_model')['epoch'] == 0
 
     # second run with more epochs reuses the same log dir -> resumes at 1
     cfg2 = _mini_cfg(mini_data, tmp_path, 'train_cap')
@@ -83,8 +82,7 @@ def test_train_cap_resume(mini_data, tmp_path, ckpt_format):  # noqa: F811
     cfg2.model_checkpoint_path = cfg.model_checkpoint_path
     cfg2.epoch_num = 2
     train_cap(cfg2)
-    with open(meta_path) as f:
-        assert json.load(f)['epoch'] == 1
+    assert read_checkpoint_meta(ckpt_dir, 'last_cap_model')['epoch'] == 1
 
 
 @pytest.mark.slow

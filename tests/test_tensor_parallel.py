@@ -75,3 +75,33 @@ def test_dp2_mp4_matches_dp1(rng):
     # update magnitude is lr=1e-3, so 3e-4 bounds it well below a sign flip
     for a, b in zip(jax.tree.leaves(params_ref), jax.tree.leaves(params_tp)):
         np.testing.assert_allclose(b, a, atol=3e-4)
+
+
+def test_jit_step_preserves_mp_shardings():
+    '''DataParallel.jit_step with mp > 1 must INHERIT the params' Megatron
+    shardings (place_params) instead of pinning them replicated — pinning
+    would silently undo tensor parallelism on every call.'''
+    import numpy as np
+    import optax
+    from bmt_tpu.parallel import DataParallel, place_params
+
+    dp = DataParallel(dp=4, mp=2)
+    params = {'layer': {'fc1': {'w': jnp.ones((8, 16)), 'b': jnp.ones((16,))}}}
+    params = place_params(params, dp.mesh)
+    w_spec = params['layer']['fc1']['w'].sharding.spec
+    assert 'mp' in str(w_spec)      # column-sharded by the rules
+
+    tx = optax.sgd(1e-2)
+
+    def step(state, batch):
+        p, opt = state
+        g = jax.tree.map(lambda x: x * 0 + batch['x'].mean(), p)
+        upd, opt = tx.update(g, opt, p)
+        return (optax.apply_updates(p, upd), opt), jnp.zeros(())
+
+    jstep = dp.jit_step(step)
+    state = (params, tx.init(params))
+    batch = {'x': np.ones((8, 4), np.float32)}
+    (p2, _), _ = jstep(state, dp.shard(batch))
+    # the updated params keep the mp sharding (not forced replicated)
+    assert 'mp' in str(p2['layer']['fc1']['w'].sharding.spec)
