@@ -80,9 +80,7 @@ def bimodal_step_setup(params, dims: CapModelDims, feature_stacks: dict,
     B = Av.shape[0]
     state = bimodal_decode_init(params, dims, Av, Va, max_len,
                                 kv_int8=kv_int8,
-                                cache_batch=(B * cache_batch_mult
-                                             if cache_batch_mult != 1
-                                             else None),
+                                cache_batch=B * cache_batch_mult,
                                 A_mask=A_mask, V_mask=V_mask)
 
     def step_closure(state, cur, step):
@@ -146,9 +144,7 @@ def unimodal_step_setup(params, dims: CapModelDims, feature_stacks: dict,
     B = memory.shape[0]
     state = unimodal_decode_init(params, dims, memory, max_len,
                                  kv_int8=kv_int8,
-                                 cache_batch=(B * cache_batch_mult
-                                              if cache_batch_mult != 1
-                                              else None),
+                                 cache_batch=B * cache_batch_mult,
                                  src_mask=src_mask)
 
     def step_closure(state, cur, step):

@@ -189,16 +189,28 @@ class ANETcaptions:
 
         output = {}
         for scorer, method in scorers:
-            all_scores = {}
-            for vid_id in gt_vid_ids:
-                keys = vid2capid[vid_id]
-                res = {k: tok_res[k] for k in keys}
-                gts = {k: tok_gts[k] for k in keys}
-                if not res or not gts:
-                    score = [0.0] * len(method) if isinstance(method, list) else 0.0
-                else:
-                    score, _ = scorer(gts, res)
-                all_scores[vid_id] = score
+            if scorer is compute_meteor:
+                # METEOR dominates scoring wall-clock (beam aligner, pure
+                # Python) — batch the whole video loop into one call so it
+                # can shard across worker processes (meteor.py)
+                from bmt_tpu.evaluation.meteor import (
+                    compute_meteor_corpus_scores)
+                tasks = {vid: ({k: tok_gts[k] for k in vid2capid[vid]},
+                               {k: tok_res[k] for k in vid2capid[vid]})
+                         for vid in gt_vid_ids}
+                all_scores = compute_meteor_corpus_scores(tasks)
+            else:
+                all_scores = {}
+                for vid_id in gt_vid_ids:
+                    keys = vid2capid[vid_id]
+                    res = {k: tok_res[k] for k in keys}
+                    gts = {k: tok_gts[k] for k in keys}
+                    if not res or not gts:
+                        score = ([0.0] * len(method)
+                                 if isinstance(method, list) else 0.0)
+                    else:
+                        score, _ = scorer(gts, res)
+                    all_scores[vid_id] = score
             if isinstance(method, list):
                 means = np.mean(list(all_scores.values()), axis=0)
                 for m, name in enumerate(method):

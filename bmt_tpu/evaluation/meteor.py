@@ -116,7 +116,18 @@ def _load_synonyms() -> Optional[Dict[str, frozenset]]:
     return {w: frozenset(ids) for w, ids in raw.items()}
 
 
-_SYNONYMS = _load_synonyms()
+# lazily (re)loaded keyed on the env value: like METEOR_JAR, setting
+# METEOR_SYNONYMS after this module was imported must still activate the
+# synonym stage (an import-time freeze would silently disable it)
+_synonyms_cache: Dict = {'key': object(), 'table': None}
+
+
+def _get_synonyms() -> Optional[Dict[str, frozenset]]:
+    path = os.environ.get('METEOR_SYNONYMS')
+    if _synonyms_cache['key'] != path:
+        _synonyms_cache['key'] = path
+        _synonyms_cache['table'] = _load_synonyms()
+    return _synonyms_cache['table']
 
 
 @dataclass
@@ -184,6 +195,7 @@ def _candidates(hyp: Sequence[str], ref: Sequence[str]):
     the LOWEST (highest-weight) stage under which the pair matches.'''
     ref_stems = [_stem(w) for w in ref]
     hyp_stems = [_stem(w) for w in hyp]
+    synonyms = _get_synonyms()
     out: List[List[Tuple[int, int]]] = []
     for i, hw in enumerate(hyp):
         cands: List[Tuple[int, int]] = []
@@ -192,9 +204,9 @@ def _candidates(hyp: Sequence[str], ref: Sequence[str]):
                 cands.append((j, 0))
             elif hyp_stems[i] == ref_stems[j]:
                 cands.append((j, 1))
-            elif (_SYNONYMS is not None
-                  and _SYNONYMS.get(hw, frozenset())
-                  & _SYNONYMS.get(rw, frozenset())):
+            elif (synonyms is not None
+                  and synonyms.get(hw, frozenset())
+                  & synonyms.get(rw, frozenset())):
                 cands.append((j, 2))
         out.append(cands)
     return out
@@ -294,6 +306,19 @@ def _score_chunk(pairs: List[Tuple[str, List[str]]]) -> List[MeteorStats]:
     return [best_ref_stats(h, r) for h, r in pairs]
 
 
+def _score_videos_chunk(items):
+    '''Worker: per-video corpus scores for [(vid, gts, res), ...] — each
+    video aggregates its segments' sufficient statistics (the densevid
+    protocol averages per-video CORPUS scores across videos).'''
+    out = []
+    for vid, gts, res in items:
+        agg = MeteorStats()
+        for k in sorted(gts.keys(), key=str):
+            agg.add(best_ref_stats(res[k][0], gts[k]))
+        out.append((vid, agg.score()))
+    return out
+
+
 # Keys-per-call threshold below which process-parallel scoring is not
 # worth the pool/IPC overhead; the learned-props eval scores ~10k
 # segments per tIoU, far above it.
@@ -303,8 +328,11 @@ _PARALLEL_MIN_KEYS = 2000
 # spawn, not fork: the caller is usually the training process, which
 # holds XLA runtime threads and prefetch threads — forking a
 # multi-threaded process can deadlock the child on locks held at fork
-# time. Spawned workers import only this (pure-Python) module tree, pay
-# ~2 s startup ONCE, and amortize it over every validation scoring call.
+# time. Spawned workers re-import the parent's __main__ plus this
+# (pure-Python) module tree — ~2 s when the entry script guards its
+# top-level work with `if __name__ == '__main__'` (main.py and every
+# bundled driver do); the cost is paid ONCE and amortized over every
+# validation scoring call.
 _score_pool = None
 _score_pool_procs = 0
 
@@ -375,6 +403,50 @@ def compute_meteor(gts: Dict, res: Dict) -> Tuple[float, List[float]]:
         per_key.append(st.score())
         agg.add(st)
     return agg.score(), per_key
+
+
+def compute_meteor_corpus_scores(tasks: Dict) -> Dict[str, float]:
+    '''Per-video corpus METEOR for the densevid protocol's video loop:
+    ``tasks`` maps vid -> (gts, res) dicts; returns vid -> corpus score.
+
+    This is THE hot-path entry (anet_eval.evaluate_tiou scores thousands
+    of videos x 4 tIoUs per validation; the reference offloads it to a
+    persistent JVM): the video list is sharded across the spawn-context
+    worker pool when the total segment count is large enough. An empty
+    video scores 0.0 (protocol behavior).'''
+    jar = os.environ.get('METEOR_JAR')
+    if jar and os.path.exists(jar):
+        # per-video calls against the persistent JVM (protocol framing is
+        # per compute_meteor call)
+        return {vid: (_compute_meteor_java(jar, gts, res)[0] if gts else 0.0)
+                for vid, (gts, res) in tasks.items()}
+
+    items = [(vid, gts, res) for vid, (gts, res) in tasks.items() if gts]
+    empty = {vid: 0.0 for vid, (gts, _) in tasks.items() if not gts}
+    total_segments = sum(len(gts) for _, gts, _ in items)
+
+    n_procs = int(os.environ.get('BMT_METEOR_PROCS',
+                                 min(8, os.cpu_count() or 1)))
+    scores: Optional[Dict[str, float]] = None
+    if total_segments >= _PARALLEL_MIN_KEYS and n_procs > 1 and items:
+        try:
+            chunk = (len(items) + n_procs - 1) // n_procs
+            parts = [items[i:i + chunk]
+                     for i in range(0, len(items), chunk)]
+            pool = _get_score_pool(n_procs)
+            async_res = pool.map_async(_score_videos_chunk, parts)
+            scores = {vid: s for part in async_res.get(timeout=300)
+                      for vid, s in part}
+        except Exception as e:                      # pragma: no cover
+            print(f'meteor: parallel video scoring failed ({e!r}); '
+                  f'falling back to serial', file=sys.stderr)
+            _shutdown_score_pool()
+            scores = None
+    if scores is None:
+        scores = {vid: s
+                  for vid, s in _score_videos_chunk(items)}
+    scores.update(empty)
+    return scores
 
 
 # One persistent JVM shared by every compute_meteor call (the densevid

@@ -130,7 +130,10 @@ def bimodal_encode(params, dims: CapModelDims, src: dict, masks: dict,
                    attention_impl: str = 'xla'):
     '''Run embeddings + the bi-modal encoder; returns (Av, Va).'''
     rngs = _rng_stream(rng)
-    pe_A, pe_V, _ = _pe_tables(dims)
+    # only the modality tables: staging the unused (3660, d_model_C) pe_C
+    # constant would cost a device transfer per traced bucket shape
+    pe_A = jnp.asarray(positional_encoding_table(POS_ENC_LEN, dims.d_model_A))
+    pe_V = jnp.asarray(positional_encoding_table(POS_ENC_LEN, dims.d_model_V))
     A, V = _embed_av(params, dims, src, rngs, deterministic, pe_A, pe_V)
     return bimodal_encoder_forward(params['encoder'], A, V, masks['A_mask'],
                                    masks['V_mask'], dims.H, dims.dout_p, rngs,
@@ -186,7 +189,9 @@ def bimodal_decode_step(params, dims: CapModelDims, state, token, step,
                         A_mask, V_mask, attention_impl: str = 'xla'):
     '''One greedy-decode step: embed `token` (B, 1) at position `step`,
     advance the decoder, return (log_probs (B, voc), new_state).'''
-    _, _, pe_C = _pe_tables(dims)
+    # only pe_C: the (3660, 1024) pe_V table would be a ~15 MB unused
+    # device constant staged per traced decode bucket
+    pe_C = jnp.asarray(positional_encoding_table(POS_ENC_LEN, dims.d_model_C))
     c_t = vocabulary_embed(params['emb_C'], token, dims.d_model_C)
     c_t = positional_encode(pe_C, c_t, offset=step)
     c_t, state = bimodal_decoder_step(params['decoder'], state, c_t, A_mask,

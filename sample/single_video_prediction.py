@@ -10,8 +10,8 @@ decode instead of the reference's per-proposal Python loop re-encoding every
 prefix (reference: single_video_prediction.py:218-229).
 '''
 import argparse
-import json
 import os
+import shutil
 import subprocess
 import sys
 
@@ -133,9 +133,7 @@ def caption_proposals(cap_params, cap_dims, feature_paths, vocab, cap_cfg,
 
 
 def which_ffprobe() -> str:
-    result = subprocess.run(['which', 'ffprobe'], stdout=subprocess.PIPE,
-                            stderr=subprocess.STDOUT)
-    return result.stdout.decode('utf-8').strip()
+    return shutil.which('ffprobe') or ''
 
 
 def get_video_duration(path) -> float:
@@ -146,12 +144,17 @@ def get_video_duration(path) -> float:
     if not ffprobe:
         raise SystemExit('ffprobe not found on PATH; pass '
                          '--duration_in_secs explicitly')
-    cmd = [ffprobe, '-hide_banner', '-loglevel', 'panic', '-v', 'error',
+    # stderr captured SEPARATELY: an ffprobe warning merged into stdout
+    # would corrupt the float parse with an unhelpful traceback
+    cmd = [ffprobe, '-hide_banner', '-v', 'error',
            '-show_entries', 'format=duration',
            '-of', 'default=noprint_wrappers=1:nokey=1', str(path)]
     result = subprocess.run(cmd, stdout=subprocess.PIPE,
-                            stderr=subprocess.STDOUT)
-    duration = float(result.stdout.decode('utf-8').strip())
+                            stderr=subprocess.PIPE, text=True)
+    if result.returncode != 0 or not result.stdout.strip():
+        raise SystemExit(f'ffprobe failed on {path}: '
+                         f'{result.stderr.strip() or "no duration output"}')
+    duration = float(result.stdout.strip())
     print('Video Duration:', duration)
     return duration
 
@@ -169,7 +172,9 @@ if __name__ == '__main__':
     parser.add_argument('--video_path', default=None,
                         help='source .mp4 (only needed when '
                              '--duration_in_secs is omitted)')
-    parser.add_argument('--device_id', type=int, default=0)
+    parser.add_argument('--device_id', type=int, default=0,
+                        help='jax device index to run on (like the '
+                             "reference's CUDA device id)")
     parser.add_argument('--max_prop_per_vid', type=int, default=5)
     parser.add_argument('--nms_tiou_thresh', type=float)
     parser.add_argument('--train_meta_path', default='./data/train.csv')
@@ -179,6 +184,10 @@ if __name__ == '__main__':
                              'checkpoint embedding table (captions will '
                              'likely be garbled)')
     args = parser.parse_args()
+    if args.device_id:
+        # honor the reference's device selection on multi-device hosts
+        jax.config.update('jax_default_device',
+                          jax.devices()[args.device_id])
     if args.duration_in_secs is None:
         if not args.video_path:
             parser.error('pass --duration_in_secs or --video_path')

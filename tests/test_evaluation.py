@@ -311,14 +311,11 @@ def test_meteor_synonym_stage_activates(tmp_path, monkeypatch):
     syn_path = tmp_path / 'synonyms.json'
     _json.dump({'dog': ['n.canid.1'], 'canine': ['n.canid.1'],
                 'cat': ['n.felid.1']}, open(syn_path, 'w'))
-    monkeypatch.setenv('METEOR_SYNONYMS', str(syn_path))
-    table = M._load_synonyms()
-    assert table == {'dog': frozenset({'n.canid.1'}),
-                     'canine': frozenset({'n.canid.1'}),
-                     'cat': frozenset({'n.felid.1'})}
-
+    # the stage activates lazily from the env — even AFTER the module
+    # was imported (like METEOR_JAR)
+    monkeypatch.delenv('METEOR_SYNONYMS', raising=False)
     without = M.meteor_pair('the canine runs', 'the dog runs')
-    monkeypatch.setattr(M, '_SYNONYMS', table)
+    monkeypatch.setenv('METEOR_SYNONYMS', str(syn_path))
     with_syn = M.meteor_pair('the canine runs', 'the dog runs')
     exact = M.meteor_pair('the dog runs', 'the dog runs')
     # synonym match raises the score but stays below an exact match
@@ -328,6 +325,42 @@ def test_meteor_synonym_stage_activates(tmp_path, monkeypatch):
     disjoint = M.meteor_pair('the cat runs', 'the dog runs')
     assert disjoint == without
 
-    # env unset -> no table (drop-in activation contract)
+    # env unset again -> stage deactivates (no import-time freeze)
     monkeypatch.delenv('METEOR_SYNONYMS')
-    assert M._load_synonyms() is None
+    assert M.meteor_pair('the canine runs', 'the dog runs') == without
+
+
+def test_meteor_corpus_scores_matches_per_video_calls(monkeypatch):
+    '''The batched video-level entry (the eval's hot path) must be
+    bit-identical to per-video compute_meteor calls, parallel or serial,
+    including empty videos (score 0.0).'''
+    import random as _random
+    from bmt_tpu.evaluation import meteor as M
+
+    _random.seed(11)
+    words = 'man woman dog runs jumps plays park the a is and'.split()
+
+    def sent(n):
+        return ' '.join(_random.choice(words) for _ in range(n))
+
+    tasks, k = {}, 0
+    for v in range(40):
+        gts, res = {}, {}
+        for _ in range(_random.randint(1, 5)):
+            gts[k] = [sent(_random.randint(6, 14))]
+            res[k] = [sent(_random.randint(4, 10))]
+            k += 1
+        tasks[f'v{v}'] = (gts, res)
+    tasks['v_empty'] = ({}, {})
+
+    expected = {vid: (M.compute_meteor(g, r)[0] if g else 0.0)
+                for vid, (g, r) in tasks.items()}
+
+    monkeypatch.setenv('BMT_METEOR_PROCS', '1')
+    serial = M.compute_meteor_corpus_scores(tasks)
+    assert serial == expected
+
+    monkeypatch.setenv('BMT_METEOR_PROCS', '4')
+    monkeypatch.setattr(M, '_PARALLEL_MIN_KEYS', 10)
+    parallel = M.compute_meteor_corpus_scores(tasks)
+    assert parallel == expected
