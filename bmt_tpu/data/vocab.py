@@ -131,5 +131,9 @@ def load_glove(glove_txt_path: str, vocab: Vocab, dim: int = 300,
             if word in wanted:
                 mat[vocab.stoi[word]] = np.asarray(sp[1:], np.float32)
     if cache_path:
-        np.save(cache_path, mat)
+        # atomic publish: a concurrent process (trainer + eval sharing a
+        # cache_dir) must never np.load a partially written cache file
+        tmp = f'{cache_path}.tmp-{os.getpid()}.npy'
+        np.save(tmp, mat)
+        os.replace(tmp, cache_path)
     return mat

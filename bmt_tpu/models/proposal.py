@@ -394,8 +394,10 @@ def multimodal_proposal_forward(params, dims: PropModelDims, src: dict,
                                      rngs, deterministic, attention_impl,
                                      dims.remat)
 
-    anchors_A = params['anchors_A'] if 'anchors_A' in params else None
-    anchors_V = params['anchors_V'] if 'anchors_V' in params else None
+    # anchors always ride in params; a missing key must fail HERE with a
+    # clear KeyError, not as a NoneType crash deep inside yolo_decode
+    anchors_A = params['anchors_A']
+    anchors_V = params['anchors_V']
 
     denoms_A, denoms_V = (loss_denoms if loss_denoms is not None
                           else (None, None))

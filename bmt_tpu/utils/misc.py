@@ -16,8 +16,23 @@ def enable_compile_cache(cache_dir: str = None):
     reruns resume instantly).'''
     import jax
     if cache_dir is None:
-        cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        # repo checkout: .jax_cache next to the package; pip-installed:
+        # the package's parent (site-packages/..) is usually unwritable,
+        # so fall back to the user cache dir rather than silently losing
+        # the persistent cache
+        repo_dir = os.path.join(os.path.dirname(os.path.dirname(
             os.path.dirname(os.path.abspath(__file__)))), '.jax_cache')
+        try:
+            os.makedirs(repo_dir, exist_ok=True)
+            probe = os.path.join(repo_dir, '.writable')
+            with open(probe, 'w'):
+                pass
+            os.remove(probe)
+            cache_dir = repo_dir
+        except OSError:
+            cache_dir = os.path.join(
+                os.path.expanduser('~'), '.cache', 'bmt_tpu', 'jax_cache')
+            os.makedirs(cache_dir, exist_ok=True)
     jax.config.update('jax_compilation_cache_dir', cache_dir)
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
 
