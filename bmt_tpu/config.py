@@ -107,6 +107,7 @@ class Config:
         self.device_ids = args.device_ids
         self.device = 'tpu'
         self.dp_devices = getattr(args, 'dp_devices', None) or len(args.device_ids)
+        self.sp_devices = getattr(args, 'sp_devices', None) or 1
         self.train_batch_size = args.B * self.dp_devices
         self.inference_batch_size = args.inf_B_coeff * self.train_batch_size
         self.epoch_num = args.epoch_num
@@ -236,6 +237,12 @@ def build_parser() -> argparse.ArgumentParser:
                              '(total batch = B * dp_devices). A warning is '
                              'printed when more chips are visible than '
                              'used.')
+    parser.add_argument('--sp_devices', type=int, default=None,
+                        help='sequence-parallel mesh axis (train_prop '
+                             'only): the Sa=800/Sv=300 proposal sequences '
+                             'are sharded over this many devices per dp '
+                             'replica; total devices = dp_devices * '
+                             'sp_devices. Default 1 (off).')
     parser.add_argument('--start_token', type=str, default='<s>')
     parser.add_argument('--end_token', type=str, default='</s>')
     parser.add_argument('--pad_token', type=str, default='<blank>')

@@ -16,6 +16,7 @@ import jax
 from bmt_tpu.ops.attention import init_mha, multi_head_attention
 from bmt_tpu.ops.layers import (feed_forward, init_ffn, init_layer_norm,
                                 residual)
+from bmt_tpu.parallel.seq import shard_seq
 
 
 # ---------------------------------------------------------------------------
@@ -56,6 +57,9 @@ def encoder_forward(params, x, src_mask, H, dout_p=0.0, rngs=None,
     for p in params['layers']:
         x = encoder_layer_forward(p, x, src_mask, H, dout_p, rngs,
                                   deterministic, attention_impl)
+        # keep the sequence axis sp-sharded through the stack (no-op
+        # outside a sequence_parallel context — see parallel/seq.py)
+        x = shard_seq(x)
     return x
 
 
@@ -153,4 +157,7 @@ def bimodal_encoder_forward(params, A, V, A_mask, V_mask, H, dout_p=0.0,
             run_layer = jax.checkpoint(run_layer)
         key = next(rngs) if rngs else None
         M1, M2 = run_layer(p, M1, M2, key)
+        # keep both modalities' sequence axes sp-sharded through the stack
+        # (no-op outside a sequence_parallel context — parallel/seq.py)
+        M1, M2 = shard_seq(M1), shard_seq(M2)
     return M1, M2  # (Av, Va)

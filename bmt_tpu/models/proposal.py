@@ -28,6 +28,7 @@ from bmt_tpu.models.encoders import (bimodal_encoder_forward, encoder_forward,
 from bmt_tpu.ops.layers import (dropout, feature_embed, init_feature_embedder,
                                 init_layer_norm, layer_norm,
                                 positional_encode, positional_encoding_table)
+from bmt_tpu.parallel.seq import shard_seq
 
 POS_ENC_LEN = 3660
 EPS = 1e-16  # reference: proposal_generator.py:55, 398
@@ -351,6 +352,9 @@ def _forward_modality_heads(heads, x, anchors, stride, dense_targets,
             head, x, dout_p,
             jax.random.fold_in(rng, i) if rng is not None else None,
             deterministic)
+        # conv output back on the sp split (GSPMD partitions the conv
+        # spatially with halo exchange; no-op outside an sp context)
+        raw = shard_seq(raw)
         decoded = yolo_decode(raw, anchors, stride)
         all_preds.append(decoded['predictions'])
         if targets is not None:
@@ -388,6 +392,8 @@ def multimodal_proposal_forward(params, dims: PropModelDims, src: dict,
     pe_V = jnp.asarray(positional_encoding_table(POS_ENC_LEN, dims.d_model_V))
     A = positional_encode(pe_A, A, dims.dout_p, next(rngs), deterministic)
     V = positional_encode(pe_V, V, dims.dout_p, next(rngs), deterministic)
+    # sequence-parallel entry constraints (no-op outside an sp context)
+    A, V = shard_seq(A), shard_seq(V)
 
     Av, Va = bimodal_encoder_forward(params['encoder'], A, V, masks['A_mask'],
                                      masks['V_mask'], dims.H, dims.dout_p,
@@ -464,6 +470,7 @@ def unimodal_proposal_forward(params, dims: PropModelDims, src: dict,
         x = feature_embed(params['emb'], x, d_modality)
     pe = jnp.asarray(positional_encoding_table(POS_ENC_LEN, d_modality))
     x = positional_encode(pe, x, dims.dout_p, next(rngs), deterministic)
+    x = shard_seq(x)  # no-op outside a sequence_parallel context
     x = encoder_forward(params['encoder'], x, src_mask, dims.H, dims.dout_p,
                         rngs, deterministic, attention_impl)
 

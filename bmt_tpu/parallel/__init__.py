@@ -2,3 +2,4 @@ from bmt_tpu.parallel.mesh import (make_mesh, shard_batch, replicate,
                                    batch_sharding, DataParallel)
 from bmt_tpu.parallel.sharding_rules import (cap_param_shardings,
                                              place_params)
+from bmt_tpu.parallel.seq import sequence_parallel, shard_seq

@@ -52,26 +52,33 @@ def maybe_init_distributed():
 
 
 def make_mesh(dp: Optional[int] = None, mp: int = 1,
-              devices=None) -> Mesh:
-    '''1-D (or 2-D with mp>1) mesh over the local devices.
+              devices=None, sp: int = 1) -> Mesh:
+    '''``('dp', 'sp', 'mp')`` mesh over the local devices; unused axes are
+    size 1 (a size-1 axis never appears in a PartitionSpec's collectives, so
+    plain data parallelism lowers identically to a 1-D mesh).
 
-    dp defaults to all available devices / mp.
+    dp defaults to all available devices / (sp * mp). ``sp`` is the
+    sequence/context-parallel axis used by the proposal stage's long
+    sequences (see parallel/seq.py), ``mp`` the Megatron tensor-parallel
+    axis (sharding_rules.py).
     '''
     devices = devices if devices is not None else jax.devices()
     if dp is None:
-        dp = len(devices) // mp
-    if dp < 1 or mp < 1 or dp * mp > len(devices):
+        dp = len(devices) // (sp * mp)
+    if dp < 1 or sp < 1 or mp < 1 or dp * sp * mp > len(devices):
         raise ValueError(
-            f'mesh dp={dp} x mp={mp} needs {max(dp, 1) * max(mp, 1)} '
-            f'devices but only {len(devices)} are available '
-            f'(check --dp_devices / mp)')
-    if dp * mp < len(devices):
+            f'mesh dp={dp} x sp={sp} x mp={mp} needs '
+            f'{max(dp, 1) * max(sp, 1) * max(mp, 1)} devices but only '
+            f'{len(devices)} are available (check --dp_devices / '
+            f'--sp_devices / mp)')
+    if dp * sp * mp < len(devices):
         import sys
-        print(f'NOTE: building a dp{dp}xmp{mp} mesh on {dp * mp} of '
-              f'{len(devices)} visible devices; pass --dp_devices '
-              f'{len(devices) // mp} to use all of them', file=sys.stderr)
-    devices = np.asarray(devices[:dp * mp]).reshape(dp, mp)
-    return Mesh(devices, axis_names=('dp', 'mp'))
+        print(f'NOTE: building a dp{dp}xsp{sp}xmp{mp} mesh on '
+              f'{dp * sp * mp} of {len(devices)} visible devices; pass '
+              f'--dp_devices {len(devices) // (sp * mp)} to use all of '
+              f'them', file=sys.stderr)
+    devices = np.asarray(devices[:dp * sp * mp]).reshape(dp, sp, mp)
+    return Mesh(devices, axis_names=('dp', 'sp', 'mp'))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -86,15 +93,23 @@ def replicate(mesh: Mesh) -> NamedSharding:
 def shard_batch(mesh: Mesh, batch):
     '''Place a pytree of host arrays on the mesh, batch axis sharded over dp.
 
-    Scalars / 0-d leaves are replicated.
+    Scalars / 0-d leaves are replicated. When the mesh carries a live
+    ``sp`` axis, rank-3 ``(B, S, D)`` feature leaves whose sequence axis
+    divides it are additionally sharded over sp (the sequence-parallel
+    input layout; see parallel/seq.py) — other leaves (captions, dense GT
+    targets, row-valid flags) stay batch-sharded only.
     '''
     bsh = batch_sharding(mesh)
     rsh = replicate(mesh)
+    sp = mesh.shape.get('sp', 1)
+    seq_sh = NamedSharding(mesh, P('dp', 'sp')) if sp > 1 else None
 
     def put(x):
         x = np.asarray(x)
         if x.ndim == 0:
             return jax.device_put(x, rsh)
+        if seq_sh is not None and x.ndim == 3 and x.shape[1] % sp == 0:
+            return jax.device_put(x, seq_sh)
         return jax.device_put(x, bsh)
 
     return jax.tree.map(put, batch)
@@ -111,9 +126,11 @@ class DataParallel:
         state, metrics = step(state, dp.shard(batch))
     '''
 
-    def __init__(self, dp: Optional[int] = None, mp: int = 1, devices=None):
-        self.mesh = make_mesh(dp, mp, devices)
+    def __init__(self, dp: Optional[int] = None, mp: int = 1, devices=None,
+                 sp: int = 1):
+        self.mesh = make_mesh(dp, mp, devices, sp)
         self.n_dp = self.mesh.shape['dp']
+        self.n_sp = self.mesh.shape.get('sp', 1)
         self.batch_sh = batch_sharding(self.mesh)
         self.repl_sh = replicate(self.mesh)
 
@@ -140,8 +157,13 @@ class DataParallel:
         With mp > 1 the state's shardings are INHERITED from the arrays
         themselves (place_params' Megatron rules): pinning them replicated
         here would silently undo tensor parallelism — 2x param memory and
-        no mp compute split — on every call.'''
+        no mp compute split — on every call. With sp > 1 the BATCH
+        shardings are inherited too: shard() places feature leaves
+        (dp, sp)-sharded and the rest dp-sharded, and pinning them all to
+        P('dp') here would undo the sequence split at the jit boundary.'''
         donate = (0,) if donate_state else ()
+        if self.n_sp > 1:
+            return jax.jit(fn, donate_argnums=donate, **jit_kwargs)
         if self.mesh.shape.get('mp', 1) > 1:
             return jax.jit(
                 fn,
@@ -157,7 +179,10 @@ class DataParallel:
 
     def jit_eval(self, fn, **jit_kwargs):
         '''jit a (params, batch) -> out eval/decode step; output stays
-        dp-sharded (gathered lazily on host read).'''
+        dp-sharded (gathered lazily on host read). With sp > 1 shardings
+        are inherited from the arrays (see jit_step).'''
+        if self.n_sp > 1:
+            return jax.jit(fn, **jit_kwargs)
         return jax.jit(
             fn,
             in_shardings=(self.repl_sh, self.batch_sh),

@@ -106,7 +106,12 @@ def train_prop(cfg: Config):
     optimizer = build_optimizer(cfg, frozen_mask=freeze_mask(params,
                                                              is_frozen))
 
-    dp = DataParallel(getattr(cfg, 'dp_devices', None))
+    # sp > 1 additionally shards the Sa=800/Sv=300 sequences across
+    # devices (sequence parallelism — parallel/seq.py); dp x sp devices
+    # total, GSPMD inserts the K/V gathers and conv halo exchanges
+    sp = getattr(cfg, 'sp_devices', 1) or 1
+    dp = DataParallel(getattr(cfg, 'dp_devices', None), sp=sp)
+    seq_mesh = dp.mesh if sp > 1 else None
     compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == 'bfloat16'
                      else jnp.float32)
     # accum is EXACT here too: the YOLO masked-mean denominators depend
@@ -114,10 +119,12 @@ def train_prop(cfg: Config):
     # cell counts to every microbatch (see make_prop_train_step)
     train_step = dp.jit_step(make_prop_train_step(
         dims, optimizer, pad_idx, cfg.attention_impl, compute_dtype,
-        accum_steps=getattr(cfg, 'grad_accum_steps', 1)),
+        accum_steps=getattr(cfg, 'grad_accum_steps', 1),
+        seq_mesh=seq_mesh),
         donate_state=True)
     inference_step = jax.jit(make_prop_inference_step(
-        dims, pad_idx, cfg.attention_impl, compute_dtype))
+        dims, pad_idx, cfg.attention_impl, compute_dtype,
+        seq_mesh=seq_mesh))
 
     state = init_train_state(params, optimizer, seed,
                              getattr(cfg, 'prng_impl', 'rbg'))

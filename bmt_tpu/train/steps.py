@@ -190,7 +190,8 @@ def _prop_forward(dims: PropModelDims):
 
 def make_prop_train_step(dims: PropModelDims, optimizer, pad_idx: int,
                          attention_impl: str = 'xla',
-                         compute_dtype=jnp.float32, accum_steps: int = 1):
+                         compute_dtype=jnp.float32, accum_steps: int = 1,
+                         seq_mesh=None):
     '''Proposal-generator train step
     (reference: proposal_epoch_loops.py:27-63).
 
@@ -199,7 +200,14 @@ def make_prop_train_step(dims: PropModelDims, optimizer, pad_idx: int,
     depend only on the targets (never on params), so a cheap target-only
     pre-pass computes the FULL batch's counts per modality, each
     microbatch contributes sum/total_count (``yolo_losses(denoms=...)``),
-    and the summed microbatch gradients equal the full-batch gradient.'''
+    and the summed microbatch gradients equal the full-batch gradient.
+
+    seq_mesh: a mesh with a live ``sp`` axis enables sequence-parallel
+    sharding constraints on the forward's activations (parallel/seq.py) —
+    the Sa=800/Sv=300 proposal sequences then split across sp with GSPMD
+    inserting the attention K/V gathers and conv halo exchanges. None (or
+    sp=1) leaves the step bit-identical to the unconstrained build.'''
+    from bmt_tpu.parallel.seq import sequence_parallel
     fwd = _prop_forward(dims)
 
     def _denoms(batch):
@@ -218,7 +226,7 @@ def make_prop_train_step(dims: PropModelDims, optimizer, pad_idx: int,
                     jnp.sum(noobj.astype(jnp.float32)))
         return counts
 
-    def step(state: TrainState, batch):
+    def _step(state: TrainState, batch):
         rng = jax.random.fold_in(state.rng, state.step)
 
         def loss_fn(p, src_raw, targets, mrng, loss_denoms=None):
@@ -304,20 +312,32 @@ def make_prop_train_step(dims: PropModelDims, optimizer, pad_idx: int,
         metrics.update({f'{k}_A': v for k, v in lA.items()})
         metrics.update({f'{k}_V': v for k, v in lV.items()})
         return new_state, metrics
+
+    def step(state: TrainState, batch):
+        # the context flips a trace-time flag; entering it inside the
+        # jitted function guarantees it is active whenever jit (lazily)
+        # traces, not just on the first eager call
+        with sequence_parallel(seq_mesh):
+            return _step(state, batch)
     return step
 
 
 def make_prop_inference_step(dims: PropModelDims, pad_idx: int,
                              attention_impl: str = 'xla',
-                             compute_dtype=jnp.float32):
+                             compute_dtype=jnp.float32, seq_mesh=None):
     '''Forward-only proposal predictions (B, AS_total, 3)
-    (reference: proposal_epoch_loops.py:99-110).'''
+    (reference: proposal_epoch_loops.py:99-110). seq_mesh: see
+    make_prop_train_step.'''
+    from bmt_tpu.parallel.seq import sequence_parallel
     fwd = _prop_forward(dims)
 
     def step(params, batch):
-        src = jax.tree.map(lambda x: x.astype(compute_dtype), batch['src'])
-        masks = make_masks(batch['src'], None, dims.modality, pad_idx)
-        out = fwd(cast_tree(params, compute_dtype), dims, src, None, masks,
-                  deterministic=True, attention_impl=attention_impl)
-        return out[0].astype(jnp.float32)
+        with sequence_parallel(seq_mesh):
+            src = jax.tree.map(lambda x: x.astype(compute_dtype),
+                               batch['src'])
+            masks = make_masks(batch['src'], None, dims.modality, pad_idx)
+            out = fwd(cast_tree(params, compute_dtype), dims, src, None,
+                      masks, deterministic=True,
+                      attention_impl=attention_impl)
+            return out[0].astype(jnp.float32)
     return step
