@@ -218,12 +218,22 @@ def _align(hyp: Sequence[str], ref: Sequence[str]):
     summed |i-j| distance — Meteor's Aligner resolution order.
 
     Returns a list of (hyp_idx, ref_idx, stage), sorted by hyp_idx.
+
+    This is the pure-Python aligner — the parity baseline for (and the
+    fallback of) the native batched engine (native/meteor_align.cc),
+    which corpus-level scoring dispatches to via
+    :func:`_batch_best_ref_stats`.
     '''
-    cands = _candidates(hyp, ref)
+    return _align_py(_candidates(hyp, ref), len(hyp))
+
+
+def _align_py(cands, n_hyp: int):
+    '''Pure-Python reference beam aligner (the native library's parity
+    baseline and its fallback).'''
     # state: (n_matches, chunks, dist, last_i, last_j, used_ref, matches)
     States = List[Tuple[int, int, int, int, int, frozenset, tuple]]
     beam: States = [(0, 0, 0, -2, -2, frozenset(), ())]
-    for i in range(len(hyp)):
+    for i in range(n_hyp):
         nxt: States = []
         for (m, ch, d, li, lj, used, ms) in beam:
             nxt.append((m, ch, d, li, lj, used, ms))  # leave hyp[i] unmatched
@@ -292,6 +302,65 @@ def best_ref_stats(hyp: str, refs: Sequence[str]) -> MeteorStats:
     return best if best is not None else MeteorStats()
 
 
+def _batch_best_ref_stats(
+        items: Sequence[Tuple[str, Sequence[str]]]) -> List[MeteorStats]:
+    '''Best-reference sufficient statistics for a list of segments —
+    semantically ``[best_ref_stats(h, refs) for h, refs in items]``.
+
+    When the native alignment engine is built (native/meteor_align.cc),
+    every (hypothesis, reference) alignment in the batch runs in ONE
+    ctypes call: Python interns tokens/stems/synonyms to integer ids and
+    the C++ side does candidate generation + beam search + statistics
+    across a thread pool, bit-identically to the Python aligner
+    (differentially tested). The reference runs this same workload
+    inside a persistent JVM (reference: evaluation/evaluate.py:19,61).
+    Rare pairs the engine cannot serve (reference > 128 tokens) and the
+    no-library case fall back to the pure-Python path.
+    '''
+    from bmt_tpu.evaluation import meteor_native
+    if not meteor_native.enabled():
+        return [best_ref_stats(h, refs) for h, refs in items]
+    tok: List[Tuple[List[str], List[List[str]]]] = []
+    pairs: List[Tuple[List[str], List[str]]] = []
+    pair_map: List[Tuple[int, int]] = []
+    for si, (h, refs) in enumerate(items):
+        ht = _norm_tokens(h)
+        rts = [_norm_tokens(r) for r in refs]
+        tok.append((ht, rts))
+        for ri, rt in enumerate(rts):
+            pairs.append((ht, rt))
+            pair_map.append((si, ri))
+    got = meteor_native.batch_stats(pairs, _stem, _FUNCTION_WORDS,
+                                    _get_synonyms(), BEAM)
+    if got is None:                                  # pragma: no cover
+        return [best_ref_stats(h, refs) for h, refs in items]
+    rows, status = got
+    # empty-reference segments keep the zero MeteorStats (best_ref_stats
+    # parity); ties keep the FIRST reference (strict > , pair order = ref
+    # order), also matching best_ref_stats
+    out: List[MeteorStats] = [MeteorStats() for _ in items]
+    best_sc = [-1.0] * len(items)
+    for p, (si, ri) in enumerate(pair_map):
+        ht, rts = tok[si]
+        rt = rts[ri]
+        if status[p] != 0:
+            st = _segment_stats(ht, rt)
+        else:
+            r = rows[p]
+            st = MeteorStats(
+                test_len=len(ht), ref_len=len(rt),
+                test_func=sum(w in _FUNCTION_WORDS for w in ht),
+                ref_func=sum(w in _FUNCTION_WORDS for w in rt),
+                tmc=[int(x) for x in r[0:3]], tmf=[int(x) for x in r[3:6]],
+                rmc=[int(x) for x in r[6:9]], rmf=[int(x) for x in r[9:12]],
+                test_matches=int(r[12]), ref_matches=int(r[12]),
+                chunks=int(r[13]))
+        sc = st.score()
+        if sc > best_sc[si]:
+            out[si], best_sc[si] = st, sc
+    return out
+
+
 def meteor_pair(hyp: str, ref: str) -> float:
     return best_ref_stats(hyp, [ref]).score()
 
@@ -302,19 +371,28 @@ def meteor_sentence(hyp: str, refs: List[str]) -> float:
 
 def _score_chunk(pairs: List[Tuple[str, List[str]]]) -> List[MeteorStats]:
     '''Worker: sufficient stats for a list of (hypothesis, references)
-    pairs. Top-level (picklable) and pure-Python.'''
-    return [best_ref_stats(h, r) for h, r in pairs]
+    pairs. Top-level (picklable); uses the native engine when built.'''
+    return _batch_best_ref_stats(pairs)
 
 
 def _score_videos_chunk(items):
     '''Worker: per-video corpus scores for [(vid, gts, res), ...] — each
     video aggregates its segments' sufficient statistics (the densevid
-    protocol averages per-video CORPUS scores across videos).'''
-    out = []
+    protocol averages per-video CORPUS scores across videos). All the
+    chunk's segments go through one batched stats call.'''
+    flat: List[Tuple[str, List[str]]] = []
+    bounds = []
     for vid, gts, res in items:
-        agg = MeteorStats()
+        start = len(flat)
         for k in sorted(gts.keys(), key=str):
-            agg.add(best_ref_stats(res[k][0], gts[k]))
+            flat.append((res[k][0], list(gts[k])))
+        bounds.append((vid, start, len(flat)))
+    stats = _batch_best_ref_stats(flat)
+    out = []
+    for vid, a, b in bounds:
+        agg = MeteorStats()
+        for st in stats[a:b]:
+            agg.add(st)
         out.append((vid, agg.score()))
     return out
 
@@ -374,10 +452,14 @@ def compute_meteor(gts: Dict, res: Dict) -> Tuple[float, List[float]]:
     for k in keys:
         assert len(res[k]) == 1
 
+    from bmt_tpu.evaluation import meteor_native
     n_procs = int(os.environ.get('BMT_METEOR_PROCS',
                                  min(8, os.cpu_count() or 1)))
     stats: Optional[List[MeteorStats]] = None
-    if len(keys) >= _PARALLEL_MIN_KEYS and n_procs > 1:
+    # the native engine threads internally — the process pool would only
+    # stack oversubscription on top of it
+    if (len(keys) >= _PARALLEL_MIN_KEYS and n_procs > 1
+            and not meteor_native.enabled()):
         try:
             pairs = [(res[k][0], list(gts[k])) for k in keys]
             chunk = (len(pairs) + n_procs - 1) // n_procs
@@ -395,7 +477,8 @@ def compute_meteor(gts: Dict, res: Dict) -> Tuple[float, List[float]]:
             _shutdown_score_pool()
             stats = None
     if stats is None:
-        stats = [best_ref_stats(res[k][0], gts[k]) for k in keys]
+        stats = _batch_best_ref_stats([(res[k][0], list(gts[k]))
+                                       for k in keys])
 
     per_key: List[float] = []
     agg = MeteorStats()
@@ -425,10 +508,14 @@ def compute_meteor_corpus_scores(tasks: Dict) -> Dict[str, float]:
     empty = {vid: 0.0 for vid, (gts, _) in tasks.items() if not gts}
     total_segments = sum(len(gts) for _, gts, _ in items)
 
+    from bmt_tpu.evaluation import meteor_native
     n_procs = int(os.environ.get('BMT_METEOR_PROCS',
                                  min(8, os.cpu_count() or 1)))
     scores: Optional[Dict[str, float]] = None
-    if total_segments >= _PARALLEL_MIN_KEYS and n_procs > 1 and items:
+    # native engine enabled -> the serial path below already parallelizes
+    # (C++ thread pool inside the batched call); skip the process pool
+    if (total_segments >= _PARALLEL_MIN_KEYS and n_procs > 1 and items
+            and not meteor_native.enabled()):
         try:
             chunk = (len(items) + n_procs - 1) // n_procs
             parts = [items[i:i + chunk]

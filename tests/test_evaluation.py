@@ -291,6 +291,9 @@ def test_meteor_parallel_equals_serial(monkeypatch):
     gts = {i: [sent(_random.randint(6, 14))] for i in range(N)}
     res = {i: [sent(_random.randint(4, 10))] for i in range(N)}
 
+    # force the pure-Python scorer: with the native engine enabled the
+    # pool is (deliberately) bypassed, and this test is about the pool
+    monkeypatch.setenv('BMT_METEOR_NATIVE', '0')
     monkeypatch.setenv('BMT_METEOR_PROCS', '1')
     avg_s, per_s = M.compute_meteor(gts, res)
     monkeypatch.setenv('BMT_METEOR_PROCS', '4')
@@ -337,6 +340,10 @@ def test_meteor_corpus_scores_matches_per_video_calls(monkeypatch):
     import random as _random
     from bmt_tpu.evaluation import meteor as M
 
+    # pin the pure-Python scorer so the PROCS=4 branch exercises the
+    # process pool (native enabled would bypass it); native==python
+    # equivalence has its own differential tests below
+    monkeypatch.setenv('BMT_METEOR_NATIVE', '0')
     _random.seed(11)
     words = 'man woman dog runs jumps plays park the a is and'.split()
 
@@ -364,3 +371,117 @@ def test_meteor_corpus_scores_matches_per_video_calls(monkeypatch):
     monkeypatch.setattr(M, '_PARALLEL_MIN_KEYS', 10)
     parallel = M.compute_meteor_corpus_scores(tasks)
     assert parallel == expected
+
+
+# ---------------------------------------------------------------------------
+# Native METEOR alignment engine (native/meteor_align.cc)
+# ---------------------------------------------------------------------------
+
+def _native_available():
+    from bmt_tpu.evaluation import meteor_native
+    return meteor_native.get_lib() is not None
+
+
+def test_meteor_native_engine_builds():
+    '''g++ is part of this environment — the native engine must build and
+    load (a skip here would hide a build regression).'''
+    assert _native_available()
+
+
+def test_meteor_native_matches_python_exhaustive(monkeypatch):
+    '''The batched native stats must equal the pure-Python best_ref_stats
+    EXACTLY (dataclass equality: every stage count, matches, chunks) on
+    randomized corpora that stress repeated words (beam tie-breaking),
+    stem-only matches, function words, empty hypotheses and empty
+    reference lists.'''
+    import random as _random
+    from bmt_tpu.evaluation import meteor as M
+
+    _random.seed(5)
+    vocab = ('man woman person runs running jumps jumped walks walking '
+             'throws threw ball field the a is are on in over and').split()
+
+    def sent(lo, hi):
+        return ' '.join(_random.choice(vocab)
+                        for _ in range(_random.randint(lo, hi)))
+
+    items = [(sent(0, 22), [sent(1, 25)
+                            for _ in range(_random.randint(1, 3))])
+             for _ in range(500)]
+    items += [('', ['a man runs']), ('a man runs', [])]
+
+    monkeypatch.setenv('BMT_METEOR_NATIVE', '1')
+    native = M._batch_best_ref_stats(items)
+    monkeypatch.setenv('BMT_METEOR_NATIVE', '0')
+    python = [M.best_ref_stats(h, refs) for h, refs in items]
+    assert native == python
+
+
+def test_meteor_native_synonyms_match_python(tmp_path, monkeypatch):
+    '''Synonym-stage candidates (synset-id intersection) go through the
+    native engine too, identically to the Python stage.'''
+    import json as _json
+    from bmt_tpu.evaluation import meteor as M
+
+    syn_path = tmp_path / 'synonyms.json'
+    _json.dump({'dog': ['n.canid.1', 'n.pet.2'], 'canine': ['n.canid.1'],
+                'cat': ['n.felid.1', 'n.pet.2'], 'runs': ['v.move.1'],
+                'sprints': ['v.move.1']}, open(syn_path, 'w'))
+    monkeypatch.setenv('METEOR_SYNONYMS', str(syn_path))
+    items = [('the canine sprints', ['the dog runs']),
+             ('a cat sat', ['the dog runs', 'a dog sat']),
+             ('dog cat dog', ['canine cat canine'])]
+    monkeypatch.setenv('BMT_METEOR_NATIVE', '1')
+    native = M._batch_best_ref_stats(items)
+    monkeypatch.setenv('BMT_METEOR_NATIVE', '0')
+    python = [M.best_ref_stats(h, refs) for h, refs in items]
+    assert native == python
+    # the synonym stage actually fired (stage-2 counts nonzero)
+    assert sum(native[0].tmc) and native[0].tmc[2] > 0
+
+
+def test_meteor_native_long_ref_falls_back_in_batch(monkeypatch):
+    '''References beyond the native 128-token bitset cap are aligned by
+    the Python fallback PER PAIR — the rest of the batch still goes
+    native, and results equal the pure-Python path.'''
+    from bmt_tpu.evaluation import meteor as M
+
+    long_ref = ' '.join(['word'] * 140)
+    items = [('a man runs', ['a man runs fast']),
+             ('word word other', [long_ref]),
+             ('the dog jumps', ['the dog jumps'])]
+    monkeypatch.setenv('BMT_METEOR_NATIVE', '1')
+    native = M._batch_best_ref_stats(items)
+    monkeypatch.setenv('BMT_METEOR_NATIVE', '0')
+    python = [M.best_ref_stats(h, refs) for h, refs in items]
+    assert native == python
+
+
+def test_meteor_native_disable_env(monkeypatch):
+    from bmt_tpu.evaluation import meteor_native
+    monkeypatch.setenv('BMT_METEOR_NATIVE', '0')
+    assert not meteor_native.enabled()
+    monkeypatch.delenv('BMT_METEOR_NATIVE')
+    assert meteor_native.enabled() == (_native_available())
+
+
+def test_meteor_native_threads_deterministic(monkeypatch):
+    '''Thread-count invariance: pairs are independent, so 1 thread and
+    many threads must produce identical statistics.'''
+    import random as _random
+    from bmt_tpu.evaluation import meteor as M
+
+    _random.seed(9)
+    words = 'man dog runs jumps the a is park fast and'.split()
+
+    def sent(n):
+        return ' '.join(_random.choice(words) for _ in range(n))
+
+    items = [(sent(_random.randint(4, 12)), [sent(_random.randint(5, 14))])
+             for _ in range(200)]
+    monkeypatch.setenv('BMT_METEOR_NATIVE', '1')
+    monkeypatch.setenv('BMT_METEOR_THREADS', '1')
+    one = M._batch_best_ref_stats(items)
+    monkeypatch.setenv('BMT_METEOR_THREADS', '8')
+    eight = M._batch_best_ref_stats(items)
+    assert one == eight
