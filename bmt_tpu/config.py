@@ -148,6 +148,7 @@ class Config:
         self.kv_cache_int8 = getattr(args, 'kv_cache_int8', False)
         self.ckpt_format = getattr(args, 'ckpt_format', 'npz')
         self.prng_impl = getattr(args, 'prng_impl', 'rbg')
+        self.optim_mu_dtype = getattr(args, 'optim_mu_dtype', 'float32')
         self.grad_accum_steps = getattr(args, 'grad_accum_steps', 1)
         self.length_sort_window = getattr(args, 'length_sort_window', 100)
         self.decode_strategy = getattr(args, 'decode_strategy', 'greedy')
@@ -345,6 +346,14 @@ def build_parser() -> argparse.ArgumentParser:
                         help='dropout PRNG: rbg (TPU hardware RNG, ~30%% '
                              'faster train step) or threefry2x32 '
                              '(bit-stable across shardings)')
+    parser.add_argument('--optim_mu_dtype', type=str, default='float32',
+                        choices=['float32', 'bfloat16'],
+                        help='dtype of Adam\'s first moment (mu): bfloat16 '
+                             'halves that optimizer-state HBM footprint and '
+                             'checkpoint bytes; the second moment (nu) '
+                             'always stays float32 (sqrt amplifies bf16 '
+                             'quantization of a variance). float32 default '
+                             'keeps exact reference optimizer parity')
     parser.add_argument('--grad_accum_steps', type=int, default=1,
                         help='microbatches per optimizer step (exact '
                              'full-batch gradient at 1/k activation '

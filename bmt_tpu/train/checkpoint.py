@@ -25,6 +25,11 @@ import numpy as np
 
 SEP = '/'
 
+try:
+    from ml_dtypes import bfloat16 as _BF16
+except ImportError:                                   # pragma: no cover
+    _BF16 = None
+
 
 # ---------------------------------------------------------------------------
 # native npz checkpoints with resume
@@ -39,7 +44,15 @@ def _flatten(tree, prefix=''):
         for i, v in enumerate(tree):
             out.update(_flatten(v, f'{prefix}{i}{SEP}'))
     else:
-        out[prefix[:-1]] = np.asarray(tree)
+        arr = np.asarray(tree)
+        if arr.dtype == _BF16:
+            # np.savez cannot serialize ml_dtypes.bfloat16; upcast to
+            # float32 (lossless: bf16 is a truncated f32) — the load path
+            # casts back to the template leaf's bf16 (also lossless), so
+            # the round trip is bit-exact. Used by the low-precision
+            # optimizer-state option (--optim_mu_dtype bfloat16).
+            arr = arr.astype(np.float32)
+        out[prefix[:-1]] = arr
     return out
 
 
@@ -93,6 +106,14 @@ def _restore_into(data: Dict[str, np.ndarray], like, origin: str):
                 f'{origin}: array {key!r} has shape {tuple(arr.shape)} but '
                 f'the restore template expects {tuple(tpl_shape)} — the '
                 f'checkpoint was written for a different architecture')
+        if (_BF16 is not None and getattr(t, 'dtype', None) == _BF16
+                and arr.dtype != _BF16):
+            # bf16 leaves are stored upcast to f32 (np.savez cannot hold
+            # ml_dtypes.bfloat16); restore the template's dtype — exact,
+            # since the f32 came from a bf16. Only bf16 templates cast:
+            # any other dtype mismatch should stay visible, not be
+            # silently coerced.
+            arr = arr.astype(_BF16)
         return arr
 
     return rebuild(like), used

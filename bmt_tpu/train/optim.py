@@ -43,9 +43,18 @@ def build_optimizer(cfg, frozen_mask=None) -> optax.GradientTransformation:
         chain.append(decay)
 
     if cfg.optimizer == 'adam':
+        # --optim_mu_dtype bfloat16 stores Adam's FIRST moment in bf16:
+        # halves that state's HBM traffic and checkpoint bytes. The
+        # second moment stays fp32 — it is a variance whose dynamic
+        # range bf16's 8-bit mantissa degrades (sqrt amplifies the
+        # quantization), while the first moment is smooth and tolerant
+        # (standard mixed-precision practice). npz checkpoints round-trip
+        # bf16 exactly via an f32 upcast (train/checkpoint.py:_flatten).
+        mu_dtype = getattr(cfg, 'optim_mu_dtype', 'float32') or 'float32'
         chain.append(optax.scale_by_adam(b1=getattr(cfg, 'beta1', 0.9),
                                          b2=getattr(cfg, 'beta2', 0.999),
-                                         eps=getattr(cfg, 'eps', 1e-8)))
+                                         eps=getattr(cfg, 'eps', 1e-8),
+                                         mu_dtype=mu_dtype))
     elif cfg.optimizer == 'sgd':
         mom = getattr(cfg, 'momentum', 0.0)
         if mom:

@@ -432,3 +432,25 @@ def test_orbax_meta_rejects_unserializable(tmp_path):
     with pytest.raises(TypeError):
         save_checkpoint_orbax(str(tmp_path), params,
                               {'config': {}, 'bad': object()})
+
+
+def test_bf16_leaf_npz_roundtrip_bit_exact(tmp_path):
+    '''bf16 leaves (e.g. Adam mu under --optim_mu_dtype bfloat16) survive
+    the npz round trip bit-exactly: np.savez cannot hold
+    ml_dtypes.bfloat16, so _flatten upcasts to f32 (lossless) and
+    _restore_into casts back to the template's bf16 (lossless).'''
+    import jax.numpy as jnp
+    from bmt_tpu.train.checkpoint import load_pytree_npz, save_pytree_npz
+    rng = np.random.default_rng(7)
+    mu = jnp.asarray(rng.normal(size=(16, 8)), jnp.bfloat16)
+    tree = {'mu': mu, 'nu': np.abs(rng.normal(size=(16, 8))
+                                   ).astype(np.float32)}
+    p = str(tmp_path / 'opt.npz')
+    save_pytree_npz(p, tree)
+    got = load_pytree_npz(p, jax.tree.map(np.zeros_like, tree))
+    assert got['mu'].dtype == jnp.bfloat16
+    assert got['nu'].dtype == np.float32
+    np.testing.assert_array_equal(
+        np.asarray(got['mu']).view(np.uint16),
+        np.asarray(mu).view(np.uint16))        # bit-exact
+    np.testing.assert_array_equal(got['nu'], tree['nu'])

@@ -158,3 +158,31 @@ def test_plateau_none_factor_uses_torch_defaults():
     for _ in range(12):           # exceed the default patience of 10
         lr = s.step(6.0)
     assert lr == 0.1              # reduced once by the default factor
+
+
+def test_bf16_mu_dtype_option():
+    '''--optim_mu_dtype bfloat16 stores Adam's first moment bf16 (halved
+    optimizer-state HBM) while the second moment stays fp32; updates
+    remain finite and close to the fp32-mu optimizer.'''
+    class _MuCfg(_Cfg):
+        optim_mu_dtype = 'bfloat16'
+
+    params = {'w': jnp.ones((8, 4)) * 0.5}
+    grads = {'w': jnp.full((8, 4), 0.3)}
+
+    tx = build_optimizer(_MuCfg())
+    state = tx.init(params)
+    adam_states = [s for s in jax.tree_util.tree_flatten(
+                       state, is_leaf=lambda n: hasattr(n, 'mu'))[0]
+                   if hasattr(s, 'mu')]
+    assert adam_states, 'no scale_by_adam state found'
+    assert all(s.mu['w'].dtype == jnp.bfloat16 for s in adam_states)
+    assert all(s.nu['w'].dtype == jnp.float32 for s in adam_states)
+
+    upd, state = tx.update(grads, state, params)
+    tx32 = build_optimizer(_Cfg())
+    upd32, _ = tx32.update(grads, tx32.init(params), params)
+    assert np.isfinite(np.asarray(upd['w'])).all()
+    np.testing.assert_allclose(np.asarray(upd['w']),
+                               np.asarray(upd32['w']),
+                               rtol=0, atol=1e-4)
