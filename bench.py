@@ -14,7 +14,7 @@ four timings are reported as extra fields of the ONE output JSON line:
 
 {"metric", "value", "unit", "vs_baseline",
  "decode_xla_caps_per_sec", "decode_pallas_caps_per_sec", "decode_impl",
- "decode_int8kv_caps_per_sec",
+ "decode_int8kv_caps_per_sec", "decode_int8w_caps_per_sec",
  "train_samples_per_sec", "train_step_ms", "train_mfu",
  "train_xla_ms", "train_pallas_ms", "train_impl"}
 
@@ -141,6 +141,24 @@ def main():
         decode_q8 = B / _time_best(q8_decode, iters=ITERS, reps=REPS)
     except Exception as e:
         print(f'decode[int8kv] failed: {type(e).__name__}: {e}',
+              file=sys.stderr)
+
+    # optional weight-only int8 decode (--weights_int8, ops/quant.py),
+    # composed with the int8 KV cache — the full quantized serving path.
+    # Also a field, not the headline, for the same parity reason.
+    decode_w8 = None
+    try:
+        from bmt_tpu.ops.quant import quantize_tree_int8
+        params_w8 = quantize_tree_int8(params_bf16)
+
+        def w8_decode():
+            return greedy_decode_bimodal(params_w8, dims, stacks, MAX_LEN,
+                                         2, END_IDX, 1, kv_int8=True)
+        _warmup(w8_decode)
+        _warmup(w8_decode)
+        decode_w8 = B / _time_best(w8_decode, iters=ITERS, reps=REPS)
+    except Exception as e:
+        print(f'decode[int8w] failed: {type(e).__name__}: {e}',
               file=sys.stderr)
 
     # ---- reference decode algorithm on the same chip ----------------------
@@ -326,6 +344,8 @@ def main():
             result[f'train_{impl}_ms'] = round(train_ms[impl], 3)
     if decode_q8 is not None:
         result['decode_int8kv_caps_per_sec'] = round(decode_q8, 2)
+    if decode_w8 is not None:
+        result['decode_int8w_caps_per_sec'] = round(decode_w8, 2)
     if prop_ms is not None:
         result['prop_train_step_ms'] = round(prop_ms, 3)
         result['prop_train_videos_per_sec'] = round(

@@ -146,6 +146,7 @@ class Config:
         self.remat = getattr(args, 'remat', False)
         self.attention_impl = getattr(args, 'attention_impl', 'xla')
         self.kv_cache_int8 = getattr(args, 'kv_cache_int8', False)
+        self.weights_int8 = getattr(args, 'weights_int8', False)
         self.ckpt_format = getattr(args, 'ckpt_format', 'npz')
         self.prng_impl = getattr(args, 'prng_impl', 'rbg')
         self.optim_mu_dtype = getattr(args, 'optim_mu_dtype', 'float32')
@@ -336,6 +337,16 @@ def build_parser() -> argparse.ArgumentParser:
                              '~17%% faster greedy decode, small quantization '
                              'noise on the logits (off by default to keep '
                              'reference decode parity exact)')
+    parser.add_argument('--weights_int8', action='store_true',
+                        default=False,
+                        help='inference decode with weight-only int8 '
+                             'linears (per-channel scales, dynamic '
+                             'activation quant, int8 MXU matmuls): halves '
+                             'decode weight HBM traffic; composes with '
+                             '--kv_cache_int8. Small logit quantization '
+                             'noise (off by default for exact parity); '
+                             'inference surfaces only — training always '
+                             'runs full precision')
     parser.add_argument('--ckpt_format', type=str, default='npz',
                         choices=['npz', 'orbax'],
                         help='native checkpoint backend: flat npz (default) '

@@ -20,6 +20,7 @@ from bmt_tpu.ops.attention import (cross_attention_step, init_mha,
                                    self_attention_step)
 from bmt_tpu.ops.layers import (bridge, feed_forward, init_bridge, init_ffn,
                                 init_layer_norm, layer_norm, residual)
+from bmt_tpu.ops.quant import linear_out_dim
 
 
 # ---------------------------------------------------------------------------
@@ -153,7 +154,7 @@ def init_unimodal_decode_state(params, memory, H: int, max_len: int,
     B = cache_batch if cache_batch is not None else memory.shape[0]
     state = []
     for p in params['layers']:
-        d_model = p['self_att']['k2d']['w'].shape[1]
+        d_model = linear_out_dim(p['self_att']['k2d'])
         d_k = d_model // H
         state.append({
             'kv_mem': precompute_kv(p['enc_att'], memory, H,
@@ -212,7 +213,7 @@ def init_decode_state(params, Av, Va, H: int, max_len: int, dtype=jnp.float32,
     B = cache_batch if cache_batch is not None else Av.shape[0]
     state = []
     for p in params['layers']:
-        d_model = p['self_att']['k2d']['w'].shape[1]
+        d_model = linear_out_dim(p['self_att']['k2d'])
         d_k = d_model // H
         state.append({
             'kvA': precompute_kv(p['enc_att_A'], Av, H, quantize=kv_int8,

@@ -9,3 +9,5 @@ from bmt_tpu.ops.layers import (
     vocabulary_embed, init_vocab_embedder,
     feature_embed, init_feature_embedder,
 )
+from bmt_tpu.ops.quant import (qlinear, quantize_linear_int8,
+                               quantize_tree_int8, count_quantized)

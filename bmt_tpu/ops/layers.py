@@ -44,6 +44,13 @@ def init_linear(key, d_in: int, d_out: int, dtype=jnp.float32) -> dict:
 
 
 def linear(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    if 'w_q' in params:
+        # weight-only int8 leaf (ops/quant.py): every linear in the model
+        # funnels through here, so quantizing a param subtree transparently
+        # switches MHA projections, FFNs, bridges, adapters and the LM head
+        # to the int8 MXU path — no call-site changes
+        from bmt_tpu.ops.quant import qlinear
+        return qlinear(params, x)
     return x @ params['w'] + params['b']
 
 

@@ -179,7 +179,14 @@ def eval_on_learned_props(args_cfg: Config):
                      if getattr(cfg, 'compute_dtype', 'float32') == 'bfloat16'
                      else jnp.float32)
     dp = DataParallel(getattr(args_cfg, 'dp_devices', None))
-    decode_params = cast_tree(dp.replicate_tree(params), compute_dtype)
+    if getattr(args_cfg, 'weights_int8', False):
+        # quantize AFTER the dtype cast and BEFORE replication, so the
+        # mesh carries the int8 tree (ops/quant.py; scales stay f32)
+        from bmt_tpu.ops.quant import quantize_tree_int8
+        params = quantize_tree_int8(cast_tree(params, compute_dtype))
+        decode_params = dp.replicate_tree(params)
+    else:
+        decode_params = cast_tree(dp.replicate_tree(params), compute_dtype)
     decode_fn = make_decode_fn(greedy_fn, dp, compute_dtype)
 
     metrics = validation_1by1(cfg, decode_params, decode_fn, pred_prop_ds,

@@ -44,6 +44,10 @@ def build_parser():
     p.add_argument('--attention_impl', default='xla',
                    choices=['xla', 'pallas'])
     p.add_argument('--kv_cache_int8', action='store_true')
+    p.add_argument('--weights_int8', action='store_true',
+                   help='weight-only int8 decode (per-channel scales, '
+                        'int8 MXU matmuls) — halves weight HBM traffic; '
+                        'small logit quantization noise')
     p.add_argument('--compute_dtype', default='bfloat16',
                    choices=['bfloat16', 'float32'])
     p.add_argument('--warmup_shapes', default='96x256',
@@ -112,6 +116,7 @@ def main(argv=None, block=True):
         start_token=cfg.start_token, end_token=cfg.end_token,
         pad_token=cfg.pad_token, max_batch=args.max_batch,
         attention_impl=args.attention_impl, kv_int8=args.kv_cache_int8,
+        weights_int8=args.weights_int8,
         compute_dtype=jnp.bfloat16
         if args.compute_dtype == 'bfloat16' else None, dp=dp,
         decode_fn=decode_fn)

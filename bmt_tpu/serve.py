@@ -66,7 +66,8 @@ class CaptionEngine:
                  start_token: str = '<s>', end_token: str = '</s>',
                  pad_token: str = '<blank>', max_batch: int = 64,
                  attention_impl: str = 'xla', kv_int8: bool = False,
-                 compute_dtype=None, dp=None, decode_fn=None):
+                 weights_int8: bool = False, compute_dtype=None, dp=None,
+                 decode_fn=None):
         '''``dp``: a ``bmt_tpu.parallel.DataParallel`` to shard decode
         batches across chips (params replicated, batch split over the dp
         axis — the same recipe the validation loops use). Batch buckets
@@ -92,6 +93,13 @@ class CaptionEngine:
                 lambda x: x.astype(compute_dtype)
                 if hasattr(x, 'dtype') and x.dtype == jnp.float32 else x,
                 params)
+        if weights_int8:
+            # after the compute_dtype cast (scales/accumulators stay f32
+            # inside qlinear regardless) and BEFORE dp replication, so the
+            # mesh holds the int8 tree — half the replicated weight HBM
+            from bmt_tpu.ops.quant import quantize_tree_int8
+            params = quantize_tree_int8(params)
+        self.weights_int8 = weights_int8
         self.decode_fn = decode_fn
         self.dp = dp if (dp is not None and dp.n_dp > 1) else None
         if self.dp is not None:
@@ -570,7 +578,10 @@ def export_decode(params, dims, batch: int, Sv: int, Sa: int,
 
     p_spec = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), params)
-    dt = next(iter(jax.tree.leaves(params))).dtype
+    # feature dtype follows the params' float dtype (not simply the first
+    # leaf: a weights_int8 tree's first leaf may be an int8 weight)
+    dt = next(x.dtype for x in jax.tree.leaves(params)
+              if jnp.issubdtype(x.dtype, jnp.floating))
     s_spec = {'rgb': jax.ShapeDtypeStruct((batch, Sv, dims.d_vid), dt),
               'flow': jax.ShapeDtypeStruct((batch, Sv, dims.d_vid), dt),
               'audio': jax.ShapeDtypeStruct((batch, Sa, dims.d_aud), dt)}
