@@ -120,9 +120,18 @@ class CaptioningDataset:
             return 1
         return max(min(e, S) - max(s, 0), 1)
 
-    def make_batch(self, indices: List[int]) -> dict:
+    def make_batch(self, indices: List[int],
+                   local_rows: Optional[tuple] = None) -> dict:
         '''Assemble one fixed-shape batch. The feature hot path goes through
-        the native C++ loader (mmap + thread pool) when built.'''
+        the native C++ loader (mmap + thread pool) when built.
+
+        ``local_rows=(lo, hi)``: per-host sharded input pipeline — feature
+        IO runs only for batch rows [lo, hi) (the rows this process's
+        chips will actually receive under the dp sharding; see
+        ``DataParallel.local_rows``). Other rows stay zero and are never
+        transferred. Batch GEOMETRY (sequence buckets) is still computed
+        over all rows from the memoized npy headers, so every host
+        compiles and runs the same shapes.'''
         rows = [self.rows[i] for i in indices]
         captions = [self._encoded[i] for i in indices]
 
@@ -140,6 +149,22 @@ class CaptioningDataset:
         ends = [r['end'] for r in rows]
         durs = [r['duration'] for r in rows]
         full = [0] * len(rows)
+
+        def _load(paths, pad, S, D):
+            # feature IO restricted to this host's dp row block; non-local
+            # rows stay zero (device_put never transfers them)
+            if local_rows is None:
+                return batch_load(paths, starts, ends, durs, full, pad, S,
+                                  D)
+            lo = max(local_rows[0], 0)
+            hi = min(local_rows[1], len(paths))
+            out = np.zeros((len(paths), S, D), np.float32)
+            st = np.zeros((len(paths),), np.int32)
+            if hi > lo:
+                out[lo:hi], st[lo:hi] = batch_load(
+                    paths[lo:hi], starts[lo:hi], ends[lo:hi], durs[lo:hi],
+                    full[lo:hi], pad, S, D)
+            return out, st
 
         src = {}
         if 'video' in self.cfg.modality:
@@ -161,10 +186,8 @@ class CaptioningDataset:
                       f'VIDEO_BUCKETS if long segments matter',
                       file=_sys.stderr)
             Sv = bucket_len(max_v, VIDEO_BUCKETS)
-            rgb, st_r = batch_load(rgb_paths, starts, ends, durs, full,
-                                   self.pad_idx, Sv, self.cfg.d_vid)
-            flow, st_f = batch_load(flow_paths, starts, ends, durs, full,
-                                    0.0, Sv, self.cfg.d_vid)
+            rgb, st_r = _load(rgb_paths, self.pad_idx, Sv, self.cfg.d_vid)
+            flow, st_f = _load(flow_paths, 0.0, Sv, self.cfg.d_vid)
             # a video missing EITHER stream zero-fills BOTH, like the
             # reference (load_features.py loads rgb+flow in one try block
             # — a real rgb summed with an absent flow is a feature vector
@@ -197,8 +220,8 @@ class CaptioningDataset:
                       f'truncated; extend AUDIO_BUCKETS if long segments '
                       f'matter', file=_sys.stderr)
             Sa = bucket_len(max_a, AUDIO_BUCKETS)
-            src['audio'], _ = batch_load(aud_paths, starts, ends, durs, full,
-                                         self.pad_idx, Sa, self.cfg.d_aud)
+            src['audio'], _ = _load(aud_paths, self.pad_idx, Sa,
+                                    self.cfg.d_aud)
 
         return {
             'src': src,
@@ -226,7 +249,8 @@ class CaptioningDataset:
         return self._sort_lens_cache
 
     def batches(self, epoch: int = 0, shuffle: Optional[bool] = None,
-                seed: int = 0, prefetch: int = 2) -> Iterator[dict]:
+                seed: int = 0, prefetch: int = 2,
+                local_rows: Optional[tuple] = None) -> Iterator[dict]:
         '''Yield batches for one epoch; deterministic per (seed, epoch).
 
         Shuffled epochs use torchtext-BucketIterator-style windowed length
@@ -259,7 +283,9 @@ class CaptioningDataset:
                          for i in range(0, len(order), self.batch_size)]
         if shuffle and window > 1:
             rng.shuffle(index_batches)
-        yield from _prefetched(self.make_batch, index_batches, prefetch)
+        make = (self.make_batch if local_rows is None else
+                (lambda idx: self.make_batch(idx, local_rows)))
+        yield from _prefetched(make, index_batches, prefetch)
 
 
 def _prefetched(make_batch, index_batches, depth: int):

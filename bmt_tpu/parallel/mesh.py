@@ -103,14 +103,28 @@ def shard_batch(mesh: Mesh, batch):
     rsh = replicate(mesh)
     sp = mesh.shape.get('sp', 1)
     seq_sh = NamedSharding(mesh, P('dp', 'sp')) if sp > 1 else None
+    multiproc = jax.process_count() > 1
+
+    def place(x, sh):
+        if not multiproc:
+            return jax.device_put(x, sh)
+        # multi-host: assemble the global array from this process's
+        # addressable shards only. A plain device_put would (a) run
+        # multihost_utils.assert_equal over the full host value — extra
+        # cross-host traffic per batch — and (b) reject per-host input
+        # pipelines outright (the loaders fill only their own dp rows;
+        # see DataParallel.local_rows).
+        dmap = sh.addressable_devices_indices_map(x.shape)
+        shards = [jax.device_put(x[idx], d) for d, idx in dmap.items()]
+        return jax.make_array_from_single_device_arrays(x.shape, sh, shards)
 
     def put(x):
         x = np.asarray(x)
         if x.ndim == 0:
-            return jax.device_put(x, rsh)
+            return place(x, rsh)
         if seq_sh is not None and x.ndim == 3 and x.shape[1] % sp == 0:
-            return jax.device_put(x, seq_sh)
-        return jax.device_put(x, bsh)
+            return place(x, seq_sh)
+        return place(x, bsh)
 
     return jax.tree.map(put, batch)
 
@@ -176,6 +190,42 @@ class DataParallel:
             out_shardings=(self.repl_sh, self.repl_sh),
             donate_argnums=donate,
             **jit_kwargs)
+
+    def local_rows(self, B: int):
+        '''This process's contiguous row block [lo, hi) of a (B, ...) batch
+        under the dp sharding — the per-host slice of the global batch on a
+        multi-host pod.
+
+        ``jax.device_put`` only ever transfers a process's ADDRESSABLE
+        shards, so a host that fills the other processes' rows with zeros
+        ships exactly the same bytes to its chips as one that loaded
+        everything: the data loaders use this slice to skip feature IO for
+        rows this host will never transfer (per-host sharded input
+        pipeline). Returns None when the whole batch is local
+        (single-process) or when this process's rows are non-contiguous
+        under the device order (callers then load everything — correct,
+        just without the IO saving).
+        '''
+        if jax.process_count() == 1:
+            return None
+        pid = jax.process_index()
+        rows = []
+        for dev, idx in self.batch_sh.devices_indices_map((B,)).items():
+            if dev.process_index != pid:
+                continue
+            sl = idx[0]
+            lo = sl.start or 0
+            hi = sl.stop if sl.stop is not None else B
+            rows.append((lo, hi))
+        if not rows:
+            return (0, 0)
+        rows.sort()
+        lo, hi = rows[0]
+        for s, e in rows[1:]:
+            if s != hi:
+                return None  # non-contiguous: fall back to full loading
+            hi = e
+        return (lo, hi)
 
     def jit_eval(self, fn, **jit_kwargs):
         '''jit a (params, batch) -> out eval/decode step; output stays

@@ -52,8 +52,14 @@ def train_epoch_cap(train_step, state, dataset, epoch: int, logger=None,
     ctx = trace(profile_dir) if profiling else None
     if ctx is not None:
         ctx.__enter__()
+    # per-host sharded input pipeline: on a multi-host pod each process
+    # loads feature files only for its own dp row block (None single-host;
+    # the kwarg is only passed when live so duck-typed datasets without
+    # multi-host support keep working)
+    local_rows = dp.local_rows(dataset.batch_size) if dp is not None else None
+    kw = {} if local_rows is None else {'local_rows': local_rows}
     try:
-        for batch in dataset.batches(epoch=epoch, seed=seed):
+        for batch in dataset.batches(epoch=epoch, seed=seed, **kw):
             # Tail batches are repeat-padded to the compiled batch size and
             # masked out of the loss via 'row_valid' (reference trains on
             # every row: captioning_epoch_loops.py:122-149); shapes stay
@@ -88,7 +94,9 @@ def validate_next_word(val_step, params, dataset, epoch: int,
     '''Next-word validation loss (reference:
     captioning_epoch_loops.py:152-172).'''
     total, n = 0.0, 0
-    for batch in dataset.batches(epoch=0, shuffle=False):
+    local_rows = dp.local_rows(dataset.batch_size) if dp is not None else None
+    kw = {} if local_rows is None else {'local_rows': local_rows}
+    for batch in dataset.batches(epoch=0, shuffle=False, **kw):
         B = dataset.batch_size
         n_valid = len(batch['video_ids'])
         batch = _pad_batch_to(batch, B)

@@ -43,6 +43,28 @@ def main():
                          for leaf in jax.tree.leaves(state.params)))
     print(f'RESULT {loss:.8f} {checksum:.8f}', flush=True)
 
+    # per-host sharded input pipeline: each process owns a contiguous dp
+    # row block of the global batch; zeroing every OTHER process's rows
+    # before shard() must be invisible (device_put only transfers this
+    # process's addressable shards) — the exact contract the captioning
+    # loader's local_rows IO skip relies on
+    lr = dp.local_rows(4)
+    assert lr == ((0, 2) if jax.process_index() == 0 else (2, 4)), lr
+    batch2 = make_batch()
+    for m, arr in batch2['src'].items():
+        arr = arr.copy()
+        arr[:lr[0]] = 0.0
+        arr[lr[1]:] = 0.0
+        batch2['src'][m] = arr
+    state2 = init_train_state(params, optimizer)
+    state2 = state2._replace(params=dp.replicate_tree(state2.params),
+                             opt_state=dp.replicate_tree(state2.opt_state))
+    state2, metrics2 = step(state2, dp.shard(batch2))
+    assert float(metrics2['loss']) == loss, (float(metrics2['loss']), loss)
+    checksum2 = float(sum(jnp.sum(jnp.abs(leaf))
+                          for leaf in jax.tree.leaves(state2.params)))
+    assert checksum2 == checksum, (checksum2, checksum)
+
     # orbax COLLECTIVE save across both processes (the pod code path:
     # every process participates in the array writes, process 0 writes the
     # meta sidecar), then a restore that must reproduce the params

@@ -409,3 +409,81 @@ def test_prop_dataset_stale_cache_zero_fills(tmp_path, monkeypatch):
     assert np.all(batch['src']['rgb'][1, 0] == 0.0)
     assert np.all(batch['src']['flow'][1] == 0.0)
     assert not np.all(batch['src']['rgb'][0, :8] == 1.0)  # intact video
+
+
+def test_make_batch_local_rows(tmp_path):
+    '''Per-host sharded input pipeline: with local_rows=(lo, hi) the batch
+    must be identical to the full load on rows [lo, hi) and on every
+    non-feature key (geometry, captions, timestamps come from memoized
+    headers/metadata so every host agrees), while non-local audio rows
+    stay zero (feature IO skipped).'''
+    from bmt_tpu.data.captioning import CaptioningDataset
+
+    cfg = _length_spread_dataset(tmp_path, n=8, batch_size=8)
+    ds = CaptioningDataset(cfg, 'train')
+
+    full = ds.make_batch(list(range(8)))
+    part = ds.make_batch(list(range(8)), local_rows=(2, 5))
+
+    # identical geometry and metadata on all hosts
+    for k in ('caption', 'starts', 'ends'):
+        np.testing.assert_array_equal(full[k], part[k])
+    assert full['video_ids'] == part['video_ids']
+    for m in ('rgb', 'flow', 'audio'):
+        assert full['src'][m].shape == part['src'][m].shape
+        # the local block is bit-identical to the full load
+        np.testing.assert_array_equal(full['src'][m][2:5],
+                                      part['src'][m][2:5])
+    # non-local rows were never read (audio has no joint-fill rewrite)
+    np.testing.assert_array_equal(part['src']['audio'][:2], 0.0)
+    np.testing.assert_array_equal(part['src']['audio'][5:], 0.0)
+
+    # batches() plumbs local_rows through the prefetcher
+    b = next(iter(ds.batches(epoch=0, shuffle=False, prefetch=0,
+                             local_rows=(0, 4))))
+    assert np.abs(b['src']['audio'][4:]).sum() == 0.0
+    assert np.abs(b['src']['audio'][:4]).sum() > 0.0
+
+
+def test_local_rows_merge_logic():
+    '''DataParallel.local_rows: None single-process; on simulated
+    multi-process shardings the per-process blocks merge when contiguous
+    and fall back (None) when interleaved.'''
+    from types import SimpleNamespace
+    from bmt_tpu.parallel import DataParallel
+
+    dp = DataParallel(2)
+    assert dp.local_rows(8) is None   # single process: load everything
+
+    class FakeSharding:
+        def __init__(self, mapping):
+            self.mapping = mapping
+
+        def devices_indices_map(self, shape):
+            return self.mapping
+
+    class dev:  # hashable fake device (SimpleNamespace is not)
+        def __init__(self, pid):
+            self.process_index = pid
+
+    import unittest.mock as mock
+    with mock.patch('jax.process_count', return_value=2), \
+            mock.patch('jax.process_index', return_value=0):
+        # contiguous: two local devices own [0,2) and [2,4) of 8 rows
+        fake = SimpleNamespace(batch_sh=FakeSharding(dict(
+            [(dev(0), (slice(0, 2),)), (dev(0), (slice(2, 4),)),
+             (dev(1), (slice(4, 8),))])))
+        assert DataParallel.local_rows(fake, 8) == (0, 4)
+        # interleaved rows -> fall back to full loading
+        fake2 = SimpleNamespace(batch_sh=FakeSharding(dict(
+            [(dev(0), (slice(0, 2),)), (dev(1), (slice(2, 4),)),
+             (dev(0), (slice(4, 6),)), (dev(1), (slice(6, 8),))])))
+        assert DataParallel.local_rows(fake2, 8) is None
+        # no local devices at all -> empty block (loads nothing)
+        fake3 = SimpleNamespace(batch_sh=FakeSharding(
+            {dev(1): (slice(0, 8),)}))
+        assert DataParallel.local_rows(fake3, 8) == (0, 0)
+        # open-ended slices normalize against B
+        fake4 = SimpleNamespace(batch_sh=FakeSharding(
+            {dev(0): (slice(None, None),)}))
+        assert DataParallel.local_rows(fake4, 8) == (0, 8)
