@@ -110,7 +110,8 @@ class ProposalDataset:
             return len(self.video_ids) // self.batch_size  # drop_last
         return (len(self.video_ids) + self.batch_size - 1) // self.batch_size
 
-    def make_batch(self, video_ids: List[str]) -> dict:
+    def make_batch(self, video_ids: List[str],
+                   local_rows: Optional[tuple] = None) -> dict:
         '''Full padded stacks for B videos through the native batch loader
         (mmap + C++ thread pool — the same hot path the captioning dataset
         uses; numpy fallback is bit-identical). Unreadable files zero-fill
@@ -118,30 +119,50 @@ class ProposalDataset:
         cache degrades to zero features instead of crashing mid-epoch, and
         a missing/short rgb or flow stream zero-fills BOTH (the summed
         rgb+flow must never mix real frames of one stream with pads of the
-        other).'''
+        other).
+
+        ``local_rows=(lo, hi)``: per-host sharded input pipeline — feature
+        IO runs only for rows [lo, hi) (this process's dp block; see
+        ``DataParallel.local_rows``); non-local rows stay zero and are
+        never transferred. Proposal pad lengths are config-fixed, so
+        batch geometry is host-independent by construction. Targets
+        (centers/lengths/valid) come from in-memory metadata and stay
+        global.'''
         from bmt_tpu.data.native import batch_load, npy_shape
         B = len(video_ids)
-        zeros = [0.0] * B
-        ones_d = [1.0] * B
-        full = [1] * B
+        lo, hi = (0, B) if local_rows is None else (
+            max(local_rows[0], 0), min(local_rows[1], B))
+        n_loc = max(hi - lo, 0)
+        zeros = [0.0] * n_loc
+        ones_d = [1.0] * n_loc
+        full = [1] * n_loc
         pads = getattr(self.cfg, 'pad_feats_up_to', None) or {
             'video': self.cfg.pad_video_feats_up_to,
             'audio': self.cfg.pad_audio_feats_up_to}
+
+        def _load(paths, pad, S, D):
+            out = np.zeros((B, S, D), np.float32)
+            st = np.zeros((B,), np.int32)
+            if n_loc:
+                out[lo:hi], st[lo:hi] = batch_load(
+                    paths[lo:hi], zeros, zeros, ones_d, full, pad, S, D)
+            return out, st
+
         src = {}
         if 'video' in self.modality:
             rgb_paths = [os.path.join(self.cfg.video_features_path,
                                       f'{v}_rgb.npy') for v in video_ids]
             flow_paths = [os.path.join(self.cfg.video_features_path,
                                        f'{v}_flow.npy') for v in video_ids]
-            rgb, st_r = batch_load(rgb_paths, zeros, zeros, ones_d, full,
-                                   self.pad_idx, pads['video'],
-                                   self.cfg.d_vid)
-            flow, st_f = batch_load(flow_paths, zeros, zeros, ones_d, full,
-                                    0.0, pads['video'], self.cfg.d_vid)
+            rgb, st_r = _load(rgb_paths, self.pad_idx, pads['video'],
+                              self.cfg.d_vid)
+            flow, st_f = _load(flow_paths, 0.0, pads['video'],
+                               self.cfg.d_vid)
             either = (st_r | st_f).astype(bool)
-            for i, (rp, fp) in enumerate(zip(rgb_paths, flow_paths)):
+            for i in range(lo, hi):   # lockstep check: local rows only
                 try:
-                    if npy_shape(rp)[0] != npy_shape(fp)[0]:
+                    if npy_shape(rgb_paths[i])[0] != \
+                            npy_shape(flow_paths[i])[0]:
                         either[i] = True   # I3D lockstep violated
                 except FileNotFoundError:
                     pass                   # already status-flagged
@@ -153,9 +174,8 @@ class ProposalDataset:
         if 'audio' in self.modality:
             aud_paths = [os.path.join(self.cfg.audio_features_path,
                                       f'{v}.npy') for v in video_ids]
-            src['audio'], _ = batch_load(aud_paths, zeros, zeros, ones_d,
-                                         full, self.pad_idx, pads['audio'],
-                                         self.cfg.d_aud)
+            src['audio'], _ = _load(aud_paths, self.pad_idx, pads['audio'],
+                                    self.cfg.d_aud)
 
         E = self.max_events
         centers = np.zeros((B, E), np.float32)
@@ -180,7 +200,8 @@ class ProposalDataset:
         }
 
     def batches(self, epoch: int = 0, shuffle: Optional[bool] = None,
-                seed: int = 0, prefetch: int = 2) -> Iterator[dict]:
+                seed: int = 0, prefetch: int = 2,
+                local_rows: Optional[tuple] = None) -> Iterator[dict]:
         from bmt_tpu.data.captioning import _prefetched
         if shuffle is None:
             shuffle = self.phase == 'train'
@@ -193,4 +214,6 @@ class ProposalDataset:
             groups = [ids[i:i + B] for i in range(0, len(ids) - B + 1, B)]
         else:
             groups = [ids[i:i + B] for i in range(0, len(ids), B)]
-        yield from _prefetched(self.make_batch, groups, prefetch)
+        make = (self.make_batch if local_rows is None else
+                (lambda vids: self.make_batch(vids, local_rows)))
+        yield from _prefetched(make, groups, prefetch)

@@ -217,7 +217,11 @@ def train_epoch_prop(train_step, state, dataset, epoch: int, logger=None,
     proposal_epoch_loops.py:27-63).'''
     total, n = 0.0, 0
     acc: dict = {}
-    for batch in dataset.batches(epoch=epoch, seed=seed):
+    # per-host sharded input pipeline (see train_epoch_cap); the fixed
+    # proposal pad lengths make batch geometry host-independent trivially
+    local_rows = dp.local_rows(dataset.batch_size) if dp is not None else None
+    kw = {} if local_rows is None else {'local_rows': local_rows}
+    for batch in dataset.batches(epoch=epoch, seed=seed, **kw):
         dev = _device_batch(batch, ('src', 'centers', 'lengths', 'valid'))
         if dp is not None:
             dev = dp.shard(dev)

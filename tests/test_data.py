@@ -487,3 +487,62 @@ def test_local_rows_merge_logic():
         fake4 = SimpleNamespace(batch_sh=FakeSharding(
             {dev(0): (slice(None, None),)}))
         assert DataParallel.local_rows(fake4, 8) == (0, 8)
+
+
+def test_prop_make_batch_local_rows(tmp_path):
+    '''ProposalDataset per-host input pipeline: local rows bit-identical
+    to the full load, non-local feature rows zero (IO skipped), targets
+    and metadata global.'''
+    rng = np.random.default_rng(9)
+    (tmp_path / 'v').mkdir()
+    (tmp_path / 'a').mkdir()
+    rows = []
+    for i in range(4):
+        vid = f'v_p{i}'
+        np.save(tmp_path / 'v' / f'{vid}_rgb.npy',
+                rng.normal(size=(8, 4)).astype(np.float32))
+        np.save(tmp_path / 'v' / f'{vid}_flow.npy',
+                rng.normal(size=(8, 4)).astype(np.float32))
+        np.save(tmp_path / 'a' / f'{vid}.npy',
+                rng.normal(size=(6, 3)).astype(np.float32))
+        rows.append((vid, 'a man runs', 1.0, 8.0, 10.0, 'train', i))
+    meta = tmp_path / 'train.csv'
+    with open(meta, 'w') as f:
+        f.write('video_id\tcaption\tstart\tend\tduration\tphase\tidx\n')
+        for r in rows:
+            f.write('\t'.join(map(str, r)) + '\n')
+
+    from bmt_tpu.config import Config
+    cfg = Config.from_dict({
+        'train_meta_path': str(meta), 'val_1_meta_path': str(meta),
+        'val_2_meta_path': str(meta), 'modality': 'audio_video',
+        'video_feature_name': 'i3d', 'audio_feature_name': 'vggish',
+        'video_features_path': str(tmp_path / 'v'),
+        'audio_features_path': str(tmp_path / 'a'),
+        'd_vid': 4, 'd_aud': 3, 'start_token': '<s>', 'end_token': '</s>',
+        'pad_token': '<blank>', 'min_freq_caps': 1, 'train_batch_size': 4,
+        'inference_batch_size': 4, 'max_len': 30,
+        'pad_audio_feats_up_to': 16, 'pad_video_feats_up_to': 12,
+    })
+    from bmt_tpu.data.proposal_data import ProposalDataset
+    ds = ProposalDataset(cfg, 'train', pad_idx=1,
+                         cache_dir=str(tmp_path / 'cache'))
+    vids = [f'v_p{i}' for i in range(4)]
+    full = ds.make_batch(vids)
+    part = ds.make_batch(vids, local_rows=(1, 3))
+
+    for k in ('centers', 'lengths', 'valid'):
+        np.testing.assert_array_equal(full[k], part[k])
+    assert full['video_ids'] == part['video_ids']
+    assert full['duration_in_secs'] == part['duration_in_secs']
+    for m in ('rgb', 'flow', 'audio'):
+        np.testing.assert_array_equal(full['src'][m][1:3],
+                                      part['src'][m][1:3])
+        np.testing.assert_array_equal(part['src'][m][0], 0.0)
+        np.testing.assert_array_equal(part['src'][m][3], 0.0)
+
+    # batches() plumbs local_rows through the prefetcher
+    b = next(iter(ds.batches(epoch=0, shuffle=False, prefetch=0,
+                             local_rows=(0, 2))))
+    assert np.abs(b['src']['audio'][2:]).sum() == 0.0
+    assert np.abs(b['src']['audio'][:2]).sum() > 0.0
