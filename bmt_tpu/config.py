@@ -151,6 +151,10 @@ class Config:
         self.prng_impl = getattr(args, 'prng_impl', 'rbg')
         self.optim_mu_dtype = getattr(args, 'optim_mu_dtype', 'float32')
         self.grad_accum_steps = getattr(args, 'grad_accum_steps', 1)
+        self.moe_experts = getattr(args, 'moe_experts', 0)
+        self.moe_capacity_factor = getattr(args, 'moe_capacity_factor', 1.25)
+        self.moe_aux_coeff = getattr(args, 'moe_aux_coeff', 0.01)
+        self.ep_devices = getattr(args, 'ep_devices', 1)
         self.length_sort_window = getattr(args, 'length_sort_window', 100)
         self.decode_strategy = getattr(args, 'decode_strategy', 'greedy')
         self.profile_steps = getattr(args, 'profile_steps', 0)
@@ -382,6 +386,23 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--remat', action='store_true', default=False,
                         help='rematerialize encoder layers in the backward '
                              'pass (jax.checkpoint) to save HBM')
+    parser.add_argument('--moe_experts', type=int, default=0,
+                        help='captioning FFNs become Switch-style top-1 '
+                             'mixture-of-experts with this many experts '
+                             '(0/1 = dense, reference behaviour); expert '
+                             'weights shard over the mesh ep axis '
+                             '(--ep_devices). Beyond the reference.')
+    parser.add_argument('--moe_capacity_factor', type=float, default=1.25,
+                        help='MoE per-row expert capacity = '
+                             'ceil(S/E * factor); overflow tokens fall '
+                             'through the residual (Switch semantics)')
+    parser.add_argument('--moe_aux_coeff', type=float, default=0.01,
+                        help='weight of the Switch load-balance auxiliary '
+                             'loss (token-weighted; 0 disables)')
+    parser.add_argument('--ep_devices', type=int, default=1,
+                        help='expert-parallel mesh axis size (shards MoE '
+                             'expert weights; requires --moe_experts '
+                             'divisible by it)')
     parser.add_argument('--decode_strategy', type=str, default='greedy',
                         choices=['greedy', 'beam', 'sample'],
                         help='caption decoding strategy (beam search and '

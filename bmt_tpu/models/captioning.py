@@ -50,6 +50,11 @@ class CapModelDims:
     d_aud: int = 128
     modality: str = 'audio_video'
     remat: bool = False
+    # Switch-MoE FFNs (ops/moe.py): 0/1 = dense (reference behaviour);
+    # >1 sparsifies every FFN site (enc A/V, dec C) with top-1 routing.
+    # Beyond-reference; experts shard over the mesh's ep axis.
+    moe_experts: int = 0
+    moe_cf: float = 1.25
 
     @classmethod
     def from_config(cls, cfg, voc_size: int) -> 'CapModelDims':
@@ -68,6 +73,8 @@ class CapModelDims:
             dout_p=cfg.dout_p, use_linear_embedder=cfg.use_linear_embedder,
             d_vid=cfg.d_vid, d_aud=cfg.d_aud, modality=cfg.modality,
             remat=getattr(cfg, 'remat', False),
+            moe_experts=getattr(cfg, 'moe_experts', 0) or 0,
+            moe_cf=getattr(cfg, 'moe_capacity_factor', 1.25),
         )
 
 
@@ -94,10 +101,11 @@ def init_bimodal_transformer(key, dims: CapModelDims,
                                      pretrained=glove),
         'encoder': init_bimodal_encoder(ks[1], dims.d_model_A, dims.d_model_V,
                                         dims.d_model, dims.d_ff_A, dims.d_ff_V,
-                                        dims.N),
+                                        dims.N, dims.moe_experts),
         'decoder': init_bimodal_decoder(ks[2], dims.d_model_A, dims.d_model_V,
                                         dims.d_model_C, dims.d_model,
-                                        dims.d_ff_C, dims.N),
+                                        dims.d_ff_C, dims.N,
+                                        dims.moe_experts),
         'generator': init_linear(ks[3], dims.d_model_C, dims.voc_size),
     }
     if dims.use_linear_embedder:
@@ -144,7 +152,8 @@ def bimodal_transformer_forward(params, dims: CapModelDims, src: dict,
                                 trg: jnp.ndarray, masks: dict, rng=None,
                                 deterministic: bool = True,
                                 attention_impl: str = 'xla',
-                                return_logits: bool = False) -> jnp.ndarray:
+                                return_logits: bool = False,
+                                aux_out=None) -> jnp.ndarray:
     '''Full teacher-forced forward -> (B, Sc, voc_size) log-probs.
 
     Reference: captioning_module.py:164-187.
@@ -164,11 +173,11 @@ def bimodal_transformer_forward(params, dims: CapModelDims, src: dict,
     Av, Va = bimodal_encoder_forward(params['encoder'], A, V, masks['A_mask'],
                                      masks['V_mask'], dims.H, dims.dout_p,
                                      rngs, deterministic, attention_impl,
-                                     dims.remat)
+                                     dims.remat, aux_out, dims.moe_cf)
     C = bimodal_decoder_forward(params['decoder'], C, Av, Va, masks['A_mask'],
                                 masks['V_mask'], masks['C_mask'], dims.H,
                                 dims.dout_p, rngs, deterministic,
-                                attention_impl)
+                                attention_impl, aux_out, dims.moe_cf)
     logits = linear(params['generator'], C)
     if return_logits:
         return logits
@@ -260,8 +269,10 @@ def init_unimodal_transformer(key, dims: CapModelDims,
     params = {
         'trg_emb': init_vocab_embedder(ks[0], dims.voc_size, d_model,
                                        pretrained=glove),
-        'encoder': init_encoder(ks[1], d_model, d_ff, dims.N),
-        'decoder': init_decoder(ks[2], d_model, d_ff, dims.N),
+        'encoder': init_encoder(ks[1], d_model, d_ff, dims.N,
+                                dims.moe_experts),
+        'decoder': init_decoder(ks[2], d_model, d_ff, dims.N,
+                                dims.moe_experts),
         'generator': init_linear(ks[3], d_model, dims.voc_size),
     }
     if dims.use_linear_embedder:
@@ -273,7 +284,8 @@ def unimodal_transformer_forward(params, dims: CapModelDims, src: dict,
                                  trg: jnp.ndarray, masks: dict, rng=None,
                                  deterministic: bool = True,
                                  attention_impl: str = 'xla',
-                                 return_logits: bool = False) -> jnp.ndarray:
+                                 return_logits: bool = False,
+                                 aux_out=None) -> jnp.ndarray:
     '''Reference: captioning_module.py:71-98. ``return_logits`` as in
     ``bimodal_transformer_forward``.'''
     rngs = _rng_stream(rng)
@@ -296,10 +308,11 @@ def unimodal_transformer_forward(params, dims: CapModelDims, src: dict,
     t = positional_encode(pe, t, dims.dout_p, next(rngs), deterministic)
 
     memory = encoder_forward(params['encoder'], x, src_mask, dims.H,
-                             dims.dout_p, rngs, deterministic, attention_impl)
+                             dims.dout_p, rngs, deterministic, attention_impl,
+                             aux_out, dims.moe_cf)
     out = decoder_forward(params['decoder'], t, memory, src_mask, trg_mask,
                           dims.H, dims.dout_p, rngs, deterministic,
-                          attention_impl)
+                          attention_impl, aux_out, dims.moe_cf)
     logits = linear(params['generator'], out)
     if return_logits:
         return logits

@@ -18,32 +18,39 @@ import jax.numpy as jnp
 from bmt_tpu.ops.attention import (cross_attention_step, init_mha,
                                    multi_head_attention, precompute_kv,
                                    self_attention_step)
-from bmt_tpu.ops.layers import (bridge, feed_forward, init_bridge, init_ffn,
-                                init_layer_norm, layer_norm, residual)
+from bmt_tpu.ops.layers import (bridge, init_bridge, init_layer_norm,
+                                layer_norm, residual)
+from bmt_tpu.ops.moe import ffn_apply
 from bmt_tpu.ops.quant import linear_out_dim
+from bmt_tpu.models.encoders import _init_ffn_or_moe
 
 
 # ---------------------------------------------------------------------------
 # uni-modal decoder (reference: model/decoders.py:9-34, 95-111)
 # ---------------------------------------------------------------------------
 
-def init_decoder_layer(key, d_model: int, d_ff: int) -> dict:
+def init_decoder_layer(key, d_model: int, d_ff: int,
+                       moe_experts: int = 0) -> dict:
     k1, k2, k3 = jax.random.split(key, 3)
     return {
         'self_att': init_mha(k1, d_model, d_model, d_model, d_model),
         'enc_att': init_mha(k2, d_model, d_model, d_model, d_model),
-        'ff': init_ffn(k3, d_model, d_ff),
+        'ff': _init_ffn_or_moe(k3, d_model, d_ff, moe_experts),
         'res': [init_layer_norm(d_model) for _ in range(3)],
     }
 
 
-def init_decoder(key, d_model: int, d_ff: int, N: int) -> dict:
+def init_decoder(key, d_model: int, d_ff: int, N: int,
+                 moe_experts: int = 0) -> dict:
     keys = jax.random.split(key, N)
-    return {'layers': [init_decoder_layer(k, d_model, d_ff) for k in keys]}
+    return {'layers': [init_decoder_layer(k, d_model, d_ff,
+                                          moe_experts=moe_experts)
+                       for k in keys]}
 
 
 def decoder_forward(params, x, memory, src_mask, trg_mask, H, dout_p=0.0,
-                    rngs=None, deterministic=True, attention_impl='xla'):
+                    rngs=None, deterministic=True, attention_impl='xla',
+                    aux_out=None, moe_cf=1.25):
     '''As in the uni-modal encoder, the reference builds MHA/FFN here with
     dout_p=0 — only residual dropout is active (reference: decoders.py:14-16).'''
     def nrng():
@@ -60,7 +67,9 @@ def decoder_forward(params, x, memory, src_mask, trg_mask, H, dout_p=0.0,
                                                     memory, src_mask, H, 0.0,
                                                     None, True, attention_impl),
                      dout_p, nrng(), deterministic)
-        x = residual(p['res'][2], x, lambda y: feed_forward(p['ff'], y, 0.0),
+        x = residual(p['res'][2], x,
+                     lambda y: ffn_apply(p['ff'], y, 0.0, aux_out=aux_out,
+                                         capacity_factor=moe_cf),
                      dout_p, nrng(), deterministic)
     return x
 
@@ -70,14 +79,15 @@ def decoder_forward(params, x, memory, src_mask, trg_mask, H, dout_p=0.0,
 # ---------------------------------------------------------------------------
 
 def init_bimodal_decoder_layer(key, d_model_A: int, d_model_V: int,
-                               d_model_C: int, d_model: int, d_ff_C: int) -> dict:
+                               d_model_C: int, d_model: int, d_ff_C: int,
+                               moe_experts: int = 0) -> dict:
     ks = jax.random.split(key, 5)
     return {
         'self_att': init_mha(ks[0], d_model_C, d_model_C, d_model_C, d_model),
         'enc_att_A': init_mha(ks[1], d_model_C, d_model_A, d_model_A, d_model),
         'enc_att_V': init_mha(ks[2], d_model_C, d_model_V, d_model_V, d_model),
         'bridge': init_bridge(ks[3], 2 * d_model_C, d_model_C),
-        'ff': init_ffn(ks[4], d_model_C, d_ff_C),
+        'ff': _init_ffn_or_moe(ks[4], d_model_C, d_ff_C, moe_experts),
         'res_self': init_layer_norm(d_model_C),
         'res_enc_A': init_layer_norm(d_model_C),
         'res_enc_V': init_layer_norm(d_model_C),
@@ -86,17 +96,19 @@ def init_bimodal_decoder_layer(key, d_model_A: int, d_model_V: int,
 
 
 def init_bimodal_decoder(key, d_model_A: int, d_model_V: int, d_model_C: int,
-                         d_model: int, d_ff_C: int, N: int) -> dict:
+                         d_model: int, d_ff_C: int, N: int,
+                         moe_experts: int = 0) -> dict:
     keys = jax.random.split(key, N)
     return {'layers': [
         init_bimodal_decoder_layer(k, d_model_A, d_model_V, d_model_C,
-                                   d_model, d_ff_C)
+                                   d_model, d_ff_C, moe_experts)
         for k in keys]}
 
 
 def bimodal_decoder_layer_forward(p, C, Av, Va, A_mask, V_mask, C_mask, H,
                                   dout_p=0.0, rngs=None, deterministic=True,
-                                  attention_impl='xla'):
+                                  attention_impl='xla', aux_out=None,
+                                  moe_cf=1.25):
     '''Reference: decoders.py:55-92.'''
     def nrng():
         return next(rngs) if rngs else None
@@ -126,18 +138,20 @@ def bimodal_decoder_layer_forward(p, C, Av, Va, A_mask, V_mask, C_mask, H,
 
     # 3. feed-forward
     C = residual(p['res_ff'], C,
-                 lambda y: feed_forward(p['ff'], y, dout_p, nrng(), deterministic),
+                 lambda y: ffn_apply(p['ff'], y, dout_p, nrng(),
+                                     deterministic, aux_out, moe_cf),
                  dout_p, nrng(), deterministic)
     return C
 
 
 def bimodal_decoder_forward(params, C, Av, Va, A_mask, V_mask, C_mask, H,
                             dout_p=0.0, rngs=None, deterministic=True,
-                            attention_impl='xla'):
+                            attention_impl='xla', aux_out=None, moe_cf=1.25):
     for p in params['layers']:
         C = bimodal_decoder_layer_forward(p, C, Av, Va, A_mask, V_mask,
                                           C_mask, H, dout_p, rngs,
-                                          deterministic, attention_impl)
+                                          deterministic, attention_impl,
+                                          aux_out, moe_cf)
     return C
 
 
@@ -181,7 +195,7 @@ def unimodal_decoder_step(params, state, c_t, src_mask, step, H: int,
         c_t = c_t + cross_attention_step(p['enc_att'], normed, s['kv_mem'],
                                          src_mask, H, attention_impl)
 
-        c_t = c_t + feed_forward(p['ff'], layer_norm(p['res'][2], c_t))
+        c_t = c_t + ffn_apply(p['ff'], layer_norm(p['res'][2], c_t))
         new_state.append({'kv_mem': s['kv_mem'], 'cache_k': ck,
                           'cache_v': cv})
     return c_t, new_state
@@ -259,7 +273,7 @@ def bimodal_decoder_step(params, state, c_t, A_mask, V_mask, step, H: int,
         c_t = bridge(p['bridge'], jnp.concatenate([Ca, Cv], axis=-1))
 
         # 3. feed-forward (pre-norm residual)
-        c_t = c_t + feed_forward(p['ff'], layer_norm(p['res_ff'], c_t))
+        c_t = c_t + ffn_apply(p['ff'], layer_norm(p['res_ff'], c_t))
 
         new_state.append({'kvA': s['kvA'], 'kvV': s['kvV'],
                           'cache_k': ck, 'cache_v': cv})

@@ -79,13 +79,13 @@ def moe_feed_forward(params: dict, x: jnp.ndarray, dout_p: float = 0.0,
     so a row's outputs do not depend on its batchmates — batch-size
     invariance, which the serving micro-batcher relies on.
     '''
-    w1 = params['experts']['w1']
-    E = w1.shape[0]
+    ex = params['experts']
+    E = ex['w1'].shape[0]
     squeeze = x.ndim == 2
     if squeeze:                     # (S, D) -> (1, S, D)
         x = x[None]
     B, S, D = x.shape
-    C = max(1, min(S, math.ceil(S / E * capacity_factor)))
+    dt = x.dtype
 
     # --- routing (fp32 for stable argmax/softmax under bf16 activations)
     logits = x.astype(jnp.float32) @ params['router']['w']       # (B,S,E)
@@ -94,12 +94,6 @@ def moe_feed_forward(params: dict, x: jnp.ndarray, dout_p: float = 0.0,
     gate = jnp.max(probs, axis=-1)                               # (B,S)
     onehot_e = jax.nn.one_hot(e_star, E, dtype=jnp.float32)      # (B,S,E)
 
-    # position of each token within its expert's queue (per row);
-    # one_hot maps out-of-range (dropped / not-selected) positions to zero
-    pos = jnp.cumsum(onehot_e, axis=1) * onehot_e - 1.0          # (B,S,E)
-    dispatch = onehot_e[..., None] * jax.nn.one_hot(
-        pos.astype(jnp.int32), C, dtype=jnp.float32)             # (B,S,E,C)
-
     if aux_out is not None:
         # Switch load-balance loss: E * mean_b sum_e f_be * P_be.
         # Perfectly uniform routing gives exactly 1.0.
@@ -107,15 +101,40 @@ def moe_feed_forward(params: dict, x: jnp.ndarray, dout_p: float = 0.0,
         P = jnp.mean(probs, axis=1)                              # (B,E)
         aux_out.append(jnp.mean(jnp.sum(f * P, axis=-1)) * E)
 
-    # --- dispatch -> expert FFN -> combine (all MXU einsums)
-    dt = x.dtype
+    if deterministic:
+        # LOSSLESS inference routing (eval capacity = infinity). The
+        # capacity-dispatch form below drops tokens as a function of the
+        # whole prefix, which would make the teacher-forced forward and
+        # the KV-cached one-token-at-a-time decode disagree; with no
+        # drops the MoE output is strictly per-token, so cached decode
+        # == uncached decode exactly (tests/test_moe.py). Costs E x the
+        # dense FFN FLOPs — a deliberate exactness-over-speed trade on
+        # the (small) decode FFN; no (B,S,E,C) tensor is materialized.
+        y = jnp.zeros_like(x)
+        for e in range(E):
+            h = jax.nn.relu(x @ ex['w1'][e].astype(dt)
+                            + ex['b1'][e].astype(dt))
+            out_e = h @ ex['w2'][e].astype(dt) + ex['b2'][e].astype(dt)
+            sel = (onehot_e[..., e] * gate).astype(dt)[..., None]
+            y = y + sel * out_e
+        return y[0] if squeeze else y
+
+    # --- training: GShard capacity dispatch -> expert FFN -> combine
+    # (all MXU einsums; overflow tokens drop to the residual)
+    C = max(1, min(S, math.ceil(S / E * capacity_factor)))
+    # position of each token within its expert's queue (per row);
+    # one_hot maps out-of-range (dropped / not-selected) positions to zero
+    pos = jnp.cumsum(onehot_e, axis=1) * onehot_e - 1.0          # (B,S,E)
+    dispatch = onehot_e[..., None] * jax.nn.one_hot(
+        pos.astype(jnp.int32), C, dtype=jnp.float32)             # (B,S,E,C)
+
     xin = jnp.einsum('bsec,bsd->ebcd', dispatch.astype(dt), x)   # (E,B,C,D)
     h = jax.nn.relu(
-        jnp.einsum('ebcd,edf->ebcf', xin, w1.astype(dt))
-        + params['experts']['b1'].astype(dt)[:, None, None, :])
+        jnp.einsum('ebcd,edf->ebcf', xin, ex['w1'].astype(dt))
+        + ex['b1'].astype(dt)[:, None, None, :])
     h = dropout(h, dout_p, rng, deterministic)
-    out = (jnp.einsum('ebcf,efd->ebcd', h, params['experts']['w2'].astype(dt))
-           + params['experts']['b2'].astype(dt)[:, None, None, :])
+    out = (jnp.einsum('ebcf,efd->ebcd', h, ex['w2'].astype(dt))
+           + ex['b2'].astype(dt)[:, None, None, :])
     combine = (dispatch * gate[..., None, None]).astype(dt)
     y = jnp.einsum('bsec,ebcd->bsd', combine, out)
     return y[0] if squeeze else y

@@ -52,33 +52,34 @@ def maybe_init_distributed():
 
 
 def make_mesh(dp: Optional[int] = None, mp: int = 1,
-              devices=None, sp: int = 1) -> Mesh:
-    '''``('dp', 'sp', 'mp')`` mesh over the local devices; unused axes are
-    size 1 (a size-1 axis never appears in a PartitionSpec's collectives, so
-    plain data parallelism lowers identically to a 1-D mesh).
+              devices=None, sp: int = 1, ep: int = 1) -> Mesh:
+    '''``('dp', 'sp', 'ep', 'mp')`` mesh over the local devices; unused axes
+    are size 1 (a size-1 axis never appears in a PartitionSpec's collectives,
+    so plain data parallelism lowers identically to a 1-D mesh).
 
-    dp defaults to all available devices / (sp * mp). ``sp`` is the
+    dp defaults to all available devices / (sp * ep * mp). ``sp`` is the
     sequence/context-parallel axis used by the proposal stage's long
-    sequences (see parallel/seq.py), ``mp`` the Megatron tensor-parallel
-    axis (sharding_rules.py).
+    sequences (see parallel/seq.py), ``ep`` the expert-parallel axis
+    sharding MoE expert weights (ops/moe.py + sharding_rules.py), ``mp``
+    the Megatron tensor-parallel axis (sharding_rules.py).
     '''
     devices = devices if devices is not None else jax.devices()
     if dp is None:
-        dp = len(devices) // (sp * mp)
-    if dp < 1 or sp < 1 or mp < 1 or dp * sp * mp > len(devices):
+        dp = len(devices) // (sp * ep * mp)
+    if dp < 1 or sp < 1 or mp < 1 or ep < 1 or dp * sp * ep * mp > len(devices):
         raise ValueError(
-            f'mesh dp={dp} x sp={sp} x mp={mp} needs '
-            f'{max(dp, 1) * max(sp, 1) * max(mp, 1)} devices but only '
-            f'{len(devices)} are available (check --dp_devices / '
-            f'--sp_devices / mp)')
-    if dp * sp * mp < len(devices):
+            f'mesh dp={dp} x sp={sp} x ep={ep} x mp={mp} needs '
+            f'{max(dp, 1) * max(sp, 1) * max(ep, 1) * max(mp, 1)} devices '
+            f'but only {len(devices)} are available (check --dp_devices / '
+            f'--sp_devices / --ep_devices / mp)')
+    if dp * sp * ep * mp < len(devices):
         import sys
-        print(f'NOTE: building a dp{dp}xsp{sp}xmp{mp} mesh on '
-              f'{dp * sp * mp} of {len(devices)} visible devices; pass '
-              f'--dp_devices {len(devices) // (sp * mp)} to use all of '
+        print(f'NOTE: building a dp{dp}xsp{sp}xep{ep}xmp{mp} mesh on '
+              f'{dp * sp * ep * mp} of {len(devices)} visible devices; pass '
+              f'--dp_devices {len(devices) // (sp * ep * mp)} to use all of '
               f'them', file=sys.stderr)
-    devices = np.asarray(devices[:dp * sp * mp]).reshape(dp, sp, mp)
-    return Mesh(devices, axis_names=('dp', 'sp', 'mp'))
+    devices = np.asarray(devices[:dp * sp * ep * mp]).reshape(dp, sp, ep, mp)
+    return Mesh(devices, axis_names=('dp', 'sp', 'ep', 'mp'))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -141,10 +142,11 @@ class DataParallel:
     '''
 
     def __init__(self, dp: Optional[int] = None, mp: int = 1, devices=None,
-                 sp: int = 1):
-        self.mesh = make_mesh(dp, mp, devices, sp)
+                 sp: int = 1, ep: int = 1):
+        self.mesh = make_mesh(dp, mp, devices, sp, ep)
         self.n_dp = self.mesh.shape['dp']
         self.n_sp = self.mesh.shape.get('sp', 1)
+        self.n_ep = self.mesh.shape.get('ep', 1)
         self.batch_sh = batch_sharding(self.mesh)
         self.repl_sh = replicate(self.mesh)
 
@@ -178,7 +180,7 @@ class DataParallel:
         donate = (0,) if donate_state else ()
         if self.n_sp > 1:
             return jax.jit(fn, donate_argnums=donate, **jit_kwargs)
-        if self.mesh.shape.get('mp', 1) > 1:
+        if self.mesh.shape.get('mp', 1) > 1 or self.n_ep > 1:
             return jax.jit(
                 fn,
                 in_shardings=(None, self.batch_sh),

@@ -20,6 +20,16 @@ def _spec_for(path_keys, shape) -> P:
     keys = set(path_keys)
     last = path_keys[-1]
 
+    # MoE (ops/moe.py): the expert-stacked weights shard their leading
+    # expert axis over 'ep' (AND their hidden d_ff over 'mp' — ep and mp
+    # compose); the tiny router stays replicated so every device routes
+    # identically
+    if 'experts' in keys:
+        return {'w1': P('ep', None, 'mp'), 'b1': P('ep', 'mp'),
+                'w2': P('ep', 'mp', None), 'b2': P('ep', None)}.get(last, P())
+    if 'router' in keys:
+        return P()
+
     # attention projections: into-d_model matrices shard the head dim
     if {'q2d', 'k2d', 'v2d'} & keys:
         return P(None, 'mp') if last == 'w' else P('mp')
@@ -46,11 +56,12 @@ def cap_param_shardings(params, mesh: Mesh):
     for path, leaf in flat:
         keys = tuple(getattr(k, 'key', getattr(k, 'idx', None)) for k in path)
         spec = _spec_for(keys, getattr(leaf, 'shape', ()))
-        # guard: dims must divide the mesh axis; fall back to replication
-        mp = mesh.shape.get('mp', 1)
+        # guard: every named axis must exist in the mesh and divide its
+        # dim; fall back to replication otherwise
         ok = True
         for dim, axis in zip(getattr(leaf, 'shape', ()), spec):
-            if axis == 'mp' and dim % mp != 0:
+            size = mesh.shape.get(axis, 0) if axis is not None else 1
+            if size == 0 or dim % size != 0:
                 ok = False
         shardings.append(NamedSharding(mesh, spec if ok else P()))
     return jax.tree_util.tree_unflatten(treedef, shardings)

@@ -127,13 +127,21 @@ def train_cap(cfg: Config):
     mask = freeze_mask(params, is_frozen)
     optimizer = build_optimizer(cfg, frozen_mask=mask)
 
-    dp = DataParallel(getattr(cfg, 'dp_devices', None))
+    n_ep = getattr(cfg, 'ep_devices', 1)
+    if n_ep > 1 and (dims.moe_experts or 0) % n_ep != 0:
+        raise ValueError(
+            f'--ep_devices {n_ep} requires --moe_experts divisible by it '
+            f'(got {dims.moe_experts}); expert weights shard their leading '
+            f'expert axis over the ep mesh axis')
+    dp = DataParallel(getattr(cfg, 'dp_devices', None), ep=n_ep)
     compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == 'bfloat16'
                      else jnp.float32)
     train_step = dp.jit_step(make_cap_train_step(
         dims, optimizer, cfg.smoothing, train_ds.pad_idx,
         cfg.attention_impl, compute_dtype,
-        accum_steps=getattr(cfg, 'grad_accum_steps', 1)), donate_state=True)
+        accum_steps=getattr(cfg, 'grad_accum_steps', 1),
+        moe_aux_coeff=getattr(cfg, 'moe_aux_coeff', 0.01)),
+        donate_state=True)
     val_step = jax.jit(make_cap_val_step(
         dims, cfg.smoothing, train_ds.pad_idx, cfg.attention_impl,
         compute_dtype))
@@ -162,10 +170,17 @@ def train_cap(cfg: Config):
             train_ds.pad_idx, cfg.attention_impl,
             getattr(cfg, 'kv_cache_int8', False))
 
+    if dp.n_ep > 1:
+        # shard MoE expert weights over the ep axis BEFORE optimizer.init:
+        # optax's zeros_like preserves the placement, so the Adam moments
+        # shard identically and jit_step inherits everything (mesh.py)
+        from bmt_tpu.parallel import place_params
+        params = place_params(params, dp.mesh)
     state = init_train_state(params, optimizer, seed,
                              getattr(cfg, 'prng_impl', 'rbg'))
-    state = state._replace(params=dp.replicate_tree(state.params),
-                           opt_state=dp.replicate_tree(state.opt_state))
+    if dp.n_ep == 1:
+        state = state._replace(params=dp.replicate_tree(state.params),
+                               opt_state=dp.replicate_tree(state.opt_state))
 
     # TRAINABLE means not frozen: the reference counts requires_grad
     # params only, so the GloVe table / frozen encoders / anchors are

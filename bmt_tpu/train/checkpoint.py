@@ -575,6 +575,12 @@ def export_cap_state_dict(params: dict, data_parallel: bool = True) -> dict:
         put_lin(f'{base}.linear_d2Q', p['d2q'])
 
     def put_ffn(base, p):
+        if 'router' in p:
+            raise ValueError(
+                'cannot export a MoE model (--moe_experts > 1) to a '
+                'reference-keyed state_dict: the reference architecture '
+                'has dense FFNs only. Use the native npz/orbax checkpoint '
+                'formats for MoE models.')
         put_lin(f'{base}.fc1', p['fc1'])
         put_lin(f'{base}.fc2', p['fc2'])
 

@@ -66,7 +66,8 @@ def _cap_forward(dims: CapModelDims):
 
 def make_cap_train_step(dims: CapModelDims, optimizer, smoothing: float,
                         pad_idx: int, attention_impl: str = 'xla',
-                        compute_dtype=jnp.float32, accum_steps: int = 1):
+                        compute_dtype=jnp.float32, accum_steps: int = 1,
+                        moe_aux_coeff: float = 0.01):
     '''Teacher-forced captioning train step
     (reference: captioning_epoch_loops.py:122-149).
 
@@ -75,8 +76,15 @@ def make_cap_train_step(dims: CapModelDims, optimizer, smoothing: float,
     the token counts, normalizing once at the end — mathematically the
     full-batch gradient (the loss is a row-sum, so grads are linear in
     it), at 1/accum_steps the activation memory.
+
+    With MoE FFNs (dims.moe_experts > 1) the Switch load-balance loss is
+    folded in token-weighted — objective = (Σ_mb KL_mb + coeff·aux_mb·n_mb)
+    / N_total — so the accumulated gradient still equals the full-batch
+    gradient exactly (routing and capacity are per-row, so microbatching
+    never changes routing decisions either).
     '''
     fwd = _cap_forward(dims)
+    collect_aux = dims.moe_experts > 1 and moe_aux_coeff > 0.0
 
     def _masked_targets(caption, row_valid):
         cap_x, cap_y = caption[:, :-1], caption[:, 1:]
@@ -97,11 +105,17 @@ def make_cap_train_step(dims: CapModelDims, optimizer, smoothing: float,
         # logits path: the loss does its own row logsumexp, so no
         # (B, S, V) fp32 log_softmax is materialized (see
         # label_smoothing_kl_logits; ~10% of the flagship step)
+        aux_list = [] if collect_aux else None
         logits = fwd(cast_tree(p, compute_dtype), dims, src, cap_x,
                      masks, rng=rng, deterministic=False,
-                     attention_impl=attention_impl, return_logits=True)
+                     attention_impl=attention_impl, return_logits=True,
+                     aux_out=aux_list)
         kl = label_smoothing_kl_logits(logits, cap_y, smoothing, pad_idx)
-        return kl, jnp.sum(cap_y != pad_idx)
+        n = jnp.sum(cap_y != pad_idx)
+        if aux_list:
+            aux = sum(aux_list) / len(aux_list)   # mean over FFN sites
+            kl = kl + moe_aux_coeff * aux * n
+        return kl, n
 
     def step(state: TrainState, batch):
         rng = jax.random.fold_in(state.rng, state.step)

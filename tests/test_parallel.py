@@ -121,7 +121,7 @@ def test_make_decode_fn_shards_only_divisible_batches(rng):
 
 def test_mesh_has_room_for_model_parallel_axis():
     mesh = make_mesh(dp=4, mp=2)
-    assert mesh.shape == {'dp': 4, 'sp': 1, 'mp': 2}
+    assert mesh.shape == {'dp': 4, 'sp': 1, 'ep': 1, 'mp': 2}
 
 
 def test_shard_batch_places_on_dp(rng):

@@ -158,4 +158,4 @@ def test_make_mesh_sp_validation():
     with pytest.raises(ValueError):
         make_mesh(dp=4, sp=4)  # 16 > 8 virtual devices
     mesh = make_mesh(dp=2, sp=2, mp=2)
-    assert mesh.shape == {'dp': 2, 'sp': 2, 'mp': 2}
+    assert mesh.shape == {'dp': 2, 'sp': 2, 'ep': 1, 'mp': 2}
