@@ -155,6 +155,7 @@ class Config:
         self.moe_capacity_factor = getattr(args, 'moe_capacity_factor', 1.25)
         self.moe_aux_coeff = getattr(args, 'moe_aux_coeff', 0.01)
         self.ep_devices = getattr(args, 'ep_devices', 1)
+        self.preempt_save = getattr(args, 'preempt_save', True)
         self.length_sort_window = getattr(args, 'length_sort_window', 100)
         self.decode_strategy = getattr(args, 'decode_strategy', 'greedy')
         self.profile_steps = getattr(args, 'profile_steps', 0)
@@ -403,6 +404,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help='expert-parallel mesh axis size (shards MoE '
                              'expert weights; requires --moe_experts '
                              'divisible by it)')
+    parser.add_argument('--no_preempt_save', dest='preempt_save',
+                        action='store_false', default=True,
+                        help='disable the SIGTERM preemption handler '
+                             '(by default both trainers checkpoint after '
+                             'the current batch on SIGTERM and resume '
+                             'bit-identically from that exact batch)')
     parser.add_argument('--decode_strategy', type=str, default='greedy',
                         choices=['greedy', 'beam', 'sample'],
                         help='caption decoding strategy (beam search and '

@@ -250,8 +250,14 @@ class CaptioningDataset:
 
     def batches(self, epoch: int = 0, shuffle: Optional[bool] = None,
                 seed: int = 0, prefetch: int = 2,
-                local_rows: Optional[tuple] = None) -> Iterator[dict]:
+                local_rows: Optional[tuple] = None,
+                start_batch: int = 0) -> Iterator[dict]:
         '''Yield batches for one epoch; deterministic per (seed, epoch).
+
+        ``start_batch=k`` skips the first k batches WITHOUT loading them
+        (the index order is fully determined by (seed, epoch) before any
+        IO) — the exact-resume hook for preemption-interrupted epochs
+        (utils/preempt.py).
 
         Shuffled epochs use torchtext-BucketIterator-style windowed length
         sorting (cfg.length_sort_window batches per pool): rows shuffle
@@ -283,6 +289,8 @@ class CaptioningDataset:
                          for i in range(0, len(order), self.batch_size)]
         if shuffle and window > 1:
             rng.shuffle(index_batches)
+        if start_batch:
+            index_batches = index_batches[start_batch:]
         make = (self.make_batch if local_rows is None else
                 (lambda idx: self.make_batch(idx, local_rows)))
         yield from _prefetched(make, index_batches, prefetch)

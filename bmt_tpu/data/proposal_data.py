@@ -201,7 +201,8 @@ class ProposalDataset:
 
     def batches(self, epoch: int = 0, shuffle: Optional[bool] = None,
                 seed: int = 0, prefetch: int = 2,
-                local_rows: Optional[tuple] = None) -> Iterator[dict]:
+                local_rows: Optional[tuple] = None,
+                start_batch: int = 0) -> Iterator[dict]:
         from bmt_tpu.data.captioning import _prefetched
         if shuffle is None:
             shuffle = self.phase == 'train'
@@ -214,6 +215,10 @@ class ProposalDataset:
             groups = [ids[i:i + B] for i in range(0, len(ids) - B + 1, B)]
         else:
             groups = [ids[i:i + B] for i in range(0, len(ids), B)]
+        if start_batch:
+            # exact-resume hook (utils/preempt.py): the group order is a
+            # pure function of (seed, epoch), so skipping is IO-free
+            groups = groups[start_batch:]
         make = (self.make_batch if local_rows is None else
                 (lambda vids: self.make_batch(vids, local_rows)))
         yield from _prefetched(make, groups, prefetch)

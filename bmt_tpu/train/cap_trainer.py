@@ -227,9 +227,23 @@ def train_cap(cfg: Config):
         start_epoch = meta.get('epoch', -1) + 1
         best_metric = meta.get('best_metric', 0.0)
         unchanged = meta.get('unchanged', 0)
+        # batch-exact resume of a preemption-interrupted epoch
+        # (utils/preempt.py): skip the batches already trained on
+        resume_batch = meta.get('batch_in_epoch', 0) or 0
         if scheduler is not None and meta.get('scheduler'):
             scheduler.load_state_dict(meta['scheduler'])
-        print(f'Resumed from epoch {start_epoch}')
+        print(f'Resumed from epoch {start_epoch}'
+              + (f' batch {resume_batch}' if resume_batch else ''))
+    else:
+        resume_batch = 0
+
+    # SIGTERM -> finish the current batch, checkpoint, exit cleanly
+    # (bit-identical resume; see utils/preempt.py). Only worth installing
+    # when there is somewhere to save.
+    guard = None
+    if ckpt_dir and getattr(cfg, 'preempt_save', True):
+        from bmt_tpu.utils.preempt import PreemptionGuard
+        guard = PreemptionGuard().install()
 
     for epoch in range(start_epoch, cfg.epoch_num):
         print(f'The best metric was unchanged for {unchanged} epochs.')
@@ -243,7 +257,33 @@ def train_cap(cfg: Config):
             train_step, state, train_ds, epoch, logger, dp, seed,
             profile_steps=getattr(cfg, 'profile_steps', 0),
             profile_dir=(os.path.join(cfg.log_path, 'profile')
-                         if cfg.log_path else None))
+                         if cfg.log_path else None),
+            guard=guard,
+            start_batch=(resume_batch if epoch == start_epoch else 0))
+
+        if guard is not None and guard.requested:
+            # mid-epoch: save with last COMPLETED epoch + batch cursor so
+            # the resume re-enters this epoch at the right batch; signal
+            # after the final batch: the epoch is complete, save normally
+            b = guard.batch_in_epoch
+            save_ckpt(ckpt_dir, state.params, {
+                'config': cfg.to_dict(),
+                'epoch': epoch - 1 if b else epoch,
+                'batch_in_epoch': b or 0,
+                'step': int(state.step),
+                'val_1_loss': None, 'val_2_loss': None,
+                'val_1_metrics': None, 'val_2_metrics': None,
+                'trg_voc_size': train_ds.trg_voc_size,
+                'vocab_itos': train_ds.train_vocab.itos,
+                'best_metric': best_metric,
+                'unchanged': unchanged,
+                'scheduler': (scheduler.state_dict()
+                              if scheduler is not None else None),
+            }, state.opt_state, 'last_cap_model')
+            print(f'[preempt] rolling checkpoint saved @ epoch {epoch} '
+                  f'batch {b if b else "end"}; exiting')
+            break
+
         val_1_loss = validate_next_word(val_step, state.params, val_1_ds,
                                         epoch, dp)
         val_2_loss = validate_next_word(val_step, state.params, val_2_ds,
@@ -309,6 +349,8 @@ def train_cap(cfg: Config):
                 save_ckpt(ckpt_dir, state.params, meta,
                           state.opt_state, 'best_cap_model')
 
+    if guard is not None:
+        guard.uninstall()
     print(f'{cfg.curr_time}')
     print(f'best_metric: {best_metric}')
     logger.close()

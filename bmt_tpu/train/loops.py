@@ -40,12 +40,18 @@ def _pad_batch_to(batch: dict, B: int) -> dict:
 
 def train_epoch_cap(train_step, state, dataset, epoch: int, logger=None,
                     dp=None, seed: int = 0, profile_steps: int = 0,
-                    profile_dir=None):
+                    profile_dir=None, guard=None, start_batch: int = 0):
     '''Teacher-forced training epoch (reference:
     captioning_epoch_loops.py:122-149). Returns (state, mean loss).
 
     With profile_steps > 0 (epoch 0 only), a jax.profiler trace of the
-    first N steps is captured under profile_dir (TensorBoard/Perfetto).'''
+    first N steps is captured under profile_dir (TensorBoard/Perfetto).
+
+    guard: optional utils/preempt.PreemptionGuard — polled after every
+    optimizer step; on request the epoch stops early with
+    guard.batch_in_epoch = index of the next unprocessed batch.
+    start_batch: skip the first k batches (exact resume of an
+    interrupted epoch; batch order is deterministic per (seed, epoch)).'''
     from bmt_tpu.utils.profiling import trace
     total, n = 0.0, 0
     profiling = profile_steps > 0 and epoch == 0 and profile_dir
@@ -58,6 +64,8 @@ def train_epoch_cap(train_step, state, dataset, epoch: int, logger=None,
     # multi-host support keep working)
     local_rows = dp.local_rows(dataset.batch_size) if dp is not None else None
     kw = {} if local_rows is None else {'local_rows': local_rows}
+    if start_batch:
+        kw['start_batch'] = start_batch
     try:
         for batch in dataset.batches(epoch=epoch, seed=seed, **kw):
             # Tail batches are repeat-padded to the compiled batch size and
@@ -80,6 +88,9 @@ def train_epoch_cap(train_step, state, dataset, epoch: int, logger=None,
             if ctx is not None and n >= profile_steps:
                 ctx.__exit__(None, None, None)
                 ctx = None
+            if guard is not None and guard.requested:
+                guard.batch_in_epoch = start_batch + n
+                break
     finally:
         if ctx is not None:
             ctx.__exit__(None, None, None)
@@ -212,15 +223,19 @@ def validation_1by1(cfg, params, decoder_fn, dataset, epoch: int,
 
 
 def train_epoch_prop(train_step, state, dataset, epoch: int, logger=None,
-                     dp=None, seed: int = 0):
+                     dp=None, seed: int = 0, guard=None,
+                     start_batch: int = 0):
     '''Proposal-generator training epoch (reference:
-    proposal_epoch_loops.py:27-63).'''
+    proposal_epoch_loops.py:27-63). guard/start_batch: see
+    train_epoch_cap (preemption-exact early stop + resume).'''
     total, n = 0.0, 0
     acc: dict = {}
     # per-host sharded input pipeline (see train_epoch_cap); the fixed
     # proposal pad lengths make batch geometry host-independent trivially
     local_rows = dp.local_rows(dataset.batch_size) if dp is not None else None
     kw = {} if local_rows is None else {'local_rows': local_rows}
+    if start_batch:
+        kw['start_batch'] = start_batch
     for batch in dataset.batches(epoch=epoch, seed=seed, **kw):
         dev = _device_batch(batch, ('src', 'centers', 'lengths', 'valid'))
         if dp is not None:
@@ -233,7 +248,10 @@ def train_epoch_prop(train_step, state, dataset, epoch: int, logger=None,
         acc = add_dict_to_another_dict(
             {k: v for k, v in metrics.items() if k != 'loss'}, acc)
         n += 1
-    if n == 0:
+        if guard is not None and guard.requested:
+            guard.batch_in_epoch = start_batch + n
+            break
+    if n == 0 and start_batch == 0:
         import sys
         print(f'WARNING: proposal train epoch {epoch} ran ZERO batches — '
               f'the dataset has fewer videos than train_batch_size '

@@ -174,9 +174,19 @@ def train_prop(cfg: Config):
         start_epoch = meta.get('epoch', -1) + 1
         best_metric = meta.get('best_metric', -np.inf)
         unchanged = meta.get('unchanged', 0)
+        # batch-exact resume of a preemption-interrupted epoch
+        resume_batch = meta.get('batch_in_epoch', 0) or 0
         if scheduler is not None and meta.get('scheduler'):
             scheduler.load_state_dict(meta['scheduler'])
-        print(f'Resumed from epoch {start_epoch}')
+        print(f'Resumed from epoch {start_epoch}'
+              + (f' batch {resume_batch}' if resume_batch else ''))
+    else:
+        resume_batch = 0
+
+    guard = None
+    if ckpt_dir and getattr(cfg, 'preempt_save', True):
+        from bmt_tpu.utils.preempt import PreemptionGuard
+        guard = PreemptionGuard().install()
 
     for epoch in range(start_epoch, cfg.epoch_num):
         print(f'The best metric was unchanged for {unchanged} epochs.')
@@ -186,8 +196,29 @@ def train_prop(cfg: Config):
         if unchanged >= cfg.early_stop_after:
             break
 
-        state, _ = train_epoch_prop(train_step, state, train_ds, epoch,
-                                    logger, dp, seed)
+        state, _ = train_epoch_prop(
+            train_step, state, train_ds, epoch, logger, dp, seed,
+            guard=guard,
+            start_batch=(resume_batch if epoch == start_epoch else 0))
+
+        if guard is not None and guard.requested:
+            b = guard.batch_in_epoch
+            save_ckpt(ckpt_dir, state.params, {
+                'config': cfg.to_dict(),
+                'epoch': epoch - 1 if b else epoch,
+                'batch_in_epoch': b or 0,
+                'step': int(state.step),
+                'anchors': anchors,
+                'val_anet_metrics': None,
+                'best_metric': float(best_metric),
+                'unchanged': unchanged,
+                'scheduler': (scheduler.state_dict()
+                              if scheduler is not None else None),
+            }, state.opt_state, 'last_prop_model')
+            print(f'[preempt] rolling checkpoint saved @ epoch {epoch} '
+                  f'batch {b if b else "end"}; exiting')
+            break
+
         avg_f1, metrics = validate_prop(cfg, inference_step, state.params,
                                         valid_ds, epoch, logger, dp)
 
@@ -223,6 +254,8 @@ def train_prop(cfg: Config):
                 print(f'Saved model @ {epoch} epoch. '
                       f'Best metric: {best_metric:.5f}')
 
+    if guard is not None:
+        guard.uninstall()
     print(f'Experiment: {cfg.curr_time[2:]}')
     logger.close()
     return best_metric
