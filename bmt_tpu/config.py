@@ -155,6 +155,8 @@ class Config:
         self.moe_capacity_factor = getattr(args, 'moe_capacity_factor', 1.25)
         self.moe_aux_coeff = getattr(args, 'moe_aux_coeff', 0.01)
         self.ep_devices = getattr(args, 'ep_devices', 1)
+        self.fsdp = getattr(args, 'fsdp', False)
+        self.fsdp_min_elems = getattr(args, 'fsdp_min_elems', 1 << 16)
         self.preempt_save = getattr(args, 'preempt_save', True)
         self.length_sort_window = getattr(args, 'length_sort_window', 100)
         self.decode_strategy = getattr(args, 'decode_strategy', 'greedy')
@@ -404,6 +406,18 @@ def build_parser() -> argparse.ArgumentParser:
                         help='expert-parallel mesh axis size (shards MoE '
                              'expert weights; requires --moe_experts '
                              'divisible by it)')
+    parser.add_argument('--fsdp', action='store_true', default=False,
+                        help='ZeRO-3/FSDP: shard parameters and optimizer '
+                             'state over the dp mesh axis (GSPMD all-'
+                             'gathers weights just-in-time and reduce-'
+                             'scatters gradients); ~dp-fold lower per-'
+                             'device param+Adam memory. Beyond the '
+                             'reference (SURVEY 2.2 lists ZeRO/FSDP as '
+                             'absent there).')
+    parser.add_argument('--fsdp_min_elems', type=int, default=1 << 16,
+                        help='with --fsdp, leaves smaller than this stay '
+                             'replicated (all-gathering a LayerNorm scale '
+                             'costs a collective launch to save KBs)')
     parser.add_argument('--no_preempt_save', dest='preempt_save',
                         action='store_false', default=True,
                         help='disable the SIGTERM preemption handler '

@@ -1,5 +1,5 @@
 from bmt_tpu.parallel.mesh import (make_mesh, shard_batch, replicate,
-                                   batch_sharding, DataParallel)
+                                   batch_sharding, DataParallel, place_like)
 from bmt_tpu.parallel.sharding_rules import (cap_param_shardings,
                                              place_params)
 from bmt_tpu.parallel.seq import sequence_parallel, shard_seq

@@ -130,6 +130,20 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree.map(put, batch)
 
 
+def place_like(tree, ref):
+    '''device_put each leaf of ``tree`` onto the sharding of the matching
+    leaf in ``ref`` (same treedef). Used on checkpoint resume: the npz
+    loader returns host arrays, and without re-placing them an fsdp/mp
+    training state would silently lose its sharding at the next jit call
+    (uncommitted inputs default to whatever GSPMD propagation picks).
+    Leaves whose reference is not a committed jax.Array pass through.'''
+    def put(n, r):
+        if isinstance(r, jax.Array) and hasattr(r, 'sharding'):
+            return jax.device_put(n, r.sharding)
+        return n
+    return jax.tree.map(put, tree, ref)
+
+
 class DataParallel:
     '''Thin helper bundling a mesh with the common shardings and a jit
     wrapper for train/eval steps.
@@ -142,11 +156,15 @@ class DataParallel:
     '''
 
     def __init__(self, dp: Optional[int] = None, mp: int = 1, devices=None,
-                 sp: int = 1, ep: int = 1):
+                 sp: int = 1, ep: int = 1, fsdp: bool = False):
         self.mesh = make_mesh(dp, mp, devices, sp, ep)
         self.n_dp = self.mesh.shape['dp']
         self.n_sp = self.mesh.shape.get('sp', 1)
         self.n_ep = self.mesh.shape.get('ep', 1)
+        # fsdp: params/optimizer state are sharded over dp (ZeRO-3 via the
+        # rules in sharding_rules.py) — jit must inherit those placements
+        # instead of pinning the state replicated
+        self.fsdp = bool(fsdp)
         self.batch_sh = batch_sharding(self.mesh)
         self.repl_sh = replicate(self.mesh)
 
@@ -166,6 +184,23 @@ class DataParallel:
     def replicate_tree(self, tree):
         return jax.tree.map(lambda x: jax.device_put(x, self.repl_sh), tree)
 
+    def complete_on_mesh(self, tree):
+        '''Replicate onto this mesh every leaf that is not already placed
+        on it, leaving mesh-placed (sharded) leaves untouched.
+
+        Needed by the fsdp/ep paths: place_params puts the params (and,
+        via optax's zeros_like, the Adam moments) on the mesh, but
+        optimizer.init also creates fresh SCALAR leaves (step counts) on
+        the default device — when the mesh is a strict subset of the
+        visible devices, jit then sees two conflicting device assignments
+        and raises "Received incompatible devices".'''
+        def put(x):
+            sh = getattr(x, 'sharding', None)
+            if isinstance(sh, NamedSharding) and sh.mesh == self.mesh:
+                return x
+            return jax.device_put(x, self.repl_sh)
+        return jax.tree.map(put, tree)
+
     def jit_step(self, fn, donate_state: bool = False, **jit_kwargs):
         '''jit a (state, batch) -> (state, aux) step: state replicated,
         batch dp-sharded; XLA inserts the grad psum over ICI.
@@ -180,7 +215,7 @@ class DataParallel:
         donate = (0,) if donate_state else ()
         if self.n_sp > 1:
             return jax.jit(fn, donate_argnums=donate, **jit_kwargs)
-        if self.mesh.shape.get('mp', 1) > 1 or self.n_ep > 1:
+        if self.mesh.shape.get('mp', 1) > 1 or self.n_ep > 1 or self.fsdp:
             return jax.jit(
                 fn,
                 in_shardings=(None, self.batch_sh),
@@ -232,9 +267,15 @@ class DataParallel:
     def jit_eval(self, fn, **jit_kwargs):
         '''jit a (params, batch) -> out eval/decode step; output stays
         dp-sharded (gathered lazily on host read). With sp > 1 shardings
-        are inherited from the arrays (see jit_step).'''
+        are inherited from the arrays (see jit_step); with fsdp the params'
+        dp shardings are inherited too (pinning them replicated here would
+        materialize a full all-gathered copy on every device per call —
+        exactly the memory fsdp exists to avoid).'''
         if self.n_sp > 1:
             return jax.jit(fn, **jit_kwargs)
+        if self.fsdp:
+            return jax.jit(fn, in_shardings=(None, self.batch_sh),
+                           **jit_kwargs)
         return jax.jit(
             fn,
             in_shardings=(self.repl_sh, self.batch_sh),

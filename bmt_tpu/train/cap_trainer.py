@@ -133,7 +133,9 @@ def train_cap(cfg: Config):
             f'--ep_devices {n_ep} requires --moe_experts divisible by it '
             f'(got {dims.moe_experts}); expert weights shard their leading '
             f'expert axis over the ep mesh axis')
-    dp = DataParallel(getattr(cfg, 'dp_devices', None), ep=n_ep)
+    use_fsdp = bool(getattr(cfg, 'fsdp', False))
+    dp = DataParallel(getattr(cfg, 'dp_devices', None), ep=n_ep,
+                      fsdp=use_fsdp)
     compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == 'bfloat16'
                      else jnp.float32)
     train_step = dp.jit_step(make_cap_train_step(
@@ -170,17 +172,24 @@ def train_cap(cfg: Config):
             train_ds.pad_idx, cfg.attention_impl,
             getattr(cfg, 'kv_cache_int8', False))
 
-    if dp.n_ep > 1:
-        # shard MoE expert weights over the ep axis BEFORE optimizer.init:
-        # optax's zeros_like preserves the placement, so the Adam moments
-        # shard identically and jit_step inherits everything (mesh.py)
+    if dp.n_ep > 1 or use_fsdp:
+        # shard MoE expert weights over ep / large leaves over dp (fsdp)
+        # BEFORE optimizer.init: optax's zeros_like preserves the
+        # placement, so the Adam moments shard identically and jit_step
+        # inherits everything (mesh.py)
         from bmt_tpu.parallel import place_params
-        params = place_params(params, dp.mesh)
+        params = place_params(
+            params, dp.mesh, fsdp=use_fsdp,
+            fsdp_min_elems=getattr(cfg, 'fsdp_min_elems', 1 << 16))
     state = init_train_state(params, optimizer, seed,
                              getattr(cfg, 'prng_impl', 'rbg'))
-    if dp.n_ep == 1:
+    if dp.n_ep == 1 and not use_fsdp:
         state = state._replace(params=dp.replicate_tree(state.params),
                                opt_state=dp.replicate_tree(state.opt_state))
+    else:
+        # the sharded leaves are already on the mesh; the scalars
+        # optimizer.init created fresh (counts, rng, step) are not
+        state = dp.complete_on_mesh(state)
 
     # TRAINABLE means not frozen: the reference counts requires_grad
     # params only, so the GloVe table / frozen encoders / anchors are
@@ -218,6 +227,12 @@ def train_cap(cfg: Config):
         _, load_ckpt = get_checkpoint_io(on_disk_fmt)
         p, meta, opt = load_ckpt(ckpt_dir, state.params,
                                  state.opt_state, 'last_cap_model')
+        # re-place the loaded host arrays onto the live state's shardings:
+        # without this an fsdp/ep/mp resume would silently lose its
+        # placements at the next jit call (parallel/mesh.py:place_like)
+        from bmt_tpu.parallel import place_like
+        p = place_like(p, state.params)
+        opt = place_like(opt, state.opt_state) if opt is not None else None
         # restore the step counter too: the per-step dropout key is
         # fold_in(rng, step), so a resume at step=0 would replay the RNG
         # streams already consumed by the original run's first epochs

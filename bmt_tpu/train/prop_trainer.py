@@ -110,7 +110,9 @@ def train_prop(cfg: Config):
     # devices (sequence parallelism — parallel/seq.py); dp x sp devices
     # total, GSPMD inserts the K/V gathers and conv halo exchanges
     sp = getattr(cfg, 'sp_devices', 1) or 1
-    dp = DataParallel(getattr(cfg, 'dp_devices', None), sp=sp)
+    use_fsdp = bool(getattr(cfg, 'fsdp', False))
+    dp = DataParallel(getattr(cfg, 'dp_devices', None), sp=sp,
+                      fsdp=use_fsdp)
     seq_mesh = dp.mesh if sp > 1 else None
     compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == 'bfloat16'
                      else jnp.float32)
@@ -126,10 +128,22 @@ def train_prop(cfg: Config):
         dims, pad_idx, cfg.attention_impl, compute_dtype,
         seq_mesh=seq_mesh))
 
+    if use_fsdp:
+        # shard large leaves over dp (ZeRO-3) BEFORE optimizer.init so the
+        # Adam moments shard identically (sharding_rules.py)
+        from bmt_tpu.parallel import place_params
+        params = place_params(
+            params, dp.mesh, fsdp=True,
+            fsdp_min_elems=getattr(cfg, 'fsdp_min_elems', 1 << 16))
     state = init_train_state(params, optimizer, seed,
                              getattr(cfg, 'prng_impl', 'rbg'))
-    state = state._replace(params=dp.replicate_tree(state.params),
-                           opt_state=dp.replicate_tree(state.opt_state))
+    if not use_fsdp:
+        state = state._replace(params=dp.replicate_tree(state.params),
+                               opt_state=dp.replicate_tree(state.opt_state))
+    else:
+        # sharded leaves are on the mesh already; the scalars
+        # optimizer.init created fresh (counts, rng, step) are not
+        state = dp.complete_on_mesh(state)
 
     # TRAINABLE means not frozen: the reference counts requires_grad
     # params only, so the GloVe table / frozen encoders / anchors are
@@ -168,6 +182,11 @@ def train_prop(cfg: Config):
         _, load_ckpt = get_checkpoint_io(on_disk_fmt)
         p, meta, opt = load_ckpt(ckpt_dir, state.params,
                                  state.opt_state, 'last_prop_model')
+        # re-place loaded host arrays onto the live shardings (fsdp/sp
+        # resume must not silently lose its placements — see place_like)
+        from bmt_tpu.parallel import place_like
+        p = place_like(p, state.params)
+        opt = place_like(opt, state.opt_state) if opt is not None else None
         state = state._replace(
             params=p, opt_state=opt or state.opt_state,
             step=jnp.asarray(meta.get('step', 0), jnp.int32))

@@ -327,3 +327,53 @@ def test_eval_on_learned_props_unimodal(mini_data, tmp_path):
                                     subs[0]))
     metrics = eval_on_learned_props(eval_cfg)
     assert metrics is not None and 'Average across tIoUs' in metrics
+
+
+@pytest.mark.slow
+def test_train_cap_fsdp_end_to_end(mini_data, tmp_path):
+    '''--fsdp through the full captioning driver: params + Adam moments
+    dp-sharded (fsdp_min_elems=0 so the tiny test model really shards),
+    one epoch trains, checkpoints write (save gathers the global arrays),
+    and a resume re-places the loaded host arrays onto the fsdp shardings
+    (parallel/mesh.py:place_like) instead of silently replicating.'''
+    import json as _json
+    from bmt_tpu.train.cap_trainer import train_cap
+
+    os.chdir(tmp_path)
+    cfg = _mini_cfg(mini_data, tmp_path, 'train_cap', fsdp=None,
+                    fsdp_min_elems=0)
+    best = train_cap(cfg)
+    assert best >= 0
+    files = os.listdir(cfg.model_checkpoint_path)
+    assert 'last_cap_model.params.npz' in files
+
+    meta_path = os.path.join(cfg.model_checkpoint_path,
+                             'last_cap_model.meta.json')
+    with open(meta_path) as f:
+        assert _json.load(f)['epoch'] == 0
+
+    # resume for a second epoch under fsdp
+    cfg2 = _mini_cfg(mini_data, tmp_path, 'train_cap', fsdp=None,
+                     fsdp_min_elems=0)
+    cfg2.log_path = cfg.log_path
+    cfg2.model_checkpoint_path = cfg.model_checkpoint_path
+    cfg2.epoch_num = 2
+    train_cap(cfg2)
+    with open(meta_path) as f:
+        meta = _json.load(f)
+    assert meta['epoch'] == 1
+    assert meta['step'] > 0
+
+
+@pytest.mark.slow
+def test_train_prop_fsdp(mini_data, tmp_path):
+    '''--fsdp through the proposal driver: conv-head weights dp-sharded,
+    one epoch trains and the rolling checkpoint writes.'''
+    from bmt_tpu.train.prop_trainer import train_prop
+
+    os.chdir(tmp_path)
+    cfg = _mini_cfg(mini_data, tmp_path, 'train_prop', fsdp=None,
+                    fsdp_min_elems=0)
+    train_prop(cfg)
+    files = os.listdir(cfg.log_path)
+    assert 'last_prop_model.params.npz' in files
