@@ -158,6 +158,7 @@ class Config:
         self.fsdp = getattr(args, 'fsdp', False)
         self.fsdp_min_elems = getattr(args, 'fsdp_min_elems', 1 << 16)
         self.preempt_save = getattr(args, 'preempt_save', True)
+        self.async_ckpt = getattr(args, 'async_ckpt', False)
         self.length_sort_window = getattr(args, 'length_sort_window', 100)
         self.decode_strategy = getattr(args, 'decode_strategy', 'greedy')
         self.profile_steps = getattr(args, 'profile_steps', 0)
@@ -418,6 +419,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help='with --fsdp, leaves smaller than this stay '
                              'replicated (all-gathering a LayerNorm scale '
                              'costs a collective launch to save KBs)')
+    parser.add_argument('--async_ckpt', action='store_true', default=False,
+                        help='write checkpoints from a background thread '
+                             '(device->host snapshot stays synchronous; '
+                             'the npz serialization + file IO overlaps '
+                             'the next epoch). npz format only; trainers '
+                             'drain pending writes before exiting.')
     parser.add_argument('--no_preempt_save', dest='preempt_save',
                         action='store_false', default=True,
                         help='disable the SIGTERM preemption handler '

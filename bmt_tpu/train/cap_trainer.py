@@ -217,6 +217,16 @@ def train_cap(cfg: Config):
     # changed --ckpt_format must not silently restart from epoch 0)
     ckpt_fmt = getattr(cfg, 'ckpt_format', 'npz')
     save_ckpt, _ = get_checkpoint_io(ckpt_fmt)
+    async_writer = None
+    if getattr(cfg, 'async_ckpt', False):
+        if ckpt_fmt == 'npz':
+            from bmt_tpu.train.checkpoint import AsyncCheckpointWriter
+            async_writer = AsyncCheckpointWriter(save_ckpt)
+            save_ckpt = async_writer.save
+        else:
+            print('--async_ckpt applies to the npz format only '
+                  '(orbax array writes are multi-host collectives); '
+                  'saving synchronously')
     ckpt_dir = cfg.model_checkpoint_path if cfg.to_log else None
     on_disk_fmt = (detect_checkpoint_format(ckpt_dir, 'last_cap_model',
                                             ckpt_fmt) if ckpt_dir else None)
@@ -366,6 +376,10 @@ def train_cap(cfg: Config):
 
     if guard is not None:
         guard.uninstall()
+    if async_writer is not None:
+        # drain pending background writes (incl. a preemption save) so
+        # the checkpoint is durably on disk before the process can exit
+        async_writer.close()
     print(f'{cfg.curr_time}')
     print(f'best_metric: {best_metric}')
     logger.close()

@@ -291,6 +291,60 @@ def get_checkpoint_io(fmt: str = 'npz'):
     return save_checkpoint, load_checkpoint
 
 
+class AsyncCheckpointWriter:
+    '''Overlap checkpoint file IO with training (--async_ckpt).
+
+    ``save()`` snapshots params/opt_state to host SYNCHRONOUSLY — the
+    jitted train step donates the state buffers, so device arrays held
+    across the next step launch would be read-after-free — then hands
+    serialization + file writes (the dominant cost: ~0.6 GB of npz at
+    51 M params with Adam state) to a single worker thread and returns.
+    The single worker keeps saves strictly ordered, so an older pending
+    write can never clobber a newer rolling ``last_*`` checkpoint, and
+    the atomic write-then-rename in save_pytree_npz/meta still holds.
+
+    Worker errors are NOT swallowed: they re-raise on the next ``save()``
+    or on ``wait()`` (trainers call wait() before exiting — including
+    after a SIGTERM preemption save — so a full disk cannot silently
+    discard every epoch's checkpoint and then let the process exit 0).
+
+    npz only by design: the orbax format's array writes are multi-host
+    COLLECTIVES, and running collectives from an unsynchronized
+    background thread can deadlock a pod (orbax ships its own
+    AsyncCheckpointer for that case).
+    '''
+
+    def __init__(self, save_fn=save_checkpoint):
+        import concurrent.futures as cf
+        self._save_fn = save_fn
+        self._pool = cf.ThreadPoolExecutor(max_workers=1,
+                                           thread_name_prefix='bmt-ckpt')
+        self._pending = []
+
+    def save(self, ckpt_dir: str, params, meta: dict, opt_state=None,
+             name: str = 'best_cap_model'):
+        import jax
+        self._reap()
+        host_params, host_opt = jax.device_get((params, opt_state))
+        self._pending.append(self._pool.submit(
+            self._save_fn, ckpt_dir, host_params, meta, host_opt, name))
+
+    def _reap(self):
+        done = [f for f in self._pending if f.done()]
+        self._pending = [f for f in self._pending if not f.done()]
+        for f in done:
+            f.result()  # re-raise worker errors at the call site
+
+    def wait(self):
+        '''Block until every submitted save is durably on disk.'''
+        while self._pending:
+            self._pending.pop(0).result()
+
+    def close(self):
+        self.wait()
+        self._pool.shutdown()
+
+
 def load_model_params(ckpt_dir: str, name: str, params_like):
     '''Format-agnostic model-params load for eval/serving consumers: reads
     ``{name}.orbax`` or ``{name}.params.npz``, whichever exists.'''

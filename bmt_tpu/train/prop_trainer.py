@@ -172,6 +172,16 @@ def train_prop(cfg: Config):
     # only save — proposal_generator training restarts from scratch)
     ckpt_fmt = getattr(cfg, 'ckpt_format', 'npz')
     save_ckpt, _ = get_checkpoint_io(ckpt_fmt)
+    async_writer = None
+    if getattr(cfg, 'async_ckpt', False):
+        if ckpt_fmt == 'npz':
+            from bmt_tpu.train.checkpoint import AsyncCheckpointWriter
+            async_writer = AsyncCheckpointWriter(save_ckpt)
+            save_ckpt = async_writer.save
+        else:
+            print('--async_ckpt applies to the npz format only '
+                  '(orbax array writes are multi-host collectives); '
+                  'saving synchronously')
     ckpt_dir = cfg.log_path if cfg.to_log else None
     on_disk_fmt = (detect_checkpoint_format(ckpt_dir, 'last_prop_model',
                                             ckpt_fmt) if ckpt_dir else None)
@@ -275,6 +285,10 @@ def train_prop(cfg: Config):
 
     if guard is not None:
         guard.uninstall()
+    if async_writer is not None:
+        # drain pending background writes (incl. a preemption save) so
+        # the checkpoint is durably on disk before the process can exit
+        async_writer.close()
     print(f'Experiment: {cfg.curr_time[2:]}')
     logger.close()
     return best_metric

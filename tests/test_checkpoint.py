@@ -454,3 +454,64 @@ def test_bf16_leaf_npz_roundtrip_bit_exact(tmp_path):
         np.asarray(got['mu']).view(np.uint16),
         np.asarray(mu).view(np.uint16))        # bit-exact
     np.testing.assert_array_equal(got['nu'], tree['nu'])
+
+
+# ---------------------------------------------------------------------------
+# async checkpoint writer (--async_ckpt)
+# ---------------------------------------------------------------------------
+
+def test_async_writer_matches_sync(tmp_path):
+    '''The background writer produces byte-identical restore results to the
+    synchronous save (the snapshot is taken at submit time, so mutating
+    the live state afterwards must not leak into the file).'''
+    from bmt_tpu.train.checkpoint import AsyncCheckpointWriter
+
+    params = init_bimodal_transformer(jax.random.PRNGKey(0), SMALL)
+    meta = {'epoch': 3, 'step': 77}
+
+    save_checkpoint(str(tmp_path / 'sync'), params, meta,
+                    name='last_cap_model')
+
+    w = AsyncCheckpointWriter()
+    w.save(str(tmp_path / 'async'), params, meta, name='last_cap_model')
+    # mutate the live tree AFTER submit: the file must hold the snapshot
+    params2 = jax.tree.map(lambda x: x * 0, params)
+    del params2
+    w.close()
+
+    ps, ms, _ = load_checkpoint(str(tmp_path / 'sync'), params,
+                                name='last_cap_model')
+    pa, ma, _ = load_checkpoint(str(tmp_path / 'async'), params,
+                                name='last_cap_model')
+    _trees_equal(ps, pa)
+    assert ms == ma == meta
+
+
+def test_async_writer_orders_saves(tmp_path):
+    '''Two queued saves of the same rolling name land in submit order —
+    the newer one wins on disk (single worker thread).'''
+    from bmt_tpu.train.checkpoint import AsyncCheckpointWriter
+
+    w = AsyncCheckpointWriter()
+    tree_a = {'w': jnp.ones((4, 4))}
+    tree_b = {'w': jnp.full((4, 4), 2.0)}
+    for i, tree in enumerate([tree_a, tree_b]):
+        w.save(str(tmp_path), tree, {'epoch': i}, name='last_cap_model')
+    w.close()
+    p, m, _ = load_checkpoint(str(tmp_path), tree_a, name='last_cap_model')
+    np.testing.assert_array_equal(np.asarray(p['w']), np.asarray(tree_b['w']))
+    assert m['epoch'] == 1
+
+
+def test_async_writer_propagates_errors(tmp_path):
+    '''A failing write surfaces on wait()/close() (and on later save()),
+    not silently — a full disk must not discard epochs and exit 0.'''
+    from bmt_tpu.train.checkpoint import AsyncCheckpointWriter
+
+    def broken_save(*a, **k):
+        raise OSError('disk full')
+
+    w = AsyncCheckpointWriter(broken_save)
+    w.save(str(tmp_path), {'w': jnp.ones(3)}, {}, name='x')
+    with pytest.raises(OSError, match='disk full'):
+        w.wait()

@@ -377,3 +377,30 @@ def test_train_prop_fsdp(mini_data, tmp_path):
     train_prop(cfg)
     files = os.listdir(cfg.log_path)
     assert 'last_prop_model.params.npz' in files
+
+
+@pytest.mark.slow
+def test_train_cap_async_ckpt(mini_data, tmp_path):
+    '''--async_ckpt through the captioning driver: the rolling + best
+    checkpoints are durably on disk when train_cap returns (the trainer
+    drains the background writer before exiting), and a resume from the
+    async-written checkpoint works.'''
+    import json as _json
+    from bmt_tpu.train.cap_trainer import train_cap
+
+    os.chdir(tmp_path)
+    cfg = _mini_cfg(mini_data, tmp_path, 'train_cap', async_ckpt=None)
+    train_cap(cfg)
+    files = os.listdir(cfg.model_checkpoint_path)
+    assert 'last_cap_model.params.npz' in files
+    assert 'best_cap_model.params.npz' in files
+
+    cfg2 = _mini_cfg(mini_data, tmp_path, 'train_cap', async_ckpt=None)
+    cfg2.log_path = cfg.log_path
+    cfg2.model_checkpoint_path = cfg.model_checkpoint_path
+    cfg2.epoch_num = 2
+    train_cap(cfg2)
+    meta_path = os.path.join(cfg.model_checkpoint_path,
+                             'last_cap_model.meta.json')
+    with open(meta_path) as f:
+        assert _json.load(f)['epoch'] == 1
