@@ -132,6 +132,9 @@ class Config:
         if self.scheduler == 'reduce_on_plateau':
             self.lr_reduce_factor = args.lr_reduce_factor
             self.lr_patience = args.lr_patience
+        self.warmup_steps = getattr(args, 'warmup_steps', 0)
+        self.lr_final_ratio = getattr(args, 'lr_final_ratio', 0.0)
+        self.skip_nonfinite_grads = getattr(args, 'skip_nonfinite_grads', 0)
 
         # evaluation
         self.reference_paths = args.reference_paths
@@ -264,7 +267,19 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--eps', type=float, default=1e-8)
     parser.add_argument('--momentum', type=float, default=0.0)
     parser.add_argument('--scheduler', type=str, default='constant',
-                        choices=['constant', 'reduce_on_plateau'])
+                        choices=['constant', 'reduce_on_plateau',
+                                 'warmup_cosine'])
+    parser.add_argument('--warmup_steps', type=int, default=0,
+                        help='(warmup_cosine) linear LR warmup steps '
+                             'before the cosine decay')
+    parser.add_argument('--lr_final_ratio', type=float, default=0.0,
+                        help='(warmup_cosine) cosine floor as a fraction '
+                             'of the peak --lr')
+    parser.add_argument('--skip_nonfinite_grads', type=int, default=0,
+                        help='skip optimizer updates on steps with '
+                             'NaN/inf gradients; after N consecutive bad '
+                             'steps the failure surfaces instead of '
+                             'looping (0 = off)')
     parser.add_argument('--lr', type=float, default=5e-5)
     parser.add_argument('--weight_decay', type=float, default=0)
     parser.add_argument('--lr_patience', type=int)

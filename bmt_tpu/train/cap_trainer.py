@@ -125,7 +125,9 @@ def train_cap(cfg: Config):
         return False
 
     mask = freeze_mask(params, is_frozen)
-    optimizer = build_optimizer(cfg, frozen_mask=mask)
+    # the warmup_cosine schedule needs the run's step budget
+    optimizer = build_optimizer(cfg, frozen_mask=mask,
+                                total_steps=cfg.epoch_num * len(train_ds))
 
     n_ep = getattr(cfg, 'ep_devices', 1)
     if n_ep > 1 and (dims.moe_experts or 0) % n_ep != 0:

@@ -19,10 +19,13 @@ import jax
 import optax
 
 
-def build_optimizer(cfg, frozen_mask=None) -> optax.GradientTransformation:
+def build_optimizer(cfg, frozen_mask=None,
+                    total_steps: Optional[int] = None
+                    ) -> optax.GradientTransformation:
     '''cfg needs: optimizer, lr, grad_clip, weight_decay and (adam) beta1/2,
     eps or (sgd) momentum. ``frozen_mask``: pytree of bools matching params
-    (True = frozen).'''
+    (True = frozen). ``total_steps``: the run's step budget, required by
+    the warmup_cosine schedule (trainers pass epoch_num * batches/epoch).'''
     chain = []
     if frozen_mask is not None:
         # zero frozen-leaf gradients FIRST: torch's frozen params
@@ -62,16 +65,46 @@ def build_optimizer(cfg, frozen_mask=None) -> optax.GradientTransformation:
     else:
         raise ValueError(cfg.optimizer)
 
+    # per-STEP LR schedule (--scheduler warmup_cosine): a RELATIVE
+    # multiplier on top of the injected base learning_rate, so
+    # get/set_learning_rate and the plateau machinery stay untouched.
+    # The schedule's step count lives in the opt_state
+    # (ScaleByScheduleState) and therefore survives checkpoint resume.
+    if getattr(cfg, 'scheduler', 'constant') == 'warmup_cosine':
+        warm = max(int(getattr(cfg, 'warmup_steps', 0) or 0), 0)
+        floor = float(getattr(cfg, 'lr_final_ratio', 0.0) or 0.0)
+        total = int(total_steps or getattr(cfg, 'lr_total_steps', 0) or 0)
+        if total > warm:
+            sched = optax.warmup_cosine_decay_schedule(
+                init_value=0.0 if warm else 1.0, peak_value=1.0,
+                warmup_steps=warm, decay_steps=total, end_value=floor)
+        else:
+            # no (usable) step budget: linear warmup, then flat
+            sched = optax.linear_schedule(
+                init_value=0.0 if warm else 1.0, end_value=1.0,
+                transition_steps=max(warm, 1))
+        chain.append(optax.scale_by_schedule(sched))
+
     chain.append(optax.scale(-1.0))
     # trailing safety net: whatever any upstream transform produced, the
     # final update for a frozen leaf is exactly zero (freeze contract)
     tail = ([optax.masked(optax.set_to_zero(), frozen_mask)]
             if frozen_mask is not None else [])
-    tx = optax.inject_hyperparams(
-        lambda learning_rate: optax.chain(*chain,
-                                          optax.scale(learning_rate), *tail)
-    )(learning_rate=cfg.lr)
-    return tx
+    # --skip_nonfinite_grads N: production NaN/inf guard — a step whose
+    # gradients are nonfinite applies NO update (inner state untouched)
+    # instead of poisoning the parameters; after N CONSECUTIVE bad steps
+    # the nonfinite updates pass through so the failure surfaces rather
+    # than looping forever (optax.apply_if_finite semantics)
+    skip_n = int(getattr(cfg, 'skip_nonfinite_grads', 0) or 0)
+
+    def make(learning_rate):
+        inner = optax.chain(*chain, optax.scale(learning_rate), *tail)
+        if skip_n > 0:
+            inner = optax.apply_if_finite(inner,
+                                          max_consecutive_errors=skip_n)
+        return inner
+
+    return optax.inject_hyperparams(make)(learning_rate=cfg.lr)
 
 
 def set_learning_rate(opt_state, lr: float):

@@ -103,8 +103,10 @@ def train_prop(cfg: Config):
             return True
         return frozen_module is not None and path_keys[0] == frozen_module
 
+    # the warmup_cosine schedule needs the run's step budget
     optimizer = build_optimizer(cfg, frozen_mask=freeze_mask(params,
-                                                             is_frozen))
+                                                             is_frozen),
+                                total_steps=cfg.epoch_num * len(train_ds))
 
     # sp > 1 additionally shards the Sa=800/Sv=300 sequences across
     # devices (sequence parallelism — parallel/seq.py); dp x sp devices

@@ -186,3 +186,95 @@ def test_bf16_mu_dtype_option():
     np.testing.assert_allclose(np.asarray(upd['w']),
                                np.asarray(upd32['w']),
                                rtol=0, atol=1e-4)
+
+
+def test_warmup_cosine_schedule_shape():
+    '''--scheduler warmup_cosine: SGD with lr=1 and unit grads makes the
+    update magnitude equal the schedule multiplier — linear 0->1 over the
+    warmup, cosine 1->floor over the budget.'''
+    class _SchedCfg:
+        optimizer = 'sgd'
+        lr = 1.0
+        grad_clip = None
+        weight_decay = 0.0
+        momentum = 0.0
+        scheduler = 'warmup_cosine'
+        warmup_steps = 4
+        lr_final_ratio = 0.1
+
+    params = {'w': jnp.zeros((3,))}
+    tx = build_optimizer(_SchedCfg(), total_steps=12)
+    state = tx.init(params)
+    grads = {'w': jnp.ones((3,))}
+    mags = []
+    for _ in range(12):
+        updates, state = tx.update(grads, state, params)
+        mags.append(float(-updates['w'][0]))
+    # warmup: strictly increasing from ~0 to the peak
+    assert mags[0] < 0.3 and mags[0] < mags[1] < mags[2] < mags[3]
+    np.testing.assert_allclose(mags[4], 1.0, atol=0.05)  # peak after warmup
+    # cosine decay towards the floor (0.1 of peak)
+    assert mags[5] > mags[7] > mags[9] > mags[11]
+    np.testing.assert_allclose(mags[11], 0.1, atol=0.08)
+
+
+def test_warmup_cosine_count_survives_resume():
+    '''The schedule's step count lives in the opt_state, so a checkpoint
+    round-trip resumes mid-schedule instead of rewinding the LR.'''
+    from bmt_tpu.train.checkpoint import load_pytree_npz, save_pytree_npz
+
+    class _SchedCfg:
+        optimizer = 'sgd'
+        lr = 1.0
+        grad_clip = None
+        weight_decay = 0.0
+        momentum = 0.0
+        scheduler = 'warmup_cosine'
+        warmup_steps = 0
+        lr_final_ratio = 0.0
+
+    params = {'w': jnp.zeros((3,))}
+    tx = build_optimizer(_SchedCfg(), total_steps=10)
+    state = tx.init(params)
+    grads = {'w': jnp.ones((3,))}
+    for _ in range(5):
+        updates, state = tx.update(grads, state, params)
+
+    import os, tempfile
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, 'opt.npz')
+        save_pytree_npz(path, state)
+        restored = load_pytree_npz(path, tx.init(params))
+
+    u_live, _ = tx.update(grads, state, params)
+    u_rest, _ = tx.update(grads, restored, params)
+    np.testing.assert_allclose(np.asarray(u_rest['w']),
+                               np.asarray(u_live['w']), rtol=1e-6)
+
+
+def test_skip_nonfinite_grads():
+    '''--skip_nonfinite_grads: a NaN-grad step applies a ZERO update and
+    leaves the optimizer state usable; the next finite step applies
+    normally; after max consecutive errors the NaN passes through.'''
+    class _GuardCfg(_Cfg):
+        skip_nonfinite_grads = 2
+
+    params = {'w': jnp.ones((2,))}
+    tx = build_optimizer(_GuardCfg())
+    state = tx.init(params)
+    bad = {'w': jnp.asarray([jnp.nan, 1.0])}
+    good = {'w': jnp.ones((2,))}
+
+    updates, state = tx.update(bad, state, params)
+    assert float(jnp.abs(updates['w']).sum()) == 0.0  # skipped, not NaN
+
+    updates, state = tx.update(good, state, params)
+    assert np.all(np.isfinite(np.asarray(updates['w'])))
+    assert float(jnp.abs(updates['w']).sum()) > 0.0
+
+    # two consecutive bad steps exhaust the budget; the third surfaces
+    for _ in range(2):
+        updates, state = tx.update(bad, state, params)
+        assert float(jnp.nansum(jnp.abs(updates['w']))) == 0.0
+    updates, state = tx.update(bad, state, params)
+    assert not np.all(np.isfinite(np.asarray(updates['w'])))
