@@ -135,6 +135,7 @@ class Config:
         self.warmup_steps = getattr(args, 'warmup_steps', 0)
         self.lr_final_ratio = getattr(args, 'lr_final_ratio', 0.0)
         self.skip_nonfinite_grads = getattr(args, 'skip_nonfinite_grads', 0)
+        self.ema_decay = getattr(args, 'ema_decay', 0.0)
 
         # evaluation
         self.reference_paths = args.reference_paths
@@ -275,6 +276,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--lr_final_ratio', type=float, default=0.0,
                         help='(warmup_cosine) cosine floor as a fraction '
                              'of the peak --lr')
+    parser.add_argument('--ema_decay', type=float, default=0.0,
+                        help='exponential moving average of the weights '
+                             '(e.g. 0.999): validation decode and the '
+                             'best_* checkpoint use the EMA weights, the '
+                             'rolling last_* checkpoint keeps raw weights '
+                             '+ an .ema sidecar for exact resume (0 = off)')
     parser.add_argument('--skip_nonfinite_grads', type=int, default=0,
                         help='skip optimizer updates on steps with '
                              'NaN/inf gradients; after N consecutive bad '

@@ -140,11 +140,13 @@ def train_cap(cfg: Config):
                       fsdp=use_fsdp)
     compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == 'bfloat16'
                      else jnp.float32)
+    ema_decay = float(getattr(cfg, 'ema_decay', 0.0) or 0.0)
     train_step = dp.jit_step(make_cap_train_step(
         dims, optimizer, cfg.smoothing, train_ds.pad_idx,
         cfg.attention_impl, compute_dtype,
         accum_steps=getattr(cfg, 'grad_accum_steps', 1),
-        moe_aux_coeff=getattr(cfg, 'moe_aux_coeff', 0.01)),
+        moe_aux_coeff=getattr(cfg, 'moe_aux_coeff', 0.01),
+        ema_decay=ema_decay),
         donate_state=True)
     val_step = jax.jit(make_cap_val_step(
         dims, cfg.smoothing, train_ds.pad_idx, cfg.attention_impl,
@@ -184,10 +186,14 @@ def train_cap(cfg: Config):
             params, dp.mesh, fsdp=use_fsdp,
             fsdp_min_elems=getattr(cfg, 'fsdp_min_elems', 1 << 16))
     state = init_train_state(params, optimizer, seed,
-                             getattr(cfg, 'prng_impl', 'rbg'))
+                             getattr(cfg, 'prng_impl', 'rbg'),
+                             ema=ema_decay > 0)
     if dp.n_ep == 1 and not use_fsdp:
-        state = state._replace(params=dp.replicate_tree(state.params),
-                               opt_state=dp.replicate_tree(state.opt_state))
+        state = state._replace(
+            params=dp.replicate_tree(state.params),
+            opt_state=dp.replicate_tree(state.opt_state),
+            ema=(dp.replicate_tree(state.ema)
+                 if state.ema is not None else None))
     else:
         # the sharded leaves are already on the mesh; the scalars
         # optimizer.init created fresh (counts, rng, step) are not
@@ -248,8 +254,19 @@ def train_cap(cfg: Config):
         # restore the step counter too: the per-step dropout key is
         # fold_in(rng, step), so a resume at step=0 would replay the RNG
         # streams already consumed by the original run's first epochs
+        ema = state.ema
+        if ema is not None:
+            # EMA sidecar: restore for an exact resume; seed from the
+            # restored raw params when resuming a pre-EMA run
+            try:
+                e, _, _ = load_ckpt(ckpt_dir, state.ema, None,
+                                    'last_cap_model.ema')
+                ema = place_like(e, state.ema)
+            except FileNotFoundError:
+                ema = place_like(jax.tree.map(lambda x: x.copy(), p),
+                                 state.ema)
         state = state._replace(
-            params=p, opt_state=opt or state.opt_state,
+            params=p, opt_state=opt or state.opt_state, ema=ema,
             step=jnp.asarray(meta.get('step', 0), jnp.int32))
         start_epoch = meta.get('epoch', -1) + 1
         best_metric = meta.get('best_metric', 0.0)
@@ -307,13 +324,19 @@ def train_cap(cfg: Config):
                 'scheduler': (scheduler.state_dict()
                               if scheduler is not None else None),
             }, state.opt_state, 'last_cap_model')
+            if state.ema is not None:
+                save_ckpt(ckpt_dir, state.ema, {'epoch': epoch},
+                          None, 'last_cap_model.ema')
             print(f'[preempt] rolling checkpoint saved @ epoch {epoch} '
                   f'batch {b if b else "end"}; exiting')
             break
 
-        val_1_loss = validate_next_word(val_step, state.params, val_1_ds,
+        # EMA (if on) is what gets EVALUATED and what best_* holds; the
+        # raw weights keep training and the rolling last_* keeps both
+        eval_params = state.ema if state.ema is not None else state.params
+        val_1_loss = validate_next_word(val_step, eval_params, val_1_ds,
                                         epoch, dp)
-        val_2_loss = validate_next_word(val_step, state.params, val_2_ds,
+        val_2_loss = validate_next_word(val_step, eval_params, val_2_ds,
                                         epoch, dp)
         val_avg = (val_1_loss + val_2_loss) / 2
         logger.add_scalar('debug/val_loss_avg', val_avg, epoch)
@@ -327,7 +350,7 @@ def train_cap(cfg: Config):
             # decode in the configured compute dtype (params cast once,
             # features per batch inside the wrapper); features sharded
             # over the dp mesh so validation decode uses every chip
-            decode_params = cast_tree(state.params, compute_dtype)
+            decode_params = cast_tree(eval_params, compute_dtype)
             decode_fn = make_decode_fn(greedy_fn, dp, compute_dtype)
             val_1_metrics = validation_1by1(cfg, decode_params, decode_fn,
                                             val_1_ds, epoch, logger)
@@ -372,8 +395,14 @@ def train_cap(cfg: Config):
             # 1-by-1 validation still resumes from the latest epoch
             save_ckpt(ckpt_dir, state.params, meta,
                       state.opt_state, 'last_cap_model')
+            if state.ema is not None:
+                save_ckpt(ckpt_dir, state.ema, {'epoch': epoch},
+                          None, 'last_cap_model.ema')
             if is_best:
-                save_ckpt(ckpt_dir, state.params, meta,
+                # best_* holds the weights that actually SCORED best —
+                # the EMA tree when --ema_decay is on — so eval/serving
+                # consumers load it unchanged
+                save_ckpt(ckpt_dir, eval_params, meta,
                           state.opt_state, 'best_cap_model')
 
     if guard is not None:

@@ -121,10 +121,11 @@ def train_prop(cfg: Config):
     # accum is EXACT here too: the YOLO masked-mean denominators depend
     # only on targets, so a target-only pre-pass supplies the full-batch
     # cell counts to every microbatch (see make_prop_train_step)
+    ema_decay = float(getattr(cfg, 'ema_decay', 0.0) or 0.0)
     train_step = dp.jit_step(make_prop_train_step(
         dims, optimizer, pad_idx, cfg.attention_impl, compute_dtype,
         accum_steps=getattr(cfg, 'grad_accum_steps', 1),
-        seq_mesh=seq_mesh),
+        seq_mesh=seq_mesh, ema_decay=ema_decay),
         donate_state=True)
     inference_step = jax.jit(make_prop_inference_step(
         dims, pad_idx, cfg.attention_impl, compute_dtype,
@@ -138,10 +139,14 @@ def train_prop(cfg: Config):
             params, dp.mesh, fsdp=True,
             fsdp_min_elems=getattr(cfg, 'fsdp_min_elems', 1 << 16))
     state = init_train_state(params, optimizer, seed,
-                             getattr(cfg, 'prng_impl', 'rbg'))
+                             getattr(cfg, 'prng_impl', 'rbg'),
+                             ema=ema_decay > 0)
     if not use_fsdp:
-        state = state._replace(params=dp.replicate_tree(state.params),
-                               opt_state=dp.replicate_tree(state.opt_state))
+        state = state._replace(
+            params=dp.replicate_tree(state.params),
+            opt_state=dp.replicate_tree(state.opt_state),
+            ema=(dp.replicate_tree(state.ema)
+                 if state.ema is not None else None))
     else:
         # sharded leaves are on the mesh already; the scalars
         # optimizer.init created fresh (counts, rng, step) are not
@@ -199,8 +204,17 @@ def train_prop(cfg: Config):
         from bmt_tpu.parallel import place_like
         p = place_like(p, state.params)
         opt = place_like(opt, state.opt_state) if opt is not None else None
+        ema = state.ema
+        if ema is not None:
+            try:
+                e, _, _ = load_ckpt(ckpt_dir, state.ema, None,
+                                    'last_prop_model.ema')
+                ema = place_like(e, state.ema)
+            except FileNotFoundError:   # resuming a pre-EMA run
+                ema = place_like(jax.tree.map(lambda x: x.copy(), p),
+                                 state.ema)
         state = state._replace(
-            params=p, opt_state=opt or state.opt_state,
+            params=p, opt_state=opt or state.opt_state, ema=ema,
             step=jnp.asarray(meta.get('step', 0), jnp.int32))
         start_epoch = meta.get('epoch', -1) + 1
         best_metric = meta.get('best_metric', -np.inf)
@@ -246,11 +260,16 @@ def train_prop(cfg: Config):
                 'scheduler': (scheduler.state_dict()
                               if scheduler is not None else None),
             }, state.opt_state, 'last_prop_model')
+            if state.ema is not None:
+                save_ckpt(ckpt_dir, state.ema, {'epoch': epoch},
+                          None, 'last_prop_model.ema')
             print(f'[preempt] rolling checkpoint saved @ epoch {epoch} '
                   f'batch {b if b else "end"}; exiting')
             break
 
-        avg_f1, metrics = validate_prop(cfg, inference_step, state.params,
+        # EMA (if on) is what gets validated and what best_* holds
+        eval_params = state.ema if state.ema is not None else state.params
+        avg_f1, metrics = validate_prop(cfg, inference_step, eval_params,
                                         valid_ds, epoch, logger, dp)
 
         if scheduler is not None:
@@ -279,8 +298,12 @@ def train_prop(cfg: Config):
             # rolling checkpoint every epoch (resume), best kept separately
             save_ckpt(ckpt_dir, state.params, meta,
                       state.opt_state, 'last_prop_model')
+            if state.ema is not None:
+                save_ckpt(ckpt_dir, state.ema, {'epoch': epoch},
+                          None, 'last_prop_model.ema')
             if is_best:
-                save_ckpt(ckpt_dir, state.params, meta,
+                # best_* holds the weights that scored (EMA when on)
+                save_ckpt(ckpt_dir, eval_params, meta,
                           state.opt_state, 'best_prop_model')
                 print(f'Saved model @ {epoch} epoch. '
                       f'Best metric: {best_metric:.5f}')

@@ -32,6 +32,10 @@ class TrainState(NamedTuple):
     opt_state: tuple
     rng: jax.Array
     step: jax.Array
+    # exponential moving average of params (--ema_decay > 0), else None
+    # (None is an empty pytree subtree, so the state's structure — and
+    # every existing checkpoint template — is unchanged when EMA is off)
+    ema: dict = None
 
 
 def cast_tree(tree, dtype):
@@ -45,17 +49,25 @@ def cast_tree(tree, dtype):
 
 
 def init_train_state(params, optimizer, seed: int = 0,
-                     prng_impl: str = 'threefry2x32') -> TrainState:
+                     prng_impl: str = 'threefry2x32',
+                     ema: bool = False) -> TrainState:
     '''prng_impl: 'threefry2x32' (default; bit-stable across shardings and
     compilations — used by the bitwise dp/mp equivalence tests) or 'rbg'
     (TPU hardware RNG: measured ~30% faster train step at BMT shapes since
     dropout mask generation dominates threefry cost; bits may differ across
     backends/shardings, which dropout does not care about). The trainers
-    default to 'rbg' via --prng_impl.'''
+    default to 'rbg' via --prng_impl.
+
+    ema=True seeds the EMA tree with a COPY of params (a copy, not the
+    same arrays: the train step donates the state, and the same donated
+    buffer appearing twice in one call is illegal aliasing). Placement —
+    and hence any fsdp/mp sharding — is inherited from params.'''
     return TrainState(params=params,
                       opt_state=optimizer.init(params),
                       rng=jax.random.key(seed, impl=prng_impl),
-                      step=jnp.zeros((), jnp.int32))
+                      step=jnp.zeros((), jnp.int32),
+                      ema=(jax.tree.map(lambda x: x.copy(), params)
+                           if ema else None))
 
 
 def _cap_forward(dims: CapModelDims):
@@ -64,10 +76,21 @@ def _cap_forward(dims: CapModelDims):
     return unimodal_transformer_forward
 
 
+def _ema_update(ema, params, decay: float):
+    '''One EMA step: e <- decay*e + (1-decay)*p. No-op when EMA is off
+    (decay == 0 / ema is None). Elementwise over sharded trees, so the
+    EMA inherits and keeps whatever placement params carry.'''
+    if not decay or ema is None:
+        return ema
+    return jax.tree.map(lambda e, p: e * decay + p * (1.0 - decay),
+                        ema, params)
+
+
 def make_cap_train_step(dims: CapModelDims, optimizer, smoothing: float,
                         pad_idx: int, attention_impl: str = 'xla',
                         compute_dtype=jnp.float32, accum_steps: int = 1,
-                        moe_aux_coeff: float = 0.01):
+                        moe_aux_coeff: float = 0.01,
+                        ema_decay: float = 0.0):
     '''Teacher-forced captioning train step
     (reference: captioning_epoch_loops.py:122-149).
 
@@ -163,7 +186,8 @@ def make_cap_train_step(dims: CapModelDims, optimizer, smoothing: float,
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(params, opt_state, state.rng, state.step + 1)
+        new_state = TrainState(params, opt_state, state.rng, state.step + 1,
+                               _ema_update(state.ema, params, ema_decay))
         return new_state, {'loss': loss,
                            'grad_norm': optax.global_norm(grads)}
     return step
@@ -205,7 +229,7 @@ def _prop_forward(dims: PropModelDims):
 def make_prop_train_step(dims: PropModelDims, optimizer, pad_idx: int,
                          attention_impl: str = 'xla',
                          compute_dtype=jnp.float32, accum_steps: int = 1,
-                         seq_mesh=None):
+                         seq_mesh=None, ema_decay: float = 0.0):
     '''Proposal-generator train step
     (reference: proposal_epoch_loops.py:27-63).
 
@@ -321,7 +345,8 @@ def make_prop_train_step(dims: PropModelDims, optimizer, pad_idx: int,
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(params, opt_state, state.rng, state.step + 1)
+        new_state = TrainState(params, opt_state, state.rng, state.step + 1,
+                               _ema_update(state.ema, params, ema_decay))
         metrics = {'loss': loss}
         metrics.update({f'{k}_A': v for k, v in lA.items()})
         metrics.update({f'{k}_V': v for k, v in lV.items()})

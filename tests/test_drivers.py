@@ -404,3 +404,39 @@ def test_train_cap_async_ckpt(mini_data, tmp_path):
                              'last_cap_model.meta.json')
     with open(meta_path) as f:
         assert _json.load(f)['epoch'] == 1
+
+
+@pytest.mark.slow
+def test_train_cap_ema(mini_data, tmp_path):
+    '''--ema_decay through the captioning driver: the rolling last_*
+    keeps raw weights + an .ema sidecar, best_* holds the EMA weights
+    that actually scored, and a resume restores the sidecar.'''
+    import numpy as _np
+    from bmt_tpu.train.cap_trainer import train_cap
+
+    os.chdir(tmp_path)
+    cfg = _mini_cfg(mini_data, tmp_path, 'train_cap', ema_decay=0.9)
+    train_cap(cfg)
+    d = cfg.model_checkpoint_path
+    files = os.listdir(d)
+    assert 'last_cap_model.ema.params.npz' in files
+    assert 'best_cap_model.params.npz' in files
+
+    raw = dict(_np.load(os.path.join(d, 'last_cap_model.params.npz')))
+    ema = dict(_np.load(os.path.join(d, 'last_cap_model.ema.params.npz')))
+    best = dict(_np.load(os.path.join(d, 'best_cap_model.params.npz')))
+    assert set(raw) == set(ema) == set(best)
+    # best == ema (the weights that scored), and ema != raw after training
+    some_diff = False
+    for k in raw:
+        _np.testing.assert_array_equal(best[k], ema[k])
+        if not _np.array_equal(ema[k], raw[k]):
+            some_diff = True
+    assert some_diff
+
+    # resume: the sidecar is restored (second epoch trains on)
+    cfg2 = _mini_cfg(mini_data, tmp_path, 'train_cap', ema_decay=0.9)
+    cfg2.log_path = cfg.log_path
+    cfg2.model_checkpoint_path = cfg.model_checkpoint_path
+    cfg2.epoch_num = 2
+    train_cap(cfg2)
