@@ -278,6 +278,9 @@ class MicroBatcher:
         self._pending: List[tuple] = []
         self._mu = threading.Condition()
         self._closed = False
+        # end-to-end latency samples (submit -> result), bounded window
+        from collections import deque
+        self._lat = deque(maxlen=2048)
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -292,7 +295,7 @@ class MicroBatcher:
             if len(self._pending) >= self.max_queue:
                 raise QueueFull(
                     f'{len(self._pending)} requests already queued')
-            self._pending.append((crop, fut))
+            self._pending.append((crop, fut, time.monotonic()))
             self._mu.notify()
         return fut
 
@@ -316,8 +319,8 @@ class MicroBatcher:
                 # drop requests whose clients already gave up (cancelled
                 # futures): overload must not amplify into wasted device
                 # work on answers nobody is waiting for
-                self._pending = [(c, f) for c, f in self._pending
-                                 if not f.cancelled()]
+                self._pending = [e for e in self._pending
+                                 if not e[1].cancelled()]
                 # admit at most one device batch; later arrivals stay
                 # queued and are picked up (with fresh company) next round
                 take = self.engine.max_batch
@@ -325,10 +328,11 @@ class MicroBatcher:
                 del self._pending[:take]
             if not batch:
                 continue
-            crops = [c for c, _ in batch]
+            crops = [c for c, _, _ in batch]
             try:
                 sentences = self.engine.caption_crops(crops)
-                for (_, fut), s in zip(batch, sentences):
+                done_t = time.monotonic()
+                for (_, fut, t0), s in zip(batch, sentences):
                     # a future cancelled mid-decode must not poison its
                     # batchmates (set_result on it raises
                     # InvalidStateError); races between the check and the
@@ -336,12 +340,32 @@ class MicroBatcher:
                     try:
                         if not fut.cancelled():
                             fut.set_result(s)
+                            self._lat.append(done_t - t0)
                     except Exception:
                         pass
             except Exception as e:  # propagate to every waiter
-                for _, fut in batch:
+                for _, fut, _ in batch:
                     if not fut.done():
                         fut.set_exception(e)
+
+    def stats(self) -> dict:
+        '''Operational metrics: live queue depth and end-to-end latency
+        percentiles (submit -> result, ms) over a rolling 2048-sample
+        window — the numbers an operator alerts on.'''
+        with self._mu:
+            depth = len(self._pending)
+        lats = sorted(self._lat)
+
+        def pct(p):
+            if not lats:
+                return None
+            return round(lats[min(int(p * len(lats)), len(lats) - 1)] * 1e3,
+                         2)
+
+        return {'queue_depth': depth,
+                'latency_ms': {'p50': pct(0.50), 'p95': pct(0.95),
+                               'p99': pct(0.99)},
+                'latency_samples': len(lats)}
 
     def close(self):
         with self._mu:
@@ -466,7 +490,9 @@ class _CaptionHandler(BaseHTTPRequestHandler):
         if self.path == '/healthz':
             self._reply(200, {'status': 'ok'})
         elif self.path == '/stats':
-            self._reply(200, self.server.engine.stats())
+            stats = dict(self.server.engine.stats())
+            stats.update(self.server.batcher.stats())
+            self._reply(200, stats)
         else:
             self._reply(404, {'error': f'unknown path {self.path}'})
 

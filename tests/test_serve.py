@@ -143,6 +143,12 @@ def test_http_server_roundtrip(engine):
                 f'http://127.0.0.1:{port}/stats', timeout=30) as r:
             stats = json.load(r)
         assert stats['requests'] >= 1
+        # operational metrics: latency percentiles recorded for the
+        # successful request above, live queue currently drained
+        assert stats['latency_samples'] >= 1
+        assert stats['latency_ms']['p50'] > 0
+        assert stats['latency_ms']['p99'] >= stats['latency_ms']['p50']
+        assert stats['queue_depth'] == 0
     finally:
         server.shutdown()
 
