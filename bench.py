@@ -24,12 +24,50 @@ variance; every number is best-of-N and only large ratios are meaningful.
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
 
 # v5e bf16 peak; override for other chips (v4: 275e12, v5p: 459e12)
 PEAK_FLOPS = float(os.environ.get('BMT_PEAK_FLOPS', 197e12))
+
+# ---------------------------------------------------------------------------
+# Watchdog: the bench chip sits behind a tunnel that sometimes dies for
+# hours, and a dead tunnel blocks inside a device call where Python signals
+# cannot interrupt — without a deadline the whole bench (and the round's
+# deliverable) hangs with ZERO output. The watchdog thread emits the best
+# PARTIAL result at the deadline and hard-exits; sections completed so far
+# are recorded in _RESULT as they land. BMT_BENCH_DEADLINE=0 disables.
+# ---------------------------------------------------------------------------
+_RESULT: dict = {}
+_DONE = threading.Event()
+
+
+def _stage(name: str):
+    '''Progress breadcrumb on stderr so a hang is attributable.'''
+    print(f'[bench {time.strftime("%H:%M:%S")}] {name}', file=sys.stderr,
+          flush=True)
+
+
+def _start_watchdog():
+    deadline = float(os.environ.get('BMT_BENCH_DEADLINE', 2400))
+    if deadline <= 0:
+        return
+
+    def run():
+        if _DONE.wait(deadline):
+            return
+        if _RESULT.get('value'):
+            print(json.dumps(_RESULT), flush=True)
+            print(f'bench watchdog: {deadline:.0f}s deadline hit; emitted '
+                  f'partial result (device likely stalled)', file=sys.stderr)
+            os._exit(0)
+        print(f'bench watchdog: {deadline:.0f}s deadline hit with no usable '
+              f'metrics (device never answered)', file=sys.stderr)
+        os._exit(3)
+
+    threading.Thread(target=run, daemon=True, name='bench-watchdog').start()
 
 
 def _env_int(name, default):
@@ -66,6 +104,8 @@ def _time_best(fn, iters, reps):
 
 
 def main():
+    _start_watchdog()
+    _stage('importing jax / initializing backend')
     import jax
     import jax.numpy as jnp
     from bmt_tpu.utils.misc import enable_compile_cache
@@ -111,6 +151,8 @@ def main():
     # ---- greedy decode: xla vs pallas ------------------------------------
     decode_caps = {}
     for impl in impls:
+        _stage(f'decode[{impl}]')
+
         def cached_decode(impl=impl):
             return greedy_decode_bimodal(params_bf16, dims, stacks, MAX_LEN,
                                          2, END_IDX, 1, attention_impl=impl)
@@ -127,12 +169,23 @@ def main():
         raise RuntimeError('every decode impl failed; see stderr above')
     decode_impl = max(decode_caps, key=decode_caps.get)
     captions_per_sec = decode_caps[decode_impl]
+    # watchdog partial: the headline is usable even if later stages stall
+    _RESULT.update({
+        'metric': 'greedy_decode_captions_per_sec_per_chip',
+        'value': round(captions_per_sec, 2), 'unit': 'captions/sec',
+        'vs_baseline': None, 'decode_impl': decode_impl,
+        'partial': True,
+    })
+    for impl, v in decode_caps.items():
+        _RESULT[f'decode_{impl}_caps_per_sec'] = round(v, 2)
 
     # optional int8 cross-KV cache (--kv_cache_int8): reported as a field,
     # NOT the headline — it perturbs logits by quantization noise, and the
     # headline number must reflect reference-parity decoding.
     decode_q8 = None
     try:
+        _stage('decode[int8kv]')
+
         def q8_decode():
             return greedy_decode_bimodal(params_bf16, dims, stacks, MAX_LEN,
                                          2, END_IDX, 1, kv_int8=True)
@@ -148,6 +201,7 @@ def main():
     # Also a field, not the headline, for the same parity reason.
     decode_w8 = None
     try:
+        _stage('decode[int8w]')
         from bmt_tpu.ops.quant import quantize_tree_int8
         params_w8 = quantize_tree_int8(params_bf16)
 
@@ -185,12 +239,15 @@ def main():
             trg = uncached_step(params_bf16, stacks, trg, jnp.int32(step))
         return np.asarray(trg)
 
+    _stage('reference uncached decode baseline')
     _warmup(uncached_decode)
     # best-of-3 like the cached path, so vs_baseline is not dominated by
     # the tunnel's run-to-run variance on a single baseline sample
     uncached_sec = _time_best(uncached_decode, iters=1,
                               reps=min(REPS, 3))
     baseline_caps_per_sec = B / uncached_sec
+    _RESULT['vs_baseline'] = round(captions_per_sec / baseline_caps_per_sec,
+                                   2)
 
     # ---- teacher-forced train step: samples/sec + MFU ---------------------
     # Reference training batch (B=32, scripts/train_captioning_module.py),
@@ -221,6 +278,7 @@ def main():
 
     train_ms, train_flops = {}, None
     for impl in impls:
+        _stage(f'train[{impl}]')
         step_fn = jax.jit(make_cap_train_step(dims, optimizer, 0.7, 1,
                                               attention_impl=impl,
                                               compute_dtype=bf16))
@@ -253,6 +311,12 @@ def main():
     step_ms = train_ms[train_impl]
     mfu = (train_flops / (step_ms / 1e3) / PEAK_FLOPS
            if train_flops else None)
+    _RESULT.update({
+        'train_impl': train_impl,
+        'train_samples_per_sec': round(TB / (step_ms / 1e3), 2),
+        'train_step_ms': round(step_ms, 3),
+        'train_mfu': round(mfu, 4) if mfu is not None else None,
+    })
 
     # ---- proposal-generator train step (stage 2) --------------------------
     # Flagship prop shapes: B=16, padded 800 audio / 300 video rows, all 20
@@ -260,6 +324,7 @@ def main():
     # BMT_BENCH_PROP=0 skips; the smoke test shrinks via BMT_BENCH_P* env.
     prop_ms = prop_mfu = None
     if os.environ.get('BMT_BENCH_PROP', '1') != '0':
+        _stage('prop train step')
         from bmt_tpu.models import (PropModelDims,
                                     init_multimodal_proposal_generator)
         from bmt_tpu.train.steps import make_prop_train_step
@@ -352,6 +417,7 @@ def main():
             _env_int('BMT_BENCH_PB', 16) / (prop_ms / 1e3), 2)
         if prop_mfu is not None:
             result['prop_train_mfu'] = round(prop_mfu, 4)
+    _DONE.set()   # full run: the watchdog must not also print
     print(json.dumps(result))
 
 
