@@ -440,3 +440,35 @@ def test_train_cap_ema(mini_data, tmp_path):
     cfg2.model_checkpoint_path = cfg.model_checkpoint_path
     cfg2.epoch_num = 2
     train_cap(cfg2)
+
+
+@pytest.mark.slow
+def test_train_cap_feature_matrix_combined(mini_data, tmp_path):
+    '''Interaction smoke: fsdp + EMA + grad accumulation + warmup_cosine +
+    nonfinite guard + async checkpointing in ONE captioning run, then a
+    resume. Each feature is pinned individually elsewhere; this guards the
+    cross-feature seams (donation aliasing, sharding inheritance through
+    the EMA tree, schedule count through the async-written checkpoint).'''
+    import json as _json
+    from bmt_tpu.train.cap_trainer import train_cap
+
+    os.chdir(tmp_path)
+    kw = dict(fsdp=None, fsdp_min_elems=0, ema_decay=0.9,
+              grad_accum_steps=2, scheduler='warmup_cosine',
+              warmup_steps=2, skip_nonfinite_grads=2, async_ckpt=None)
+    cfg = _mini_cfg(mini_data, tmp_path, 'train_cap', **kw)
+    best = train_cap(cfg)
+    assert best >= 0
+    d = cfg.model_checkpoint_path
+    files = os.listdir(d)
+    assert 'last_cap_model.params.npz' in files
+    assert 'last_cap_model.ema.params.npz' in files
+
+    cfg2 = _mini_cfg(mini_data, tmp_path, 'train_cap', **kw)
+    cfg2.log_path = cfg.log_path
+    cfg2.model_checkpoint_path = cfg.model_checkpoint_path
+    cfg2.epoch_num = 2
+    train_cap(cfg2)
+    with open(os.path.join(d, 'last_cap_model.meta.json')) as f:
+        meta = _json.load(f)
+    assert meta['epoch'] == 1 and meta['step'] > 0
