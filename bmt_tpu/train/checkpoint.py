@@ -609,73 +609,129 @@ def import_unimodal_cap_model(cpt: dict) -> Tuple[dict, dict]:
 # for users moving back to the torch implementation)
 # ---------------------------------------------------------------------------
 
+def _sd_put_lin(sd, base, p):
+    sd[f'{base}.weight'] = np.ascontiguousarray(np.asarray(p['w']).T)
+    sd[f'{base}.bias'] = np.asarray(p['b'])
+
+
+def _sd_put_ln(sd, base, p):
+    sd[f'{base}.weight'] = np.asarray(p['scale'])
+    sd[f'{base}.bias'] = np.asarray(p['bias'])
+
+
+def _sd_put_mha(sd, base, p):
+    _sd_put_lin(sd, f'{base}.linear_Q2d', p['q2d'])
+    _sd_put_lin(sd, f'{base}.linear_K2d', p['k2d'])
+    _sd_put_lin(sd, f'{base}.linear_V2d', p['v2d'])
+    _sd_put_lin(sd, f'{base}.linear_d2Q', p['d2q'])
+
+
+def _sd_put_ffn(sd, base, p):
+    if 'router' in p:
+        raise ValueError(
+            'cannot export a MoE model (--moe_experts > 1) to a '
+            'reference-keyed state_dict: the reference architecture '
+            'has dense FFNs only. Use the native npz/orbax checkpoint '
+            'formats for MoE models.')
+    _sd_put_lin(sd, f'{base}.fc1', p['fc1'])
+    _sd_put_lin(sd, f'{base}.fc2', p['fc2'])
+
+
+def _sd_put_bimodal_encoder(sd, enc):
+    '''BiModalEncoder subtree under the reference's shared attribute name
+    (both the captioner and the proposal generator call it ``encoder``).'''
+    for i, L in enumerate(enc['layers']):
+        b = f'encoder.encoder_AV.layers.{i}'
+        _sd_put_mha(sd, f'{b}.self_att_M1', L['self_att_M1'])
+        _sd_put_mha(sd, f'{b}.self_att_M2', L['self_att_M2'])
+        _sd_put_mha(sd, f'{b}.bi_modal_att_M1', L['cross_att_M1'])
+        _sd_put_mha(sd, f'{b}.bi_modal_att_M2', L['cross_att_M2'])
+        _sd_put_ffn(sd, f'{b}.feed_forward_M1', L['ff_M1'])
+        _sd_put_ffn(sd, f'{b}.feed_forward_M2', L['ff_M2'])
+        for j in range(3):
+            _sd_put_ln(sd, f'{b}.res_layers_M1.{j}.norm', L['res_M1'][j])
+            _sd_put_ln(sd, f'{b}.res_layers_M2.{j}.norm', L['res_M2'][j])
+
+
 def export_cap_state_dict(params: dict, data_parallel: bool = True) -> dict:
     '''Inverse of import_cap_model: produce a reference-keyed state_dict of
     numpy arrays.'''
     sd = {}
 
-    def put_lin(base, p):
-        sd[f'{base}.weight'] = np.ascontiguousarray(np.asarray(p['w']).T)
-        sd[f'{base}.bias'] = np.asarray(p['b'])
-
-    def put_ln(base, p):
-        sd[f'{base}.weight'] = np.asarray(p['scale'])
-        sd[f'{base}.bias'] = np.asarray(p['bias'])
-
-    def put_mha(base, p):
-        put_lin(f'{base}.linear_Q2d', p['q2d'])
-        put_lin(f'{base}.linear_K2d', p['k2d'])
-        put_lin(f'{base}.linear_V2d', p['v2d'])
-        put_lin(f'{base}.linear_d2Q', p['d2q'])
-
-    def put_ffn(base, p):
-        if 'router' in p:
-            raise ValueError(
-                'cannot export a MoE model (--moe_experts > 1) to a '
-                'reference-keyed state_dict: the reference architecture '
-                'has dense FFNs only. Use the native npz/orbax checkpoint '
-                'formats for MoE models.')
-        put_lin(f'{base}.fc1', p['fc1'])
-        put_lin(f'{base}.fc2', p['fc2'])
-
     emb = params['emb_C']
     if 'adapter' in emb:
         sd['emb_C.embedder.0.weight'] = np.asarray(emb['table'])
-        put_lin('emb_C.embedder.1', emb['adapter'])
+        _sd_put_lin(sd, 'emb_C.embedder.1', emb['adapter'])
     else:
         sd['emb_C.embedder.weight'] = np.asarray(emb['table'])
 
     if 'emb_A' in params:
-        put_lin('emb_A.embedder', params['emb_A']['linear'])
-        put_lin('emb_V.embedder', params['emb_V']['linear'])
+        _sd_put_lin(sd, 'emb_A.embedder', params['emb_A']['linear'])
+        _sd_put_lin(sd, 'emb_V.embedder', params['emb_V']['linear'])
 
-    for i, L in enumerate(params['encoder']['layers']):
-        b = f'encoder.encoder_AV.layers.{i}'
-        put_mha(f'{b}.self_att_M1', L['self_att_M1'])
-        put_mha(f'{b}.self_att_M2', L['self_att_M2'])
-        put_mha(f'{b}.bi_modal_att_M1', L['cross_att_M1'])
-        put_mha(f'{b}.bi_modal_att_M2', L['cross_att_M2'])
-        put_ffn(f'{b}.feed_forward_M1', L['ff_M1'])
-        put_ffn(f'{b}.feed_forward_M2', L['ff_M2'])
-        for j in range(3):
-            put_ln(f'{b}.res_layers_M1.{j}.norm', L['res_M1'][j])
-            put_ln(f'{b}.res_layers_M2.{j}.norm', L['res_M2'][j])
+    _sd_put_bimodal_encoder(sd, params['encoder'])
 
     for i, L in enumerate(params['decoder']['layers']):
         b = f'decoder.decoder.layers.{i}'
-        put_mha(f'{b}.self_att', L['self_att'])
-        put_mha(f'{b}.enc_att_A', L['enc_att_A'])
-        put_mha(f'{b}.enc_att_V', L['enc_att_V'])
-        put_ln(f'{b}.bridge.norm', L['bridge']['norm'])
-        put_lin(f'{b}.bridge.linear', L['bridge']['linear'])
-        put_ffn(f'{b}.feed_forward', L['ff'])
-        put_ln(f'{b}.res_layer_self_att.norm', L['res_self'])
-        put_ln(f'{b}.res_layer_enc_att_A.norm', L['res_enc_A'])
-        put_ln(f'{b}.res_layer_enc_att_V.norm', L['res_enc_V'])
-        put_ln(f'{b}.res_layer_ff.norm', L['res_ff'])
+        _sd_put_mha(sd, f'{b}.self_att', L['self_att'])
+        _sd_put_mha(sd, f'{b}.enc_att_A', L['enc_att_A'])
+        _sd_put_mha(sd, f'{b}.enc_att_V', L['enc_att_V'])
+        _sd_put_ln(sd, f'{b}.bridge.norm', L['bridge']['norm'])
+        _sd_put_lin(sd, f'{b}.bridge.linear', L['bridge']['linear'])
+        _sd_put_ffn(sd, f'{b}.feed_forward', L['ff'])
+        _sd_put_ln(sd, f'{b}.res_layer_self_att.norm', L['res_self'])
+        _sd_put_ln(sd, f'{b}.res_layer_enc_att_A.norm', L['res_enc_A'])
+        _sd_put_ln(sd, f'{b}.res_layer_enc_att_V.norm', L['res_enc_V'])
+        _sd_put_ln(sd, f'{b}.res_layer_ff.norm', L['res_ff'])
 
-    put_lin('generator.linear', params['generator'])
+    _sd_put_lin(sd, 'generator.linear', params['generator'])
 
+    if data_parallel:
+        sd = {f'module.{k}': v for k, v in sd.items()}
+    return sd
+
+
+def _conv_head_to_sd(sd, base: str, head: dict, dout_p: bool = True):
+    '''Inverse of _conv_head_from_sd, reconstructing the EXACT Sequential
+    indices of the reference head (model/proposal_generator.py:11-38):
+    per block n — [Transpose, LayerNorm, Transpose] when layer_norm, then
+    Conv1d, then [Dropout (when dout_p>0), ReLU] for every block but the
+    last. Only LayerNorm/Conv1d carry parameters, so the index arithmetic
+    must skip the parameter-free modules for torch load_state_dict
+    (strict=True) to accept the result.'''
+    convs = head['convs']
+    lns = head.get('lns')
+    idx = 0
+    for n, conv in enumerate(convs):
+        if lns is not None:
+            _sd_put_ln(sd, f'{base}.conv_layers.{idx + 1}', lns[n])
+            idx += 3
+        w = np.asarray(conv['w'])   # ours (k, in, out) -> torch (out, in, k)
+        sd[f'{base}.conv_layers.{idx}.weight'] = np.ascontiguousarray(
+            w.transpose(2, 1, 0))
+        sd[f'{base}.conv_layers.{idx}.bias'] = np.asarray(conv['b'])
+        idx += 1
+        if n < len(convs) - 1:
+            idx += (1 if dout_p else 0) + 1   # Dropout?, ReLU
+
+
+def export_prop_state_dict(params: dict, data_parallel: bool = False,
+                           dout_p: bool = True) -> dict:
+    '''Inverse of import_prop_model: a reference-keyed
+    MultimodalProposalGenerator state_dict (numpy arrays). The reference
+    trains the proposal stage single-device (no DataParallel wrap —
+    scripts/train_proposal_generator.py:54), so no ``module.`` prefix by
+    default. ``dout_p``: whether the receiving model was built with
+    dout_p > 0 (it shifts the heads' Sequential indices).'''
+    sd = {}
+    if 'emb_A' in params:
+        _sd_put_lin(sd, 'emb_A.embedder', params['emb_A']['linear'])
+        _sd_put_lin(sd, 'emb_V.embedder', params['emb_V']['linear'])
+    _sd_put_bimodal_encoder(sd, params['encoder'])
+    for mod, key in (('A', 'heads_A'), ('V', 'heads_V')):
+        for i, head in enumerate(params[key]):
+            _conv_head_to_sd(sd, f'detection_layers_{mod}.{i}', head,
+                             dout_p)
     if data_parallel:
         sd = {f'module.{k}': v for k, v in sd.items()}
     return sd
@@ -714,6 +770,40 @@ def save_torch_checkpoint(path: str, params: dict, meta: dict):
         'val_1_metrics': meta.get('val_1_metrics'),
         'val_2_metrics': meta.get('val_2_metrics'),
         'trg_voc_size': meta.get('trg_voc_size'),
+    }, path)
+
+
+def save_torch_prop_checkpoint(path: str, params: dict, meta: dict,
+                               dout_p: bool = True):
+    '''Write a reference-format best_prop_model.pt (the dict layout of
+    epoch_loops/proposal_epoch_loops.py:10-25, incl. the top-level anchors
+    dict the reference re-loads at inference —
+    sample/single_video_prediction.py:103-106) so proposal generators
+    trained here run in the original PyTorch implementation.'''
+    if 'heads_A' not in params:
+        raise ValueError(
+            'save_torch_prop_checkpoint exports the multimodal proposal '
+            "generator layout only (params have no 'heads_A' — a "
+            'uni-modal tree?)')
+    import torch
+    _install_config_shims()
+    cls = sys.modules['utilities.config_constructor'].Config
+    cls.__module__ = 'utilities.config_constructor'
+    cls.__qualname__ = 'Config'
+    cfg = cls()
+    cfg.__dict__.update(meta.get('config', {}))
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in export_prop_state_dict(params, dout_p=dout_p).items()}
+    torch.save({
+        'config': cfg,
+        'epoch': meta.get('epoch', 0),
+        'model_state_dict': sd,
+        'optimizer_state_dict': {},
+        'scheduler_state_dict': None,
+        'anchors': {'audio': np.asarray(params['anchors_A']).tolist(),
+                    'video': np.asarray(params['anchors_V']).tolist()},
+        'val_anet_metrics': meta.get('val_anet_metrics'),
+        'best_metric': meta.get('best_metric'),
     }, path)
 
 
