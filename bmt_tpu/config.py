@@ -50,6 +50,10 @@ class Config:
             self.model = args.model
             self.pretrained_prop_model_path = args.pretrained_prop_model_path
             self.finetune_prop_encoder = args.finetune_prop_encoder
+            # full-captioner init (LoRA base / continued pretraining) — the
+            # reference reuses this flag name for train_prop's encoder seed
+            self.pretrained_cap_model_path = getattr(
+                args, 'pretrained_cap_model_path', None)
         elif args.procedure == 'train_prop':
             self.word_emb_caps = args.word_emb_caps
             self.pretrained_cap_model_path = args.pretrained_cap_model_path
@@ -164,6 +168,9 @@ class Config:
         self.preempt_save = getattr(args, 'preempt_save', True)
         self.async_ckpt = getattr(args, 'async_ckpt', False)
         self.length_sort_window = getattr(args, 'length_sort_window', 100)
+        self.lora_rank = getattr(args, 'lora_rank', 0)
+        self.lora_alpha = getattr(args, 'lora_alpha', None)
+        self.lora_targets = getattr(args, 'lora_targets', 'attn')
         self.decode_strategy = getattr(args, 'decode_strategy', 'greedy')
         self.profile_steps = getattr(args, 'profile_steps', 0)
         self.beam_size = getattr(args, 'beam_size', 4)
@@ -412,6 +419,20 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--remat', action='store_true', default=False,
                         help='rematerialize encoder layers in the backward '
                              'pass (jax.checkpoint) to save HBM')
+    parser.add_argument('--lora_rank', type=int, default=0,
+                        help='train_cap: add rank-r LoRA adapters to the '
+                             'captioner linears and train ONLY them (base '
+                             'weights frozen; seed the base with '
+                             '--pretrained_cap_model_path). 0 disables. '
+                             'Beyond the reference.')
+    parser.add_argument('--lora_alpha', type=float, default=None,
+                        help='LoRA scale numerator (delta = alpha/rank * '
+                             'A@B); defaults to rank (scale 1.0)')
+    parser.add_argument('--lora_targets', type=str, default='attn',
+                        choices=['attn', 'attn_ffn', 'all'],
+                        help='which linears get LoRA adapters: attention '
+                             'projections (default), +FFNs, or every '
+                             'linear')
     parser.add_argument('--moe_experts', type=int, default=0,
                         help='captioning FFNs become Switch-style top-1 '
                              'mixture-of-experts with this many experts '

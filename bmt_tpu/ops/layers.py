@@ -50,8 +50,15 @@ def linear(params: dict, x: jnp.ndarray) -> jnp.ndarray:
         # switches MHA projections, FFNs, bridges, adapters and the LM head
         # to the int8 MXU path — no call-site changes
         from bmt_tpu.ops.quant import qlinear
-        return qlinear(params, x)
-    return x @ params['w'] + params['b']
+        y = qlinear(params, x)
+    else:
+        y = x @ params['w'] + params['b']
+    if 'lora_a' in params:
+        # LoRA leaf (ops/lora.py): frozen base + rank-r trainable delta,
+        # two skinny matmuls fused by XLA next to the base GEMM
+        delta = ((x @ params['lora_a']) @ params['lora_b']) * params['lora_s']
+        y = y + delta.astype(y.dtype)
+    return y
 
 
 def init_layer_norm(d: int, dtype=jnp.float32) -> dict:

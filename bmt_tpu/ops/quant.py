@@ -88,6 +88,11 @@ def quantize_tree_int8(params, skip=()):
     through unchanged. Returns a new tree; the input is not mutated.
     '''
     def walk(node):
+        if isinstance(node, dict) and 'lora_a' in node and 'w' in node:
+            # LoRA-adapted linear: fold the adapter into the base weight
+            # first (ops/lora.py), then quantize the merged matrix
+            from bmt_tpu.ops.lora import merge_linear_lora
+            node = merge_linear_lora(node)
         if _is_linear_leaf(node):
             return quantize_linear_int8(node)
         if isinstance(node, dict):

@@ -58,6 +58,18 @@ def _spec_for(path_keys, shape) -> P:
     if 'router' in keys:
         return P()
 
+    # LoRA adapters (ops/lora.py) mirror the base weight's layout: a
+    # column-parallel linear shards lora_b's output dim, a row-parallel one
+    # shards lora_a's input dim; the rank dim and the scale stay replicated
+    if last == 'lora_s':
+        return P()
+    col = bool({'q2d', 'k2d', 'v2d', 'fc1', 'generator'} & keys)
+    row = bool({'d2q', 'fc2'} & keys)
+    if last == 'lora_a':
+        return P('mp', None) if row else P()
+    if last == 'lora_b':
+        return P(None, 'mp') if col else P()
+
     # attention projections: into-d_model matrices shard the head dim
     if {'q2d', 'k2d', 'v2d'} & keys:
         return P(None, 'mp') if last == 'w' else P('mp')

@@ -113,11 +113,33 @@ def train_cap(cfg: Config):
 
     params, frozen_module = _load_pretrained_encoder(params, cfg)
 
-    # frozen leaves: GloVe table unless --unfreeze_word_emb; imported encoder
+    # full-captioner seed (continued pretraining / LoRA base) — beyond the
+    # reference, which can only transplant encoders between stages
+    cap_seed = getattr(cfg, 'pretrained_cap_model_path', None)
+    if cap_seed:
+        from bmt_tpu.train.checkpoint import load_pretrained_cap_params
+        print(f'Pretrained cap path (full-model seed): \n {cap_seed}')
+        params = load_pretrained_cap_params(cap_seed, params)
+
+    lora_rank = int(getattr(cfg, 'lora_rank', 0) or 0)
+    if lora_rank:
+        from bmt_tpu.ops.lora import (add_lora, count_lora,
+                                      lora_frozen_predicate)
+        params = add_lora(params, lora_rank, jax.random.fold_in(key, 77),
+                          getattr(cfg, 'lora_alpha', None),
+                          getattr(cfg, 'lora_targets', 'attn'))
+        sites, n_adapter = count_lora(params)
+        print(f'LoRA: rank {lora_rank}, {sites} adapted linears, '
+              f'{n_adapter / 1e6:.3f} Mil. adapter params')
+
+    # frozen leaves: GloVe table unless --unfreeze_word_emb; imported encoder;
+    # with LoRA, everything except the adapters
     freeze_emb = (glove is not None
                   and not getattr(cfg, 'unfreeze_word_emb', False))
 
     def is_frozen(path_keys):
+        if lora_rank:
+            return lora_frozen_predicate(path_keys)
         if freeze_emb and path_keys[:2] == (emb_key, 'table'):
             return True
         if frozen_module is not None and path_keys[0] == frozen_module:

@@ -655,7 +655,12 @@ def _sd_put_bimodal_encoder(sd, enc):
 
 def export_cap_state_dict(params: dict, data_parallel: bool = True) -> dict:
     '''Inverse of import_cap_model: produce a reference-keyed state_dict of
-    numpy arrays.'''
+    numpy arrays. LoRA adapters (ops/lora.py) are folded into the base
+    weights first — the reference model has no adapter slots, and silently
+    dropping a finetune's deltas would export the wrong model.'''
+    from bmt_tpu.ops.lora import count_lora, merge_lora
+    if count_lora(params)[0]:
+        params = merge_lora(params)
     sd = {}
 
     emb = params['emb_C']
@@ -847,6 +852,45 @@ def load_pretrained_encoder_native(path: str, encoder_like, stage: str):
     return enc
 
 
+def load_pretrained_cap_params(path: str, template):
+    '''FULL captioner parameters from a checkpoint, into ``template``'s
+    structure — the seed for continued pretraining and LoRA finetuning
+    (train_cap ``--pretrained_cap_model_path``; no reference analog — the
+    reference can only transplant encoders). Accepts a native checkpoint
+    dir (npz or orbax), a bare ``params.npz``, or a reference ``.pt``.
+    ``template`` must be the PLAIN base tree (adapters are added after).'''
+    def _validate(got_tree):
+        got, want = _flatten(got_tree), _flatten(template)
+        missing = sorted(set(want) - set(got))
+        if missing:
+            raise KeyError(
+                f'{path}: checkpoint lacks {missing[:4]} — written for a '
+                f'different architecture/options than this run configures')
+        for k, tpl in want.items():
+            if hasattr(tpl, 'shape') and \
+                    tuple(got[k].shape) != tuple(tpl.shape):
+                raise ValueError(
+                    f'{path}: leaf {k!r} has shape {tuple(got[k].shape)}, '
+                    f'this run expects {tuple(tpl.shape)}')
+        return got_tree
+
+    if path.endswith('.pt'):
+        cpt = load_torch_checkpoint(path)
+        sd = _strip_module(cpt['model_state_dict'])
+        if any(k.startswith('trg_emb.') for k in sd):
+            params, _ = import_unimodal_cap_model(cpt)
+        else:
+            params, _ = import_cap_model(cpt)
+        return _validate(params)
+    if not os.path.isdir(path):
+        return load_pytree_npz(path, template)
+    npz = os.path.join(path, 'best_cap_model.params.npz')
+    if os.path.exists(npz):
+        return load_pytree_npz(npz, template)
+    _, _, params, _ = load_cap_checkpoint(path)
+    return _validate(params)
+
+
 def load_cap_checkpoint(path: str, train_meta_path: str = None,
                         allow_vocab_drift: bool = False):
     '''Load a captioning checkpoint from either format; returns
@@ -938,6 +982,15 @@ def load_cap_checkpoint(path: str, train_meta_path: str = None,
                   f'for a GloVe adapter ({e!r}); restoring without one',
                   file=sys.stderr)
     template = init_fn(jax.random.PRNGKey(0), dims, glove=glove_tpl)
+    if getattr(cfg, 'lora_rank', 0):
+        # LoRA-finetuned checkpoint: the saved tree carries adapter leaves
+        # (ops/lora.py); the restore template must too. Decode/serving
+        # apply them transparently through ops/layers.py:linear.
+        from bmt_tpu.ops.lora import add_lora
+        template = add_lora(template, int(cfg.lora_rank),
+                            jax.random.PRNGKey(0),
+                            getattr(cfg, 'lora_alpha', None),
+                            getattr(cfg, 'lora_targets', 'attn'))
     params = load_model_params(path, 'best_cap_model', template)
     return cfg, dims, params, vocab
 

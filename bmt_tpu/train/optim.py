@@ -54,10 +54,21 @@ def build_optimizer(cfg, frozen_mask=None,
         # (standard mixed-precision practice). npz checkpoints round-trip
         # bf16 exactly via an f32 upcast (train/checkpoint.py:_flatten).
         mu_dtype = getattr(cfg, 'optim_mu_dtype', 'float32') or 'float32'
-        chain.append(optax.scale_by_adam(b1=getattr(cfg, 'beta1', 0.9),
-                                         b2=getattr(cfg, 'beta2', 0.999),
-                                         eps=getattr(cfg, 'eps', 1e-8),
-                                         mu_dtype=mu_dtype))
+        adam = optax.scale_by_adam(b1=getattr(cfg, 'beta1', 0.9),
+                                   b2=getattr(cfg, 'beta2', 0.999),
+                                   eps=getattr(cfg, 'eps', 1e-8),
+                                   mu_dtype=mu_dtype)
+        if frozen_mask is not None and getattr(cfg, 'lora_rank', 0):
+            # LoRA finetuning: allocate Adam moments ONLY for the adapter
+            # leaves (optax.masked stores MaskedNode placeholders for the
+            # frozen base) — the whole point of parameter-efficient
+            # finetuning is that optimizer state shrinks with the
+            # trainable set, not just that updates are zeroed. Gated on
+            # lora_rank so pre-existing runs' opt_state trees (GloVe-
+            # frozen etc.) keep their checkpoint structure.
+            not_frozen = jax.tree.map(lambda f: not f, frozen_mask)
+            adam = optax.masked(adam, not_frozen)
+        chain.append(adam)
     elif cfg.optimizer == 'sgd':
         mom = getattr(cfg, 'momentum', 0.0)
         if mom:
