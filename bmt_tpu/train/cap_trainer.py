@@ -168,7 +168,7 @@ def train_cap(cfg: Config):
         cfg.attention_impl, compute_dtype,
         accum_steps=getattr(cfg, 'grad_accum_steps', 1),
         moe_aux_coeff=getattr(cfg, 'moe_aux_coeff', 0.01),
-        ema_decay=ema_decay),
+        ema_decay=ema_decay, frozen_mask=mask),
         donate_state=True)
     val_step = jax.jit(make_cap_val_step(
         dims, cfg.smoothing, train_ds.pad_idx, cfg.attention_impl,

@@ -104,8 +104,8 @@ def train_prop(cfg: Config):
         return frozen_module is not None and path_keys[0] == frozen_module
 
     # the warmup_cosine schedule needs the run's step budget
-    optimizer = build_optimizer(cfg, frozen_mask=freeze_mask(params,
-                                                             is_frozen),
+    mask = freeze_mask(params, is_frozen)
+    optimizer = build_optimizer(cfg, frozen_mask=mask,
                                 total_steps=cfg.epoch_num * len(train_ds))
 
     # sp > 1 additionally shards the Sa=800/Sv=300 sequences across
@@ -125,7 +125,7 @@ def train_prop(cfg: Config):
     train_step = dp.jit_step(make_prop_train_step(
         dims, optimizer, pad_idx, cfg.attention_impl, compute_dtype,
         accum_steps=getattr(cfg, 'grad_accum_steps', 1),
-        seq_mesh=seq_mesh, ema_decay=ema_decay),
+        seq_mesh=seq_mesh, ema_decay=ema_decay, frozen_mask=mask),
         donate_state=True)
     inference_step = jax.jit(make_prop_inference_step(
         dims, pad_idx, cfg.attention_impl, compute_dtype,
