@@ -463,11 +463,13 @@ def build_parser() -> argparse.ArgumentParser:
                              'replicated (all-gathering a LayerNorm scale '
                              'costs a collective launch to save KBs)')
     parser.add_argument('--async_ckpt', action='store_true', default=False,
-                        help='write checkpoints from a background thread '
+                        help='write checkpoints in the background '
                              '(device->host snapshot stays synchronous; '
-                             'the npz serialization + file IO overlaps '
-                             'the next epoch). npz format only; trainers '
-                             'drain pending writes before exiting.')
+                             'serialization + file IO overlaps the next '
+                             'epoch). npz uses a single ordered worker '
+                             'thread; orbax rides its own multihost-safe '
+                             'AsyncCheckpointer. Trainers drain pending '
+                             'writes before exiting.')
     parser.add_argument('--no_preempt_save', dest='preempt_save',
                         action='store_false', default=True,
                         help='disable the SIGTERM preemption handler '

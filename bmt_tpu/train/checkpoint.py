@@ -345,6 +345,87 @@ class AsyncCheckpointWriter:
         self._pool.shutdown()
 
 
+class AsyncOrbaxWriter:
+    '''--async_ckpt for the orbax format (same save/wait/close contract as
+    AsyncCheckpointWriter).
+
+    Arrays ride orbax's own ``AsyncCheckpointer`` — the multihost-safe
+    async path: the device→host copy happens on the CALLING thread before
+    ``save()`` returns (so the train step's donated buffers are never read
+    late), and the background commit uses orbax's pod barrier machinery
+    instead of a plain worker thread (which could deadlock the format's
+    multi-process collective writes — the reason AsyncCheckpointWriter is
+    npz-only).
+
+    One save unit per checkpoint ``name`` (params + optional opt_state +
+    meta). Saves to DIFFERENT names overlap each other and the next
+    epoch's training; re-saving a name first waits for its previous
+    commit, so rolling ``last_*`` writes stay ordered. The meta sidecar is
+    deferred until that name's arrays are durably committed (flushed at
+    the next same-name save / ``wait()`` / ``close()``), preserving the
+    npz async crash ordering: on-disk meta is never NEWER than the arrays
+    it describes, so a crash mid-write can lose at most the pending save —
+    never pair fresh meta with stale arrays. Background errors re-raise on
+    the next ``save()``/``wait()``/``close()``.'''
+
+    def __init__(self):
+        import orbax.checkpoint as ocp
+        self._ocp = ocp
+        self._ckptrs = {}      # key -> (params ckptr, opt ckptr)
+        self._pending = {}     # key -> (ckpt_dir, name, meta)
+
+    def _unit(self, key):
+        if key not in self._ckptrs:
+            ocp = self._ocp
+            self._ckptrs[key] = (
+                ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler()),
+                ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler()))
+        return self._ckptrs[key]
+
+    def _finish(self, key):
+        '''Wait for one unit's in-flight commit, then flush its meta.'''
+        pend = self._pending.pop(key, None)
+        for c in self._ckptrs.get(key, ()):
+            c.wait_until_finished()   # re-raises background errors
+        if pend is not None:
+            ckpt_dir, name, meta = pend
+            import jax
+            if jax.process_index() == 0:
+                meta_path = os.path.join(ckpt_dir,
+                                         f'{name}.orbax.meta.json')
+                tmp = f'{meta_path}.tmp-{os.getpid()}'
+                with open(tmp, 'w') as f:
+                    json.dump(meta, f, default=_json_meta_default)
+                os.replace(tmp, meta_path)
+
+    def save(self, ckpt_dir: str, params, meta: dict, opt_state=None,
+             name: str = 'best_cap_model'):
+        ocp = self._ocp
+        key = os.path.abspath(os.path.join(ckpt_dir, name))
+        self._finish(key)
+        os.makedirs(ckpt_dir, exist_ok=True)
+        pc, oc = self._unit(key)
+        pc.save(os.path.abspath(os.path.join(ckpt_dir, f'{name}.orbax')),
+                args=ocp.args.StandardSave(params), force=True)
+        if opt_state is not None:
+            oc.save(os.path.abspath(
+                os.path.join(ckpt_dir, f'{name}.opt.orbax')),
+                args=ocp.args.StandardSave(opt_state), force=True)
+        self._pending[key] = (ckpt_dir, name, meta)
+
+    def wait(self):
+        '''Block until every submitted save (and its meta) is on disk.'''
+        for key in list(self._ckptrs):
+            self._finish(key)
+
+    def close(self):
+        self.wait()
+        for pc, oc in self._ckptrs.values():
+            pc.close()
+            oc.close()
+        self._ckptrs.clear()
+
+
 def load_model_params(ckpt_dir: str, name: str, params_like):
     '''Format-agnostic model-params load for eval/serving consumers: reads
     ``{name}.orbax`` or ``{name}.params.npz``, whichever exists.'''

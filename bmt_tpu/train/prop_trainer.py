@@ -184,11 +184,11 @@ def train_prop(cfg: Config):
         if ckpt_fmt == 'npz':
             from bmt_tpu.train.checkpoint import AsyncCheckpointWriter
             async_writer = AsyncCheckpointWriter(save_ckpt)
-            save_ckpt = async_writer.save
         else:
-            print('--async_ckpt applies to the npz format only '
-                  '(orbax array writes are multi-host collectives); '
-                  'saving synchronously')
+            # orbax rides its own multihost-safe async machinery
+            from bmt_tpu.train.checkpoint import AsyncOrbaxWriter
+            async_writer = AsyncOrbaxWriter()
+        save_ckpt = async_writer.save
     ckpt_dir = cfg.log_path if cfg.to_log else None
     on_disk_fmt = (detect_checkpoint_format(ckpt_dir, 'last_prop_model',
                                             ckpt_fmt) if ckpt_dir else None)

@@ -1,5 +1,6 @@
 '''Checkpoint tests: native npz round-trip with resume, and reference-keyed
 torch .pt import (round-trip through export_cap_state_dict + torch.save).'''
+import json
 import os
 
 import numpy as np
@@ -515,3 +516,77 @@ def test_async_writer_propagates_errors(tmp_path):
     w.save(str(tmp_path), {'w': jnp.ones(3)}, {}, name='x')
     with pytest.raises(OSError, match='disk full'):
         w.wait()
+
+
+# ---------------------------------------------------------------------------
+# async orbax writer (--async_ckpt --ckpt_format orbax)
+# ---------------------------------------------------------------------------
+
+def test_async_orbax_matches_sync(tmp_path):
+    '''AsyncOrbaxWriter restores byte-identically to the synchronous orbax
+    save, including the opt_state directory and the meta sidecar.'''
+    from bmt_tpu.train.checkpoint import (AsyncOrbaxWriter,
+                                          load_checkpoint_orbax,
+                                          save_checkpoint_orbax)
+
+    params = init_bimodal_transformer(jax.random.PRNGKey(0), SMALL)
+    opt = {'mu': jax.tree.map(jnp.zeros_like, params)}
+    meta = {'epoch': 3, 'step': 77}
+
+    save_checkpoint_orbax(str(tmp_path / 'sync'), params, meta, opt,
+                          name='last_cap_model')
+    w = AsyncOrbaxWriter()
+    w.save(str(tmp_path / 'async'), params, meta, opt,
+           name='last_cap_model')
+    w.close()
+
+    ps, ms, os_ = load_checkpoint_orbax(str(tmp_path / 'sync'), params,
+                                        opt, name='last_cap_model')
+    pa, ma, oa = load_checkpoint_orbax(str(tmp_path / 'async'), params,
+                                       opt, name='last_cap_model')
+    _trees_equal(ps, pa)
+    _trees_equal(os_, oa)
+    assert ms == ma == meta
+
+
+def test_async_orbax_meta_never_newer_than_arrays(tmp_path):
+    '''The meta sidecar is deferred until its arrays commit: right after
+    save() returns it must NOT be on disk yet (a crash then loses the
+    whole pending save, never pairs fresh meta with stale arrays); a
+    second save of the same name flushes the first save's meta; close()
+    flushes the rest, and the rolling name holds the newest arrays.'''
+    from bmt_tpu.train.checkpoint import (AsyncOrbaxWriter,
+                                          load_checkpoint_orbax)
+
+    w = AsyncOrbaxWriter()
+    tree_a = {'w': jnp.ones((4, 4))}
+    tree_b = {'w': jnp.full((4, 4), 2.0)}
+    meta_path = tmp_path / 'last_cap_model.orbax.meta.json'
+
+    w.save(str(tmp_path), tree_a, {'epoch': 0}, name='last_cap_model')
+    assert not meta_path.exists()
+    w.save(str(tmp_path), tree_b, {'epoch': 1}, name='last_cap_model')
+    with open(meta_path) as f:
+        assert json.load(f)['epoch'] == 0   # first save now fully durable
+    w.close()
+
+    p, m, _ = load_checkpoint_orbax(str(tmp_path), tree_a,
+                                    name='last_cap_model')
+    np.testing.assert_array_equal(np.asarray(p['w']),
+                                  np.asarray(tree_b['w']))
+    assert m['epoch'] == 1
+
+
+def test_async_orbax_propagates_errors(tmp_path):
+    '''A failing orbax commit surfaces on wait()/close(), not silently.'''
+    from bmt_tpu.train.checkpoint import AsyncOrbaxWriter
+
+    blocker = tmp_path / 'ckpt'
+    blocker.write_text('a file where the checkpoint dir must go')
+    w = AsyncOrbaxWriter()
+    with pytest.raises(Exception):
+        # the path collision errors either at submit (directory creation
+        # happens on the calling thread) or at the commit barrier — both
+        # must surface
+        w.save(str(blocker), {'w': jnp.ones(3)}, {}, name='x')
+        w.close()

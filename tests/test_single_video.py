@@ -62,14 +62,20 @@ def test_single_video_prediction_cli(mini_data, tmp_path):  # noqa: F811
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize('ckpt_format', ['npz', 'orbax'])
+@pytest.mark.parametrize('ckpt_format', ['npz', 'orbax', 'orbax-async'])
 def test_train_cap_resume(mini_data, tmp_path, ckpt_format):  # noqa: F811
-    '''Interrupted training resumes from the rolling checkpoint.'''
+    '''Interrupted training resumes from the rolling checkpoint
+    ('orbax-async' = --ckpt_format orbax --async_ckpt, the AsyncOrbaxWriter
+    path: the run must drain its background commits so the follow-up run
+    sees a complete checkpoint).'''
     from bmt_tpu.train.cap_trainer import train_cap
 
     from bmt_tpu.train.checkpoint import read_checkpoint_meta
+    fmt, use_async = (('orbax', True) if ckpt_format == 'orbax-async'
+                      else (ckpt_format, False))
     cfg = _mini_cfg(mini_data, tmp_path, 'train_cap')
-    cfg.ckpt_format = ckpt_format
+    cfg.ckpt_format = fmt
+    cfg.async_ckpt = use_async
     train_cap(cfg)  # epoch 0 completes, last_cap_model written
 
     ckpt_dir = cfg.model_checkpoint_path
@@ -77,7 +83,8 @@ def test_train_cap_resume(mini_data, tmp_path, ckpt_format):  # noqa: F811
 
     # second run with more epochs reuses the same log dir -> resumes at 1
     cfg2 = _mini_cfg(mini_data, tmp_path, 'train_cap')
-    cfg2.ckpt_format = ckpt_format
+    cfg2.ckpt_format = fmt
+    cfg2.async_ckpt = use_async
     cfg2.log_path = cfg.log_path
     cfg2.model_checkpoint_path = cfg.model_checkpoint_path
     cfg2.epoch_num = 2
