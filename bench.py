@@ -318,6 +318,45 @@ def main():
         'train_mfu': round(mfu, 4) if mfu is not None else None,
     })
 
+    # ---- LoRA finetune step (frozen-subtree gradient pruning) -------------
+    # Same shapes as the full train step, rank-8 adapters on attn+FFN
+    # linears, base frozen: the pruned backward skips every base dW GEMM
+    # (0.707x the compiled FLOPs — DESIGN 6b). Measured right after the
+    # full step so the two share a throttling window. BMT_BENCH_LORA=0
+    # skips.
+    lora_ms = None
+    if os.environ.get('BMT_BENCH_LORA', '1') != '0':
+        _stage('train[lora]')
+        try:
+            from bmt_tpu.ops.lora import add_lora, lora_frozen_predicate
+            from bmt_tpu.train.optim import freeze_mask
+
+            class _LoraCfg(_Cfg):
+                lora_rank = 8
+
+            lparams = add_lora(params, 8, jax.random.PRNGKey(7),
+                               targets='attn_ffn')
+            lmask = freeze_mask(lparams, lora_frozen_predicate)
+            lopt = build_optimizer(_LoraCfg(), frozen_mask=lmask)
+            lstep = jax.jit(make_cap_train_step(dims, lopt, 0.7, 1,
+                                                compute_dtype=bf16,
+                                                frozen_mask=lmask))
+            lstate = init_train_state(lparams, lopt, prng_impl='rbg')
+
+            def lora_once():
+                _, m = lstep(lstate, train_batch)
+                return m['loss']
+            _warmup(lora_once)
+            _warmup(lora_once)
+            lora_ms = _time_best(lora_once, iters=ITERS, reps=REPS) * 1e3
+            _RESULT.update({
+                'train_lora_step_ms': round(lora_ms, 3),
+                'train_lora_speedup': round(step_ms / lora_ms, 3),
+            })
+        except Exception as e:
+            print(f'lora train bench failed: {type(e).__name__}: {e}',
+                  file=sys.stderr)
+
     # ---- proposal-generator train step (stage 2) --------------------------
     # Flagship prop shapes: B=16, padded 800 audio / 300 video rows, all 20
     # conv heads (reference: scripts/train_proposal_generator.py defaults).
@@ -411,6 +450,11 @@ def main():
         result['decode_int8kv_caps_per_sec'] = round(decode_q8, 2)
     if decode_w8 is not None:
         result['decode_int8w_caps_per_sec'] = round(decode_w8, 2)
+    if lora_ms is not None:
+        result['train_lora_step_ms'] = round(lora_ms, 3)
+        # same-window ratio vs the full step (the trustworthy comparison
+        # on the time-shared tunnel)
+        result['train_lora_speedup'] = round(step_ms / lora_ms, 3)
     if prop_ms is not None:
         result['prop_train_step_ms'] = round(prop_ms, 3)
         result['prop_train_videos_per_sec'] = round(

@@ -105,3 +105,55 @@ def test_jit_step_preserves_mp_shardings():
     (p2, _), _ = jstep(state, dp.shard(batch))
     # the updated params keep the mp sharding (not forced replicated)
     assert 'mp' in str(p2['layer']['fc1']['w'].sharding.spec)
+
+
+def test_lora_adapters_mirror_base_mp_layout(rng):
+    '''LoRA leaves shard like their base weight (ops/lora.py docstring):
+    column-parallel linears shard lora_b's output dim, row-parallel ones
+    shard lora_a's input dim, lora_s stays replicated — and the dp2 x mp4
+    LoRA train step (base frozen, gradient pruning on) matches dp1.'''
+    from bmt_tpu.ops.lora import add_lora, lora_frozen_predicate
+    from bmt_tpu.parallel import cap_param_shardings
+    from bmt_tpu.train.optim import freeze_mask
+
+    def make_params():
+        # rebuilt per run: the jitted step donates the state, and dp=1
+        # place_params is a no-copy placement, so sharing one tree across
+        # runs would read deleted buffers
+        return add_lora(init_bimodal_transformer(jax.random.PRNGKey(0),
+                                                 DIMS),
+                        2, jax.random.PRNGKey(5), targets='attn_ffn')
+
+    params = make_params()
+    mesh = make_mesh(dp=2, mp=4)
+    sh = cap_param_shardings(params, mesh)
+    enc0 = sh['encoder']['layers'][0]
+    assert tuple(enc0['ff_M1']['fc1']['lora_b'].spec) == (None, 'mp')
+    assert tuple(enc0['ff_M1']['fc2']['lora_a'].spec) == ('mp', None)
+    assert tuple(enc0['ff_M1']['fc1']['lora_s'].spec) == ()
+    # attention projections: q2d/k2d/v2d are column-parallel, d2q row
+    dec0 = sh['decoder']['layers'][0]
+    assert tuple(dec0['self_att']['q2d']['lora_b'].spec) == (None, 'mp')
+    assert tuple(dec0['self_att']['d2q']['lora_a'].spec) == ('mp', None)
+
+    mask = freeze_mask(params, lora_frozen_predicate)
+
+    class _LoraCfg(_Cfg):
+        lora_rank = 2
+
+    def run(mesh):
+        optimizer = build_optimizer(_LoraCfg(), frozen_mask=mask)
+        step = jax.jit(make_cap_train_step(DIMS, optimizer, 0.7, 1,
+                                           frozen_mask=mask),
+                       donate_argnums=(0,))
+        placed = place_params(make_params(), mesh)
+        state = init_train_state(placed, optimizer)
+        batch = _batch(np.random.default_rng(3))
+        state, metrics = step(state, shard_batch(mesh, batch))
+        return float(metrics['loss']), jax.tree.map(np.asarray, state.params)
+
+    loss_ref, params_ref = run(make_mesh(dp=1, mp=1))
+    loss_tp, params_tp = run(make_mesh(dp=2, mp=4))
+    np.testing.assert_allclose(loss_tp, loss_ref, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(params_ref), jax.tree.leaves(params_tp)):
+        np.testing.assert_allclose(b, a, atol=3e-4)
