@@ -338,7 +338,11 @@ def main():
                                targets='attn_ffn')
             lmask = freeze_mask(lparams, lora_frozen_predicate)
             lopt = build_optimizer(_LoraCfg(), frozen_mask=lmask)
+            # same attention impl as the winning full step, so the
+            # published ratio isolates the pruning gain instead of
+            # conflating it with the xla-vs-pallas attention delta
             lstep = jax.jit(make_cap_train_step(dims, lopt, 0.7, 1,
+                                                attention_impl=train_impl,
                                                 compute_dtype=bf16,
                                                 frozen_mask=lmask))
             lstate = init_train_state(lparams, lopt, prng_impl='rbg')

@@ -35,17 +35,16 @@ import math
 import jax
 import jax.numpy as jnp
 
+# shared "what is a linear" predicate (quant.py imports lora lazily inside
+# its tree walk, so this top-level import is cycle-free)
+from bmt_tpu.ops.quant import is_linear_leaf as _is_linear_leaf
+
 # which linear sub-dicts get adapters, by their key in the parent dict
 TARGET_SETS = {
     'attn': {'q2d', 'k2d', 'v2d', 'd2q'},
     'attn_ffn': {'q2d', 'k2d', 'v2d', 'd2q', 'fc1', 'fc2'},
     'all': None,   # every 2-D linear leaf
 }
-
-
-def _is_linear_leaf(node) -> bool:
-    return (isinstance(node, dict) and set(node) == {'w', 'b'}
-            and getattr(node['w'], 'ndim', 0) == 2)
 
 
 def add_lora(params, rank: int, key, alpha: float | None = None,

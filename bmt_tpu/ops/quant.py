@@ -74,9 +74,15 @@ def qlinear(p: dict, x: jnp.ndarray) -> jnp.ndarray:
     return y.astype(x.dtype)
 
 
-def _is_linear_leaf(node) -> bool:
+def is_linear_leaf(node) -> bool:
+    '''The ONE definition of "a plain linear param dict" — shared by the
+    quantizer and the LoRA adapter placement (ops/lora.py) so the two tree
+    walks can never drift on what counts as a linear.'''
     return (isinstance(node, dict) and set(node) == {'w', 'b'}
             and getattr(node['w'], 'ndim', 0) == 2)
+
+
+_is_linear_leaf = is_linear_leaf
 
 
 def quantize_tree_int8(params, skip=()):

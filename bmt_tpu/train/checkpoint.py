@@ -232,18 +232,26 @@ def save_checkpoint_orbax(ckpt_dir: str, params, meta: dict, opt_state=None,
         os.replace(tmp, meta_path)
 
 
+def _orbax_path(ckpt_dir: str, fname: str) -> str:
+    '''Prefer the live orbax dir; fall back to its ``.stale`` sibling — a
+    crash landing exactly between AsyncOrbaxWriter's two swap renames
+    leaves only the previous (complete) checkpoint under that name.'''
+    final = os.path.abspath(os.path.join(ckpt_dir, fname))
+    if not os.path.exists(final) and os.path.exists(f'{final}.stale'):
+        return f'{final}.stale'
+    return final
+
+
 def load_checkpoint_orbax(ckpt_dir: str, params_like, opt_state_like=None,
                           name: str = 'best_cap_model'):
     import orbax.checkpoint as ocp
     with ocp.StandardCheckpointer() as ckptr:
-        params = ckptr.restore(
-            os.path.abspath(os.path.join(ckpt_dir, f'{name}.orbax')),
-            params_like)
+        params = ckptr.restore(_orbax_path(ckpt_dir, f'{name}.orbax'),
+                               params_like)
         opt_state = None
-        opt_path = os.path.join(ckpt_dir, f'{name}.opt.orbax')
+        opt_path = _orbax_path(ckpt_dir, f'{name}.opt.orbax')
         if opt_state_like is not None and os.path.exists(opt_path):
-            opt_state = ckptr.restore(os.path.abspath(opt_path),
-                                      opt_state_like)
+            opt_state = ckptr.restore(opt_path, opt_state_like)
     meta_path = os.path.join(ckpt_dir, f'{name}.orbax.meta.json')
     if not os.path.exists(meta_path):     # pre-round-3 orbax checkpoints
         meta_path = os.path.join(ckpt_dir, f'{name}.meta.json')
@@ -268,7 +276,7 @@ def read_checkpoint_meta(ckpt_dir: str, name: str) -> dict:
 
 def checkpoint_exists(ckpt_dir: str, name: str, fmt: str = 'npz') -> bool:
     if fmt == 'orbax':
-        return os.path.exists(os.path.join(ckpt_dir, f'{name}.orbax'))
+        return os.path.exists(_orbax_path(ckpt_dir, f'{name}.orbax'))
     return os.path.exists(os.path.join(ckpt_dir, f'{name}.params.npz'))
 
 
@@ -357,22 +365,36 @@ class AsyncOrbaxWriter:
     multi-process collective writes — the reason AsyncCheckpointWriter is
     npz-only).
 
-    One save unit per checkpoint ``name`` (params + optional opt_state +
-    meta). Saves to DIFFERENT names overlap each other and the next
-    epoch's training; re-saving a name first waits for its previous
-    commit, so rolling ``last_*`` writes stay ordered. The meta sidecar is
-    deferred until that name's arrays are durably committed (flushed at
-    the next same-name save / ``wait()`` / ``close()``), preserving the
-    npz async crash ordering: on-disk meta is never NEWER than the arrays
-    it describes, so a crash mid-write can lose at most the pending save —
-    never pair fresh meta with stale arrays. Background errors re-raise on
-    the next ``save()``/``wait()``/``close()``.'''
+    Durability contract (matches the npz worker): a crash can lose at most
+    the pending save, and on-disk meta is never NEWER than the arrays it
+    describes. Two mechanisms deliver it:
+
+    - arrays commit to a SIDE directory ``{name}.orbax.new`` — never
+      force-overwriting the live checkpoint, whose deletion would
+      otherwise happen synchronously at submit while the replacement
+      commits in the background (a kill in that window would leave no
+      rolling checkpoint at all and silently restart the run);
+    - a single FINALIZER thread joins each commit as soon as orbax
+      finishes it (``wait_until_finished`` is a local thread join — the
+      collective machinery runs on orbax's own threads, so nothing
+      collective happens off the synchronized path), then swaps the side
+      dir into place (old dir → ``.stale`` → remove) and writes the meta
+      sidecar LAST. The unprotected window shrinks to two renames;
+      ``load_checkpoint_orbax``/``checkpoint_exists`` fall back to the
+      ``.stale`` dir if a crash lands exactly between them.
+
+    Finalizer errors re-raise on the next ``save()``/``wait()``/
+    ``close()`` — a full disk cannot silently discard epochs and exit 0.
+    '''
 
     def __init__(self):
+        import concurrent.futures as cf
         import orbax.checkpoint as ocp
         self._ocp = ocp
         self._ckptrs = {}      # key -> (params ckptr, opt ckptr)
-        self._pending = {}     # key -> (ckpt_dir, name, meta)
+        self._fin = cf.ThreadPoolExecutor(max_workers=1,
+                                          thread_name_prefix='bmt-orbax-fin')
+        self._pending = []     # finalize futures, submit order
 
     def _unit(self, key):
         if key not in self._ckptrs:
@@ -382,41 +404,69 @@ class AsyncOrbaxWriter:
                 ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler()))
         return self._ckptrs[key]
 
-    def _finish(self, key):
-        '''Wait for one unit's in-flight commit, then flush its meta.'''
-        pend = self._pending.pop(key, None)
-        for c in self._ckptrs.get(key, ()):
-            c.wait_until_finished()   # re-raises background errors
-        if pend is not None:
-            ckpt_dir, name, meta = pend
-            import jax
-            if jax.process_index() == 0:
-                meta_path = os.path.join(ckpt_dir,
-                                         f'{name}.orbax.meta.json')
-                tmp = f'{meta_path}.tmp-{os.getpid()}'
-                with open(tmp, 'w') as f:
-                    json.dump(meta, f, default=_json_meta_default)
-                os.replace(tmp, meta_path)
+    def _reap(self):
+        done = [f for f in self._pending if f.done()]
+        self._pending = [f for f in self._pending if not f.done()]
+        for f in done:
+            f.result()   # re-raise finalizer errors at the call site
+
+    @staticmethod
+    def _swap_into_place(final: str):
+        '''side (.new) → final, keeping the old final as .stale until the
+        new one is in place. Local fs ops: process 0 only on pods.'''
+        import shutil
+        side, stale = f'{final}.new', f'{final}.stale'
+        shutil.rmtree(stale, ignore_errors=True)
+        if os.path.exists(final):
+            os.rename(final, stale)
+        os.rename(side, final)
+        shutil.rmtree(stale, ignore_errors=True)
+
+    def _finalize(self, key, ckpt_dir, name, meta, has_opt):
+        import jax
+        pc, oc = self._ckptrs[key]
+        pc.wait_until_finished()
+        oc.wait_until_finished()
+        if jax.process_index() == 0:
+            self._swap_into_place(os.path.join(ckpt_dir, f'{name}.orbax'))
+            if has_opt:
+                self._swap_into_place(
+                    os.path.join(ckpt_dir, f'{name}.opt.orbax'))
+            # meta LAST: never newer than the arrays it describes
+            meta_path = os.path.join(ckpt_dir, f'{name}.orbax.meta.json')
+            tmp = f'{meta_path}.tmp-{os.getpid()}'
+            with open(tmp, 'w') as f:
+                json.dump(meta, f, default=_json_meta_default)
+            os.replace(tmp, meta_path)
 
     def save(self, ckpt_dir: str, params, meta: dict, opt_state=None,
              name: str = 'best_cap_model'):
         ocp = self._ocp
+        self._reap()
         key = os.path.abspath(os.path.join(ckpt_dir, name))
-        self._finish(key)
-        os.makedirs(ckpt_dir, exist_ok=True)
         pc, oc = self._unit(key)
-        pc.save(os.path.abspath(os.path.join(ckpt_dir, f'{name}.orbax')),
-                args=ocp.args.StandardSave(params), force=True)
+        # a re-save of the same name joins its previous commit (long done
+        # on the epoch cadence); orbax allows one outstanding save per
+        # checkpointer
+        pc.wait_until_finished()
+        oc.wait_until_finished()
+        os.makedirs(ckpt_dir, exist_ok=True)
+        # force=True only ever clears a LEFTOVER side dir from a crashed
+        # run — the live checkpoint is not touched until the swap
+        pc.save(f'{key}.orbax.new', args=ocp.args.StandardSave(params),
+                force=True)
         if opt_state is not None:
-            oc.save(os.path.abspath(
-                os.path.join(ckpt_dir, f'{name}.opt.orbax')),
-                args=ocp.args.StandardSave(opt_state), force=True)
-        self._pending[key] = (ckpt_dir, name, meta)
+            oc.save(f'{key}.opt.orbax.new',
+                    args=ocp.args.StandardSave(opt_state), force=True)
+        self._pending.append(self._fin.submit(
+            self._finalize, key, ckpt_dir, name, meta,
+            opt_state is not None))
 
     def wait(self):
-        '''Block until every submitted save (and its meta) is on disk.'''
-        for key in list(self._ckptrs):
-            self._finish(key)
+        '''Block until every submitted save (arrays, swap, meta) is durably
+        on disk.'''
+        while self._pending:
+            self._pending.pop(0).result()
 
     def close(self):
         self.wait()
@@ -424,6 +474,7 @@ class AsyncOrbaxWriter:
             pc.close()
             oc.close()
         self._ckptrs.clear()
+        self._fin.shutdown()
 
 
 def load_model_params(ckpt_dir: str, name: str, params_like):
@@ -939,7 +990,49 @@ def load_pretrained_cap_params(path: str, template):
     (train_cap ``--pretrained_cap_model_path``; no reference analog — the
     reference can only transplant encoders). Accepts a native checkpoint
     dir (npz or orbax), a bare ``params.npz``, or a reference ``.pt``.
-    ``template`` must be the PLAIN base tree (adapters are added after).'''
+    ``template`` must be the PLAIN base tree (adapters are added after).
+
+    A LoRA-FINETUNED checkpoint is a valid seed: its adapters are folded
+    into the base weights first (fp32 accumulate, ops/lora.py semantics),
+    so the seed is the finetune's effective model and the new run's own
+    --lora_rank/--lora_targets/--lora_alpha apply fresh adapters on top —
+    round-2 finetuning never silently inherits round-1's adapter config.'''
+    def _merged_lora_npz(npz_path):
+        '''Archive-level merge: fold each ``<site>/lora_*`` triple into its
+        ``<site>/w``, mirroring merge_linear_lora's numerics, then restore
+        the plain tree into the template's structure.'''
+        data = dict(np.load(npz_path, allow_pickle=False))
+        merged = dict(data)
+        for k in data:
+            site, leaf = k.rsplit(SEP, 1) if SEP in k else ('', k)
+            if leaf != 'lora_a':
+                continue
+            w_key = f'{site}{SEP}w'
+            a = data[k].astype(np.float32)
+            b = data[f'{site}{SEP}lora_b'].astype(np.float32)
+            s = float(data[f'{site}{SEP}lora_s'])
+            merged[w_key] = (merged[w_key].astype(np.float32)
+                             + (a @ b) * s).astype(data[w_key].dtype)
+        merged = {k: v for k, v in merged.items()
+                  if k.rsplit(SEP, 1)[-1] not in ('lora_a', 'lora_b',
+                                                  'lora_s')}
+        tree, used = _restore_into(merged, template, npz_path)
+        leftover = sorted(set(merged) - used)
+        if leftover:
+            raise KeyError(
+                f'{npz_path} holds {len(leftover)} arrays absent from the '
+                f'restore template even after folding its LoRA adapters '
+                f'(first few: {leftover[:4]})')
+        return tree
+
+    def _load_npz(npz_path):
+        with np.load(npz_path, allow_pickle=False) as zf:
+            has_lora = any(k.rsplit(SEP, 1)[-1] in
+                           ('lora_a', 'lora_b', 'lora_s') for k in zf.files)
+        if has_lora:
+            return _merged_lora_npz(npz_path)
+        return load_pytree_npz(npz_path, template)
+
     def _validate(got_tree):
         got, want = _flatten(got_tree), _flatten(template)
         missing = sorted(set(want) - set(got))
@@ -964,11 +1057,16 @@ def load_pretrained_cap_params(path: str, template):
             params, _ = import_cap_model(cpt)
         return _validate(params)
     if not os.path.isdir(path):
-        return load_pytree_npz(path, template)
+        return _load_npz(path)
     npz = os.path.join(path, 'best_cap_model.params.npz')
     if os.path.exists(npz):
-        return load_pytree_npz(npz, template)
+        return _load_npz(npz)
     _, _, params, _ = load_cap_checkpoint(path)
+    from bmt_tpu.ops.lora import count_lora, merge_lora
+    if count_lora(params)[0]:
+        # orbax checkpoint of a LoRA finetune (meta cfg carried lora_rank,
+        # so load_cap_checkpoint restored WITH adapters): fold them
+        params = merge_lora(params)
     return _validate(params)
 
 

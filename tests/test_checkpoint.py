@@ -549,25 +549,17 @@ def test_async_orbax_matches_sync(tmp_path):
     assert ms == ma == meta
 
 
-def test_async_orbax_meta_never_newer_than_arrays(tmp_path):
-    '''The meta sidecar is deferred until its arrays commit: right after
-    save() returns it must NOT be on disk yet (a crash then loses the
-    whole pending save, never pairs fresh meta with stale arrays); a
-    second save of the same name flushes the first save's meta; close()
-    flushes the rest, and the rolling name holds the newest arrays.'''
+def test_async_orbax_rolling_saves_ordered_and_clean(tmp_path):
+    '''Re-saves of the rolling name land in order (newest arrays + meta
+    win), and the side/.stale swap machinery leaves no residue.'''
     from bmt_tpu.train.checkpoint import (AsyncOrbaxWriter,
                                           load_checkpoint_orbax)
 
     w = AsyncOrbaxWriter()
     tree_a = {'w': jnp.ones((4, 4))}
     tree_b = {'w': jnp.full((4, 4), 2.0)}
-    meta_path = tmp_path / 'last_cap_model.orbax.meta.json'
-
     w.save(str(tmp_path), tree_a, {'epoch': 0}, name='last_cap_model')
-    assert not meta_path.exists()
     w.save(str(tmp_path), tree_b, {'epoch': 1}, name='last_cap_model')
-    with open(meta_path) as f:
-        assert json.load(f)['epoch'] == 0   # first save now fully durable
     w.close()
 
     p, m, _ = load_checkpoint_orbax(str(tmp_path), tree_a,
@@ -575,6 +567,29 @@ def test_async_orbax_meta_never_newer_than_arrays(tmp_path):
     np.testing.assert_array_equal(np.asarray(p['w']),
                                   np.asarray(tree_b['w']))
     assert m['epoch'] == 1
+    assert not (tmp_path / 'last_cap_model.orbax.new').exists()
+    assert not (tmp_path / 'last_cap_model.orbax.stale').exists()
+
+
+def test_orbax_stale_fallback_after_interrupted_swap(tmp_path):
+    '''A crash exactly between the async writer's two swap renames leaves
+    only ``{name}.orbax.stale`` — the loaders must fall back to it instead
+    of restarting the run from scratch.'''
+    from bmt_tpu.train.checkpoint import (checkpoint_exists,
+                                          load_checkpoint_orbax,
+                                          save_checkpoint_orbax)
+
+    tree = {'w': jnp.full((3,), 7.0)}
+    save_checkpoint_orbax(str(tmp_path), tree, {'epoch': 4},
+                          name='last_cap_model')
+    os.rename(tmp_path / 'last_cap_model.orbax',
+              tmp_path / 'last_cap_model.orbax.stale')
+
+    assert checkpoint_exists(str(tmp_path), 'last_cap_model', 'orbax')
+    p, m, _ = load_checkpoint_orbax(str(tmp_path), tree,
+                                    name='last_cap_model')
+    np.testing.assert_array_equal(np.asarray(p['w']), np.asarray(tree['w']))
+    assert m['epoch'] == 4
 
 
 def test_async_orbax_propagates_errors(tmp_path):

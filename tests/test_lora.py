@@ -228,3 +228,43 @@ def test_native_checkpoint_roundtrip(tmp_path):
             jax.tree_util.tree_flatten_with_path(restored)[0]):
         assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_seed_from_lora_finetuned_checkpoint(tmp_path):
+    '''--pretrained_cap_model_path accepts a LoRA-FINETUNED checkpoint: the
+    saved adapters fold into the base weights (the finetune's effective
+    model), so a round-2 finetune starts from round-1's result and applies
+    its OWN fresh adapters — it never silently inherits round-1's adapter
+    rank/alpha/targets.'''
+    from bmt_tpu.train.checkpoint import (load_pretrained_cap_params,
+                                          save_checkpoint)
+
+    base = init_bimodal_transformer(jax.random.PRNGKey(0), DIMS)
+    adapted = add_lora(base, 4, jax.random.PRNGKey(3), targets='attn_ffn')
+
+    def bump(node):   # nonzero deltas so the merge is observable
+        if isinstance(node, dict):
+            return {k: (v + 0.01 if k == 'lora_b' else bump(v))
+                    for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(bump(v) for v in node)
+        return node
+
+    adapted = bump(adapted)
+    save_checkpoint(str(tmp_path), adapted, {'epoch': 0},
+                    name='best_cap_model')
+
+    expect = merge_lora(adapted)
+    for src in (str(tmp_path),                                  # ckpt dir
+                str(tmp_path / 'best_cap_model.params.npz')):   # bare npz
+        got = load_pretrained_cap_params(src, base)
+        # template structure preserved (jit/sharding consumers rely on it)
+        assert (jax.tree_util.tree_structure(got)
+                == jax.tree_util.tree_structure(base))
+        for a, b in zip(jax.tree.leaves(expect), jax.tree.leaves(got)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=1e-6)
+        # the merge really happened (base != merged at adapted sites)
+        assert any(not np.allclose(np.asarray(a), np.asarray(b))
+                   for a, b in zip(jax.tree.leaves(base),
+                                   jax.tree.leaves(got)))
