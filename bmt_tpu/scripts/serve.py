@@ -68,6 +68,13 @@ def build_parser():
     p.add_argument('--sample_top_p', type=float, default=1.0)
     p.add_argument('--seed', type=int, default=0,
                    help='sampling PRNG seed')
+    p.add_argument('--lora_adapter', action='append', default=[],
+                   metavar='NAME=CKPT',
+                   help='register a LoRA finetune for per-request '
+                        'selection ({"adapter": NAME} in POST /caption); '
+                        'repeatable — all adapters share the one frozen '
+                        'base in HBM, each costs only its rank-r deltas. '
+                        'CKPT: a --lora_rank checkpoint dir or params.npz')
     p.add_argument('--prop_generator_model_path', default=None,
                    help='also load a proposal checkpoint and expose the '
                         'full two-stage pipeline at POST /predict')
@@ -122,6 +129,15 @@ def main(argv=None, block=True):
         decode_fn=decode_fn)
     if decode_fn is not None:
         print(f'decode strategy: {args.decode_strategy}')
+
+    for spec in args.lora_adapter:
+        if '=' not in spec:
+            raise SystemExit(
+                f'--lora_adapter {spec!r}: expected NAME=CKPT_PATH')
+        name, ckpt = spec.split('=', 1)
+        from bmt_tpu.train.checkpoint import load_lora_sites
+        n_sites = engine.add_adapter(name, load_lora_sites(ckpt))
+        print(f'adapter {name!r}: {n_sites} adapted linears from {ckpt}')
 
     shapes = [tuple(int(x) for x in s.split('x'))
               for s in args.warmup_shapes.split(',') if s]

@@ -110,6 +110,9 @@ class CaptionEngine:
             params = self.dp.replicate_tree(params)
         self.params = params
         self.compute_dtype = compute_dtype
+        # multi-tenant LoRA: adapter name -> params tree whose base leaves
+        # ARE self.params' arrays (shared HBM) plus that adapter's deltas
+        self.adapters: Dict[str, dict] = {}
         self._lock = threading.Lock()  # device dispatch is serialized
         # counters (read by /stats)
         self.n_requests = 0
@@ -154,6 +157,71 @@ class CaptionEngine:
         return {'rgb': rgb.astype(dt), 'flow': flow.astype(dt),
                 'audio': audio.astype(dt)}
 
+    # -- multi-tenant LoRA ------------------------------------------------
+
+    def add_adapter(self, name: str, sites: Dict[str, dict]) -> int:
+        '''Register a LoRA adapter under ``name`` for per-request selection
+        (``caption_crops(..., adapter=name)``, HTTP ``{"adapter": name}``).
+
+        ``sites``: ``{tree_path: {'lora_a','lora_b','lora_s'}}`` from
+        ``bmt_tpu.train.checkpoint.load_lora_sites``. The adapter tree
+        SHARES the engine's base arrays — N domains cost one frozen base
+        in HBM plus each finetune's kilobyte deltas — and is applied
+        inside ``ops/layers.py:linear`` (composes with ``weights_int8``:
+        the delta rides on top of the quantized base matmul). All
+        same-rank adapters also share one compiled decode executable
+        (identical treedef + shapes). Returns the adapted-site count.'''
+        def place(x):
+            arr = jnp.asarray(x, jnp.float32)
+            return (self.dp.replicate_tree(arr) if self.dp is not None
+                    else arr)
+
+        def graft(node, segs, leaves, path_done):
+            if not segs:
+                if not isinstance(node, dict) or \
+                        not ({'w', 'w_q'} & set(node)):
+                    raise ValueError(
+                        f'adapter {name!r}: site {path_done!r} is not a '
+                        f'linear in the served model')
+                w = node.get('w', node.get('w_q'))
+                a, b = leaves['lora_a'], leaves['lora_b']
+                if (a.shape[0], b.shape[1]) != tuple(w.shape) or \
+                        a.shape[1] != b.shape[0]:
+                    raise ValueError(
+                        f'adapter {name!r}: site {path_done!r} deltas '
+                        f'{a.shape}x{b.shape} do not fit the base '
+                        f'{tuple(w.shape)} linear')
+                return {**node,
+                        'lora_a': place(a), 'lora_b': place(b),
+                        'lora_s': place(leaves['lora_s'])}
+            head, rest = segs[0], segs[1:]
+            if isinstance(node, (list, tuple)):
+                i = int(head)
+                return type(node)(
+                    graft(v, rest, leaves, f'{path_done}/{head}')
+                    if j == i else v for j, v in enumerate(node))
+            if not isinstance(node, dict) or head not in node:
+                raise ValueError(
+                    f'adapter {name!r}: site path {path_done}/{head} not '
+                    f'in the served model (different architecture?)')
+            return {**node, head: graft(node[head], rest, leaves,
+                                        f'{path_done}/{head}')}
+
+        tree = self.params
+        for site, leaves in sites.items():
+            tree = graft(tree, site.split('/'), leaves, '')
+        self.adapters[name] = tree
+        return len(sites)
+
+    def _select_params(self, adapter: Optional[str]):
+        if adapter is None:
+            return self.params
+        if adapter not in self.adapters:
+            raise ValueError(
+                f'unknown adapter {adapter!r}; loaded: '
+                f'{sorted(self.adapters) or "none"}')
+        return self.adapters[adapter]
+
     # -- public API -------------------------------------------------------
 
     def validate_crop(self, crop: dict) -> None:
@@ -177,10 +245,13 @@ class CaptionEngine:
                 f'split the segment')
 
     def caption_tokens(self, crops: Sequence[dict],
-                       _count: bool = True) -> np.ndarray:
+                       _count: bool = True,
+                       adapter: Optional[str] = None) -> np.ndarray:
         '''Decode a list of crops; returns (len(crops), max_len+1) int32.
         Crops longer than the largest sequence bucket are rejected (the
-        bucket pad would silently truncate them).'''
+        bucket pad would silently truncate them). ``adapter`` selects a
+        registered LoRA adapter (add_adapter); None decodes the base.'''
+        params = self._select_params(adapter)
         if not crops:
             return np.zeros((0, self.max_len + 1), np.int32)
         for c in crops:
@@ -200,10 +271,10 @@ class CaptionEngine:
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
             with self._lock:
                 if self.decode_fn is not None:
-                    toks = self.decode_fn(self.params, batch)
+                    toks = self.decode_fn(params, batch)
                 else:
                     toks = greedy_decode_bimodal(
-                        self.params, self.dims, batch, self.max_len,
+                        params, self.dims, batch, self.max_len,
                         self.start_idx, self.end_idx, self.pad_idx,
                         attention_impl=self.attention_impl,
                         kv_int8=self.kv_int8)
@@ -215,8 +286,9 @@ class CaptionEngine:
             out.append(toks)
         return np.concatenate(out, axis=0)
 
-    def caption_crops(self, crops: Sequence[dict]) -> List[str]:
-        toks = self.caption_tokens(crops)
+    def caption_crops(self, crops: Sequence[dict],
+                      adapter: Optional[str] = None) -> List[str]:
+        toks = self.caption_tokens(crops, adapter=adapter)
         return [ints_to_sentence(row, self.vocab, self.end_token)
                 for row in toks]
 
@@ -254,7 +326,8 @@ class CaptionEngine:
         return {'requests': self.n_requests, 'batches': self.n_batches,
                 'rows_padded': self.n_rows_padded,
                 'avg_batch': round(self.n_requests / self.n_batches, 2)
-                if self.n_batches else 0.0}
+                if self.n_batches else 0.0,
+                'adapters': sorted(self.adapters)}
 
 
 class MicroBatcher:
@@ -284,10 +357,13 @@ class MicroBatcher:
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
-    def submit(self, crop: dict) -> 'Future[str]':
-        # validate at ADMISSION: a bad crop must fail its own submit()
-        # call, not the whole coalesced batch it would have joined
+    def submit(self, crop: dict,
+               adapter: Optional[str] = None) -> 'Future[str]':
+        # validate at ADMISSION: a bad crop (or unknown adapter) must fail
+        # its own submit() call, not the whole coalesced batch it would
+        # have joined
         self.engine.validate_crop(crop)
+        self.engine._select_params(adapter)
         fut: Future = Future()
         with self._mu:
             if self._closed:
@@ -295,12 +371,13 @@ class MicroBatcher:
             if len(self._pending) >= self.max_queue:
                 raise QueueFull(
                     f'{len(self._pending)} requests already queued')
-            self._pending.append((crop, fut, time.monotonic()))
+            self._pending.append((crop, fut, time.monotonic(), adapter))
             self._mu.notify()
         return fut
 
-    def caption(self, crop: dict, timeout: Optional[float] = None) -> str:
-        return self.submit(crop).result(timeout)
+    def caption(self, crop: dict, timeout: Optional[float] = None,
+                adapter: Optional[str] = None) -> str:
+        return self.submit(crop, adapter=adapter).result(timeout)
 
     def _run(self):
         while True:
@@ -321,18 +398,32 @@ class MicroBatcher:
                 # work on answers nobody is waiting for
                 self._pending = [e for e in self._pending
                                  if not e[1].cancelled()]
-                # admit at most one device batch; later arrivals stay
-                # queued and are picked up (with fresh company) next round
+                # admit at most one device batch. A batch decodes with ONE
+                # adapter (params are a single tree per dispatch), so take
+                # the OLDEST request's adapter and coalesce only its
+                # cohort — oldest-first keeps every adapter's queue
+                # draining (no starvation), and single-adapter traffic
+                # batches exactly as before.
                 take = self.engine.max_batch
-                batch = self._pending[:take]
-                del self._pending[:take]
+                if self._pending:
+                    adapter = self._pending[0][3]
+                    batch, rest = [], []
+                    for e in self._pending:
+                        if e[3] == adapter and len(batch) < take:
+                            batch.append(e)
+                        else:
+                            rest.append(e)
+                    self._pending = rest
+                else:
+                    batch, adapter = [], None
             if not batch:
                 continue
-            crops = [c for c, _, _ in batch]
+            crops = [c for c, _, _, _ in batch]
             try:
-                sentences = self.engine.caption_crops(crops)
+                sentences = self.engine.caption_crops(crops,
+                                                      adapter=adapter)
                 done_t = time.monotonic()
-                for (_, fut, t0), s in zip(batch, sentences):
+                for (_, fut, t0, _), s in zip(batch, sentences):
                     # a future cancelled mid-decode must not poison its
                     # batchmates (set_result on it raises
                     # InvalidStateError); races between the check and the
@@ -344,7 +435,7 @@ class MicroBatcher:
                     except Exception:
                         pass
             except Exception as e:  # propagate to every waiter
-                for _, fut, _ in batch:
+                for _, fut, _, _ in batch:
                     if not fut.done():
                         fut.set_exception(e)
 
@@ -538,7 +629,10 @@ class _CaptionHandler(BaseHTTPRequestHandler):
 
     def _handle_caption(self, obj: dict):
         crop = _crop_from_json(obj, self.server.engine.dims)
-        fut = self.server.batcher.submit(crop)
+        adapter = obj.get('adapter')
+        if adapter is not None and not isinstance(adapter, str):
+            raise ValueError('"adapter" must be a string adapter name')
+        fut = self.server.batcher.submit(crop, adapter=adapter)
         try:
             return fut.result(timeout=self.server.request_timeout)
         except FutureTimeoutError:

@@ -1070,6 +1070,43 @@ def load_pretrained_cap_params(path: str, template):
     return _validate(params)
 
 
+def load_lora_sites(path: str) -> Dict[str, dict]:
+    '''The LoRA adapter leaves of a finetuned checkpoint, as
+    ``{site_path: {'lora_a','lora_b','lora_s'}}`` keyed by the
+    ``SEP``-joined tree path of the adapted linear.
+
+    The multi-tenant serving loader (serve.py:CaptionEngine.add_adapter):
+    N domain finetunes share ONE frozen base in HBM, each contributing
+    only its kilobyte-scale deltas. Accepts a bare ``params.npz``, a
+    native checkpoint dir (npz or orbax), or an adapter-carrying pytree.'''
+    if isinstance(path, dict):
+        flat = _flatten(path)
+    else:
+        npz = path
+        if os.path.isdir(path):
+            cand = os.path.join(path, 'best_cap_model.params.npz')
+            npz = cand if os.path.exists(cand) else None
+        if npz and os.path.exists(npz) and not os.path.isdir(npz):
+            flat = dict(np.load(npz, allow_pickle=False))
+        else:
+            _, _, params, _ = load_cap_checkpoint(path)
+            flat = _flatten(params)
+    sites: Dict[str, dict] = {}
+    for k, v in flat.items():
+        site, leaf = k.rsplit(SEP, 1) if SEP in k else ('', k)
+        if leaf in ('lora_a', 'lora_b', 'lora_s'):
+            sites.setdefault(site, {})[leaf] = np.asarray(v)
+    if not sites:
+        raise ValueError(
+            f'{path}: no LoRA adapter leaves found — not a '
+            f'--lora_rank finetune checkpoint')
+    for site, leaves in sites.items():
+        missing = {'lora_a', 'lora_b', 'lora_s'} - set(leaves)
+        if missing:
+            raise ValueError(f'{path}: site {site!r} lacks {missing}')
+    return sites
+
+
 def load_cap_checkpoint(path: str, train_meta_path: str = None,
                         allow_vocab_drift: bool = False):
     '''Load a captioning checkpoint from either format; returns

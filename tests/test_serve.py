@@ -2,6 +2,7 @@
 HTTP API, and jax.export round-trip (all CPU, tiny dims).'''
 import json
 import threading
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -662,3 +663,198 @@ def test_cancelled_future_does_not_poison_batch(engine):
         assert f_dead.cancelled()
     finally:
         batcher.close()
+
+
+# ---------------------------------------------------------------------------
+# multi-tenant LoRA serving (engine.add_adapter, {"adapter": name})
+# ---------------------------------------------------------------------------
+
+def _adapter_sites(bump=0.0, rank=2, key=7):
+    '''LoRA sites for DIMS via a real finetuned-checkpoint round trip.'''
+    from bmt_tpu.ops.lora import add_lora
+    from bmt_tpu.train.checkpoint import load_lora_sites
+    base = init_bimodal_transformer(jax.random.PRNGKey(0), DIMS)
+    adapted = add_lora(base, rank, jax.random.PRNGKey(key),
+                       targets='attn_ffn')
+
+    def walk(node):
+        if isinstance(node, dict):
+            return {k: (v + bump if k == 'lora_b' else walk(v))
+                    for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v) for v in node)
+        return node
+
+    return load_lora_sites(walk(adapted))
+
+
+def test_engine_adapter_selection(engine):
+    '''Zero-init adapter decodes IDENTICALLY to the base; a nonzero
+    adapter changes the decode; unknown names are rejected; /stats lists
+    the registry. The adapter trees share the base arrays.'''
+    rng = np.random.default_rng(11)
+    crops = [_crop(rng, 6, 6) for _ in range(3)]
+    base_out = engine.caption_tokens(crops)
+
+    n = engine.add_adapter('zero', _adapter_sites(bump=0.0))
+    assert n > 0
+    np.testing.assert_array_equal(
+        engine.caption_tokens(crops, adapter='zero'), base_out)
+
+    engine.add_adapter('loud', _adapter_sites(bump=1.0))
+    loud = engine.caption_tokens(crops, adapter='loud')
+    assert not np.array_equal(loud, base_out)
+
+    with pytest.raises(ValueError, match='unknown adapter'):
+        engine.caption_tokens(crops, adapter='nope')
+    assert set(engine.stats()['adapters']) >= {'zero', 'loud'}
+
+    # HBM sharing: the adapter tree's base leaves ARE the engine's arrays
+    a_tree = engine.adapters['loud']
+    assert a_tree['encoder']['layers'][0]['ff_M1']['fc1']['w'] is \
+        engine.params['encoder']['layers'][0]['ff_M1']['fc1']['w']
+
+
+def test_engine_adapter_shape_mismatch_rejected(engine):
+    sites = _adapter_sites()
+    site, leaves = next(iter(sites.items()))
+    bad = dict(leaves)
+    bad['lora_a'] = np.zeros((leaves['lora_a'].shape[0] + 1,
+                              leaves['lora_a'].shape[1]), np.float32)
+    with pytest.raises(ValueError, match='do not fit'):
+        engine.add_adapter('bad', {site: bad})
+
+
+def test_microbatcher_groups_by_adapter(engine):
+    '''Interleaved base/adapter submits all resolve, each against its own
+    params (one adapter per device batch, oldest-first grouping).'''
+    engine.add_adapter('grp', _adapter_sites(bump=1.0))
+    rng = np.random.default_rng(12)
+    crops = [_crop(rng, 5, 5) for _ in range(6)]
+    want_base = engine.caption_crops(crops)
+    want_grp = engine.caption_crops(crops, adapter='grp')
+
+    batcher = MicroBatcher(engine, max_wait_ms=30_000.0)
+    try:
+        futs = []
+        for i, c in enumerate(crops):
+            futs.append(batcher.submit(c))                      # base
+            futs.append(batcher.submit(c, adapter='grp'))       # adapter
+        got = [f.result(timeout=120) for f in futs]
+    finally:
+        batcher.close()
+    assert got[0::2] == want_base
+    assert got[1::2] == want_grp
+    # admission check: unknown adapter fails ITS OWN submit
+    with pytest.raises(ValueError, match='unknown adapter'):
+        MicroBatcher(engine, max_wait_ms=1.0).submit(crops[0],
+                                                     adapter='nope')
+
+
+def test_http_adapter_selection(engine):
+    engine.add_adapter('web', _adapter_sites(bump=1.0))
+    server = CaptionHTTPServer(('127.0.0.1', 0), engine, max_wait_ms=1.0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        rng = np.random.default_rng(13)
+        crop = _crop(rng, 4, 4)
+        body = {'features': {k: v.tolist() for k, v in crop.items()}}
+
+        def post(payload):
+            req = urllib.request.Request(
+                f'http://127.0.0.1:{port}/caption',
+                data=json.dumps(payload).encode(),
+                headers={'Content-Type': 'application/json'})
+            try:
+                with urllib.request.urlopen(req, timeout=120) as r:
+                    return r.status, json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read())
+
+        code, out = post(body)
+        assert code == 200 and isinstance(out['sentence'], str)
+        code, out = post({**body, 'adapter': 'web'})
+        assert code == 200 and isinstance(out['sentence'], str)
+        code, out = post({**body, 'adapter': 'missing'})
+        assert code == 400 and 'unknown adapter' in out['error']
+        code, out = post({**body, 'adapter': 7})
+        assert code == 400
+
+        with urllib.request.urlopen(
+                f'http://127.0.0.1:{port}/stats', timeout=30) as r:
+            stats = json.loads(r.read())
+        assert 'web' in stats['adapters']
+    finally:
+        server.shutdown()
+
+
+def test_serve_cli_with_lora_adapter(tmp_path):
+    '''CLI end-to-end: base checkpoint + a LoRA finetune checkpoint wired
+    via --lora_adapter; per-request adapter selection over HTTP.'''
+    from bmt_tpu.config import Config, build_parser
+    from bmt_tpu.models import CapModelDims
+    from bmt_tpu.models import init_bimodal_transformer as init_fn
+    from bmt_tpu.ops.lora import add_lora
+    from bmt_tpu.scripts import serve as serve_cli
+    from bmt_tpu.train.checkpoint import save_checkpoint
+
+    argv = ['--procedure', 'train_cap', '--d_vid', str(DIMS.d_vid),
+            '--d_aud', str(DIMS.d_aud), '--use_linear_embedder',
+            '--d_model_video', '12', '--d_model_audio', '8',
+            '--d_model', '16', '--d_model_caps', '10', '--H', '2',
+            '--N', '2', '--max_len', str(MAX_LEN), '--dont_log']
+    cfg = Config(build_parser().parse_args(argv))
+    vocab = _vocab()
+    dims = CapModelDims.from_config(cfg, len(vocab))
+    params = init_fn(jax.random.PRNGKey(0), dims)
+    ckpt = tmp_path / 'ckpt'
+    save_checkpoint(str(ckpt), params,
+                    {'config': cfg.to_dict(), 'epoch': 0,
+                     'vocab_itos': vocab.itos})
+    # a "finetuned" checkpoint: adapters with a visible delta
+    adapted = add_lora(params, 2, jax.random.PRNGKey(9),
+                       targets='attn_ffn')
+
+    def walk(node):
+        if isinstance(node, dict):
+            return {k: (v + 1.0 if k == 'lora_b' else walk(v))
+                    for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v) for v in node)
+        return node
+
+    lora_ckpt = tmp_path / 'lora_ckpt'
+    save_checkpoint(str(lora_ckpt), walk(adapted),
+                    {'config': cfg.to_dict(), 'epoch': 0,
+                     'vocab_itos': vocab.itos})
+
+    server = serve_cli.main(
+        ['--pretrained_cap_model_path', str(ckpt), '--port', '0',
+         '--compute_dtype', 'float32', '--max_wait_ms', '1',
+         '--warmup_shapes', '4x4', '--warmup_batches', '1',
+         '--lora_adapter', f'sports={lora_ckpt}'],
+        block=False)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        rng = np.random.default_rng(8)
+        crop = {'rgb': rng.normal(size=(5, DIMS.d_vid)).tolist(),
+                'flow': rng.normal(size=(5, DIMS.d_vid)).tolist(),
+                'audio': rng.normal(size=(7, DIMS.d_aud)).tolist()}
+
+        def post(payload):
+            req = urllib.request.Request(
+                f'http://127.0.0.1:{port}/caption',
+                data=json.dumps(payload).encode(),
+                headers={'Content-Type': 'application/json'})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return json.load(r)
+
+        base = post({'features': crop})['sentence']
+        tuned = post({'features': crop, 'adapter': 'sports'})['sentence']
+        assert isinstance(base, str) and isinstance(tuned, str)
+    finally:
+        server.shutdown()
