@@ -490,9 +490,13 @@ class VideoPipeline:
                 p, prop_dims, s, None, m, deterministic=True)[0])
 
     def predict(self, feats: Dict[str, np.ndarray], duration: float,
-                nms_tiou: Optional[float] = None) -> List[dict]:
+                nms_tiou: Optional[float] = None,
+                adapter: Optional[str] = None) -> List[dict]:
         '''feats: full-video {'rgb','flow','audio'} (s, D) arrays; returns
-        [{'start', 'end', 'sentence'}, ...] sorted by confidence.'''
+        [{'start', 'end', 'sentence'}, ...] sorted by confidence.
+        ``adapter`` selects a registered LoRA finetune for the CAPTIONING
+        half (proposals always use the base proposal generator).'''
+        self.engine._select_params(adapter)   # reject unknown names early
         from bmt_tpu.data.features import crop_a_segment, pad_segment
         from bmt_tpu.utils.proposal_utils import (
             get_corner_coords, non_max_suppression,
@@ -528,7 +532,7 @@ class VideoPipeline:
                 continue   # degenerate zero-length crop (reference skips)
             crops.append(crop)
             kept.append((float(start), float(end)))
-        sentences = self.engine.caption_crops(crops)
+        sentences = self.engine.caption_crops(crops, adapter=adapter)
         return [{'start': round(s, 1), 'end': round(e, 1), 'sentence': sent}
                 for (s, e), sent in zip(kept, sentences)]
 
@@ -650,8 +654,12 @@ class _CaptionHandler(BaseHTTPRequestHandler):
         if duration <= 0:
             raise ValueError('duration must be positive')
         nms = obj.get('nms_tiou')
+        adapter = obj.get('adapter')
+        if adapter is not None and not isinstance(adapter, str):
+            raise ValueError('"adapter" must be a string adapter name')
         return self.server.pipeline.predict(
-            feats, duration, None if nms is None else float(nms))
+            feats, duration, None if nms is None else float(nms),
+            adapter=adapter)
 
     def log_message(self, *args):  # quiet by default
         pass

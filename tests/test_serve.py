@@ -858,3 +858,56 @@ def test_serve_cli_with_lora_adapter(tmp_path):
         assert isinstance(base, str) and isinstance(tuned, str)
     finally:
         server.shutdown()
+
+
+def test_beam_decode_with_adapter(engine):
+    '''Adapters flow through pluggable decode fns too (decode_fn receives
+    the selected params; the delta applies inside the linear dispatch).'''
+    from bmt_tpu.decode import make_bimodal_beam_fn
+    beam_engine = CaptionEngine(
+        engine.params, DIMS, engine.vocab, max_len=MAX_LEN, max_batch=8,
+        decode_fn=make_bimodal_beam_fn(DIMS, MAX_LEN, START, END, PAD,
+                                       beam_size=2))
+    beam_engine.add_adapter('zero', _adapter_sites(bump=0.0))
+    beam_engine.add_adapter('loud', _adapter_sites(bump=1.0))
+    rng = np.random.default_rng(14)
+    crops = [_crop(rng, 5, 6) for _ in range(2)]
+    base = beam_engine.caption_tokens(crops)
+    np.testing.assert_array_equal(
+        beam_engine.caption_tokens(crops, adapter='zero'), base)
+    assert not np.array_equal(
+        beam_engine.caption_tokens(crops, adapter='loud'), base)
+
+
+def test_pipeline_predict_with_adapter(engine):
+    '''/predict's captioning half honours adapter selection.'''
+    from bmt_tpu.models import PropModelDims
+    from bmt_tpu.models import init_multimodal_proposal_generator
+    from bmt_tpu.serve import VideoPipeline
+
+    engine.add_adapter('pipe', _adapter_sites(bump=1.0))
+    pdims = PropModelDims(d_model_A=8, d_model_V=12, d_model=16, H=2, N=1,
+                          d_ff_A=16, d_ff_V=24, d_vid=DIMS.d_vid,
+                          d_aud=DIMS.d_aud, use_linear_embedder=True,
+                          kernel_sizes_A=(3,), kernel_sizes_V=(3,),
+                          conv_layers_A=(8,), conv_layers_V=(8,),
+                          anchors_num_A=2, anchors_num_V=2)
+    pparams = init_multimodal_proposal_generator(jax.random.PRNGKey(1),
+                                                 pdims)
+    pparams['anchors_A'] = jnp.asarray([2.0, 5.0])
+    pparams['anchors_V'] = jnp.asarray([2.0, 5.0])
+
+    class _PropCfg:
+        pad_feats_up_to = {'audio': 16, 'video': 16}
+        max_prop_per_vid = 4
+        modality = 'audio_video'
+
+    pipe = VideoPipeline(engine, pparams, pdims, _PropCfg())
+    rng = np.random.default_rng(15)
+    feats = {'rgb': rng.normal(size=(10, DIMS.d_vid)).astype(np.float32),
+             'flow': rng.normal(size=(10, DIMS.d_vid)).astype(np.float32),
+             'audio': rng.normal(size=(12, DIMS.d_aud)).astype(np.float32)}
+    out = pipe.predict(feats, duration=20.0, adapter='pipe')
+    assert all(set(r) == {'start', 'end', 'sentence'} for r in out)
+    with pytest.raises(ValueError, match='unknown adapter'):
+        pipe.predict(feats, duration=20.0, adapter='nope')
