@@ -911,3 +911,23 @@ def test_pipeline_predict_with_adapter(engine):
     assert all(set(r) == {'start', 'end', 'sentence'} for r in out)
     with pytest.raises(ValueError, match='unknown adapter'):
         pipe.predict(feats, duration=20.0, adapter='nope')
+
+
+def test_dp_sharded_engine_with_adapter():
+    '''Adapter decode on a dp8 mesh == single-device adapter decode (the
+    grafted deltas replicate onto the mesh; base leaves stay shared).'''
+    from bmt_tpu.parallel import DataParallel
+    params = init_bimodal_transformer(jax.random.PRNGKey(0), DIMS)
+    vocab = _vocab()
+    single = CaptionEngine(params, DIMS, vocab, max_len=MAX_LEN,
+                           max_batch=8)
+    sharded = CaptionEngine(params, DIMS, vocab, max_len=MAX_LEN,
+                            max_batch=8, dp=DataParallel(8))
+    sites = _adapter_sites(bump=1.0)
+    single.add_adapter('a', sites)
+    sharded.add_adapter('a', sites)
+    rng = np.random.default_rng(16)
+    crops = [_crop(rng, 6, 6) for _ in range(8)]
+    np.testing.assert_array_equal(
+        sharded.caption_tokens(crops, adapter='a'),
+        single.caption_tokens(crops, adapter='a'))
