@@ -197,6 +197,11 @@ class CaptionEngine:
             head, rest = segs[0], segs[1:]
             if isinstance(node, (list, tuple)):
                 i = int(head)
+                if not 0 <= i < len(node):
+                    raise ValueError(
+                        f'adapter {name!r}: site path {path_done}/{head} '
+                        f'indexes past the served model\'s {len(node)} '
+                        f'layers (finetune of a deeper architecture?)')
                 return type(node)(
                     graft(v, rest, leaves, f'{path_done}/{head}')
                     if j == i else v for j, v in enumerate(node))
@@ -299,7 +304,13 @@ class CaptionEngine:
         (docs/DESIGN.md §2). ``batch_sizes`` defaults to EVERY batch bucket
         up to max_batch, so a warmed server never compiles in steady state.
         Warmup decodes bypass the /stats counters. Returns the number of
-        executables compiled.'''
+        executables compiled.
+
+        Registered adapters (add_adapter) are warmed too — their trees
+        carry extra lora leaves, a different treedef, hence a different
+        executable — one representative per distinct adapter tree
+        signature (same-rank adapters share one compiled decode), so the
+        first `{"adapter": name}` request never compiles either.'''
         if batch_sizes is None:
             # the REACHABLE bucket set: every power-of-two request size
             # mapped through _bucket_batch (which applies the dp rounding
@@ -310,6 +321,16 @@ class CaptionEngine:
                 {self._bucket_batch(b)
                  for b in BATCH_BUCKETS if b <= self.max_batch}
                 | {self.max_batch})
+        # one representative adapter per distinct tree signature
+        # (treedef + leaf shapes): same-signature adapters hit the same
+        # jit cache entry, so warming one warms them all
+        adapter_reps, seen_sigs = [], set()
+        for a_name, tree in sorted(self.adapters.items()):
+            sig = (jax.tree_util.tree_structure(tree),
+                   tuple(x.shape for x in jax.tree.leaves(tree)))
+            if sig not in seen_sigs:
+                seen_sigs.add(sig)
+                adapter_reps.append(a_name)
         n = 0
         for Sv, Sa in shapes:
             for b in batch_sizes:
@@ -318,8 +339,10 @@ class CaptionEngine:
                 crop = {'rgb': np.zeros((Sv, self.dims.d_vid), np.float32),
                         'flow': np.zeros((Sv, self.dims.d_vid), np.float32),
                         'audio': np.zeros((Sa, self.dims.d_aud), np.float32)}
-                self.caption_tokens([crop] * b, _count=False)
-                n += 1
+                for a_name in [None] + adapter_reps:
+                    self.caption_tokens([crop] * b, _count=False,
+                                        adapter=a_name)
+                    n += 1
         return n
 
     def stats(self) -> dict:

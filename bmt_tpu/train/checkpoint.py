@@ -377,11 +377,14 @@ class AsyncOrbaxWriter:
     - a single FINALIZER thread joins each commit as soon as orbax
       finishes it (``wait_until_finished`` is a local thread join — the
       collective machinery runs on orbax's own threads, so nothing
-      collective happens off the synchronized path), then swaps the side
-      dir into place (old dir → ``.stale`` → remove) and writes the meta
-      sidecar LAST. The unprotected window shrinks to two renames;
-      ``load_checkpoint_orbax``/``checkpoint_exists`` fall back to the
-      ``.stale`` dir if a crash lands exactly between them.
+      collective happens off the synchronized path), then swaps the
+      params+opt side dirs into place as one grouped transaction
+      (``_swap_pair_into_place``) and writes the meta sidecar LAST.
+      ``load_checkpoint_orbax``/``checkpoint_exists`` fall back to a
+      ``.stale`` dir when a crash lands mid-swap, so every crash point
+      resolves to a consistent params/opt pair except the single rename
+      gap between the two phase-2 renames — the same residual window the
+      npz writer has between its params and opt file writes.
 
     Finalizer errors re-raise on the next ``save()``/``wait()``/
     ``close()`` — a full disk cannot silently discard epochs and exit 0.
@@ -394,7 +397,7 @@ class AsyncOrbaxWriter:
         self._ckptrs = {}      # key -> (params ckptr, opt ckptr)
         self._fin = cf.ThreadPoolExecutor(max_workers=1,
                                           thread_name_prefix='bmt-orbax-fin')
-        self._pending = []     # finalize futures, submit order
+        self._pending = {}     # key -> outstanding finalize future
 
     def _unit(self, key):
         if key not in self._ckptrs:
@@ -405,22 +408,31 @@ class AsyncOrbaxWriter:
         return self._ckptrs[key]
 
     def _reap(self):
-        done = [f for f in self._pending if f.done()]
-        self._pending = [f for f in self._pending if not f.done()]
-        for f in done:
+        done = {k: f for k, f in self._pending.items() if f.done()}
+        for k, f in done.items():
+            del self._pending[k]
             f.result()   # re-raise finalizer errors at the call site
 
     @staticmethod
-    def _swap_into_place(final: str):
-        '''side (.new) → final, keeping the old final as .stale until the
-        new one is in place. Local fs ops: process 0 only on pods.'''
+    def _swap_pair_into_place(finals):
+        '''``{path}.new`` → ``{path}`` for every path in ``finals``, as one
+        grouped transaction: ALL old finals move aside to ``.stale`` first,
+        then all side dirs rename into place back-to-back, then the stales
+        are removed. Grouping the phase-2 renames makes the params/opt
+        torn window a single rename gap (the same residual window the npz
+        writer has between its params and opt file writes); every crash
+        point outside that gap resolves to a CONSISTENT pair — either both
+        old (via the ``.stale`` fallback) or both new. Local fs ops:
+        process 0 only on pods.'''
         import shutil
-        side, stale = f'{final}.new', f'{final}.stale'
-        shutil.rmtree(stale, ignore_errors=True)
-        if os.path.exists(final):
-            os.rename(final, stale)
-        os.rename(side, final)
-        shutil.rmtree(stale, ignore_errors=True)
+        for final in finals:
+            shutil.rmtree(f'{final}.stale', ignore_errors=True)
+            if os.path.exists(final):
+                os.rename(final, f'{final}.stale')
+        for final in finals:
+            os.rename(f'{final}.new', final)
+        for final in finals:
+            shutil.rmtree(f'{final}.stale', ignore_errors=True)
 
     def _finalize(self, key, ckpt_dir, name, meta, has_opt):
         import jax
@@ -428,10 +440,10 @@ class AsyncOrbaxWriter:
         pc.wait_until_finished()
         oc.wait_until_finished()
         if jax.process_index() == 0:
-            self._swap_into_place(os.path.join(ckpt_dir, f'{name}.orbax'))
+            finals = [os.path.join(ckpt_dir, f'{name}.orbax')]
             if has_opt:
-                self._swap_into_place(
-                    os.path.join(ckpt_dir, f'{name}.opt.orbax'))
+                finals.append(os.path.join(ckpt_dir, f'{name}.opt.orbax'))
+            self._swap_pair_into_place(finals)
             # meta LAST: never newer than the arrays it describes
             meta_path = os.path.join(ckpt_dir, f'{name}.orbax.meta.json')
             tmp = f'{meta_path}.tmp-{os.getpid()}'
@@ -445,11 +457,13 @@ class AsyncOrbaxWriter:
         self._reap()
         key = os.path.abspath(os.path.join(ckpt_dir, name))
         pc, oc = self._unit(key)
-        # a re-save of the same name joins its previous commit (long done
-        # on the epoch cadence); orbax allows one outstanding save per
-        # checkpointer
-        pc.wait_until_finished()
-        oc.wait_until_finished()
+        # a re-save of the same name must join its previous FINALIZE (not
+        # just the orbax commit): the finalizer swaps the very side dir
+        # the force=True save below would delete — racing them could move
+        # a half-deleted dir live and then discard the last good copy
+        prev = self._pending.pop(key, None)
+        if prev is not None:
+            prev.result()
         os.makedirs(ckpt_dir, exist_ok=True)
         # force=True only ever clears a LEFTOVER side dir from a crashed
         # run — the live checkpoint is not touched until the swap
@@ -458,15 +472,16 @@ class AsyncOrbaxWriter:
         if opt_state is not None:
             oc.save(f'{key}.opt.orbax.new',
                     args=ocp.args.StandardSave(opt_state), force=True)
-        self._pending.append(self._fin.submit(
+        self._pending[key] = self._fin.submit(
             self._finalize, key, ckpt_dir, name, meta,
-            opt_state is not None))
+            opt_state is not None)
 
     def wait(self):
         '''Block until every submitted save (arrays, swap, meta) is durably
         on disk.'''
         while self._pending:
-            self._pending.pop(0).result()
+            _, fut = self._pending.popitem()
+            fut.result()
 
     def close(self):
         self.wait()

@@ -931,3 +931,32 @@ def test_dp_sharded_engine_with_adapter():
     np.testing.assert_array_equal(
         sharded.caption_tokens(crops, adapter='a'),
         single.caption_tokens(crops, adapter='a'))
+
+
+def test_warmup_covers_adapters():
+    '''Warmup compiles adapter executables too (different treedef than the
+    base), deduplicated by tree signature: two same-rank adapters share
+    one compiled decode, so the grid warms base + ONE representative.'''
+    params = init_bimodal_transformer(jax.random.PRNGKey(0), DIMS)
+    eng = CaptionEngine(params, DIMS, _vocab(), max_len=MAX_LEN,
+                        max_batch=8)
+    eng.add_adapter('a', _adapter_sites(bump=0.5, key=21))
+    eng.add_adapter('b', _adapter_sites(bump=1.5, key=22))   # same rank
+    n = eng.warmup(batch_sizes=(1, 2), shapes=((4, 4),))
+    assert n == 4   # 2 grid points x (base + 1 adapter representative)
+    # steady state: the first adapter request after warmup reuses the
+    # compiled executable (smoke: it simply runs; compile-time assertions
+    # are not portable, so we pin the dedup count above instead)
+    rng = np.random.default_rng(17)
+    eng.caption_tokens([_crop(rng, 4, 4)], adapter='b')
+
+
+def test_adapter_site_out_of_range_rejected(engine):
+    '''An adapter finetuned from a DEEPER model must be rejected, not
+    silently part-applied (list indexes past the served layer stack).'''
+    sites = _adapter_sites()
+    site, leaves = next(iter(sites.items()))
+    deep_site = site.replace('/layers/0/', '/layers/9/')
+    assert deep_site != site
+    with pytest.raises(ValueError, match='indexes past'):
+        engine.add_adapter('deep', {deep_site: leaves})
