@@ -426,6 +426,13 @@ def train_cap(cfg: Config):
                 # consumers load it unchanged
                 save_ckpt(ckpt_dir, eval_params, meta,
                           state.opt_state, 'best_cap_model')
+                if lora_rank:
+                    # the finetune's shippable artifact: adapter leaves
+                    # only (kilobytes), consumed directly by serving's
+                    # --lora_adapter
+                    from bmt_tpu.train.checkpoint import save_lora_npz
+                    save_lora_npz(os.path.join(
+                        ckpt_dir, 'best_cap_model.lora.npz'), eval_params)
 
     if guard is not None:
         guard.uninstall()

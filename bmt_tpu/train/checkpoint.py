@@ -1085,6 +1085,23 @@ def load_pretrained_cap_params(path: str, template):
     return _validate(params)
 
 
+def save_lora_npz(path: str, params) -> int:
+    '''Write ONLY the adapter leaves of a LoRA-finetuned tree — the
+    shippable artifact of a finetune (kilobytes at rank 8 vs ~200 MB for
+    the full tree). Loadable by ``load_lora_sites`` and therefore by
+    serving's ``--lora_adapter`` and ``CaptionEngine.add_adapter``.
+    Atomic write; returns the adapted-site count.'''
+    flat = {k: v for k, v in _flatten(params).items()
+            if k.rsplit(SEP, 1)[-1] in ('lora_a', 'lora_b', 'lora_s')}
+    if not flat:
+        raise ValueError('tree carries no LoRA adapter leaves')
+    tmp = f'{path}.tmp-{os.getpid()}'
+    with open(tmp, 'wb') as f:
+        np.savez(f, **flat)
+    os.replace(tmp, path)
+    return len(flat) // 3
+
+
 def load_lora_sites(path: str) -> Dict[str, dict]:
     '''The LoRA adapter leaves of a finetuned checkpoint, as
     ``{site_path: {'lora_a','lora_b','lora_s'}}`` keyed by the
