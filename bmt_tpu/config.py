@@ -55,6 +55,16 @@ class Config:
             self.pretrained_cap_model_path = getattr(
                 args, 'pretrained_cap_model_path', None)
         elif args.procedure == 'train_prop':
+            if getattr(args, 'lora_rank', 0):
+                # fail loudly: the proposal stage's trainable surface is
+                # the conv heads (the encoder is transplanted + frozen,
+                # reference: proposal_generator.py:234-249), so LoRA
+                # applies to train_cap only — silently ignoring the flag
+                # would look like a finetune that never happened
+                raise ValueError(
+                    '--lora_rank applies to --procedure train_cap only '
+                    '(the proposal stage already trains just the conv '
+                    'heads on a frozen encoder)')
             self.word_emb_caps = args.word_emb_caps
             self.pretrained_cap_model_path = args.pretrained_cap_model_path
             self.finetune_cap_encoder = args.finetune_cap_encoder

@@ -304,3 +304,15 @@ def test_adapter_only_artifact_roundtrip(tmp_path):
     import pytest
     with pytest.raises(ValueError, match='no LoRA adapter leaves'):
         save_lora_npz(str(tmp_path / 'x.npz'), base)
+
+
+def test_lora_rank_rejected_for_train_prop():
+    '''--lora_rank with --procedure train_prop fails loudly instead of
+    silently training without adapters.'''
+    import pytest
+
+    from bmt_tpu.config import Config, build_parser
+    args = build_parser().parse_args(
+        ['--procedure', 'train_prop', '--lora_rank', '4', '--dont_log'])
+    with pytest.raises(ValueError, match='train_cap only'):
+        Config(args)
