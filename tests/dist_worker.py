@@ -85,6 +85,32 @@ def main():
                          for leaf in jax.tree.leaves(restored)))
         print(f'ORBAX {rsum:.8f}', flush=True)
 
+        # --async_ckpt's orbax path across BOTH processes: the array
+        # commits are collective (every process participates through
+        # orbax's AsyncCheckpointer), the side-dir swap + meta land on
+        # process 0's finalizer, close() drains. A rolling re-save of the
+        # same name exercises the finalize-join + swap while the previous
+        # save's dirs are live.
+        from jax.experimental import multihost_utils
+
+        from bmt_tpu.train.checkpoint import AsyncOrbaxWriter
+        w = AsyncOrbaxWriter()
+        w.save(ckpt_dir, state.params, {'epoch': 1}, state.opt_state,
+               name='dist_async_model')
+        w.save(ckpt_dir, state2.params, {'epoch': 2}, state2.opt_state,
+               name='dist_async_model')
+        w.close()
+        # close() returning on THIS process does not mean process 0's
+        # finalizer swapped yet; readers synchronize before restoring
+        # (production resumes restart the whole job, which implies this)
+        multihost_utils.sync_global_devices('async-ckpt-durable')
+        arestored, ameta, _ = load_checkpoint_orbax(
+            ckpt_dir, template, name='dist_async_model')
+        assert ameta['epoch'] == 2, ameta
+        asum = float(sum(np.abs(np.asarray(leaf)).sum()
+                         for leaf in jax.tree.leaves(arestored)))
+        print(f'ASYNC {asum:.8f}', flush=True)
+
 
 if __name__ == '__main__':
     sys.exit(main())

@@ -63,7 +63,7 @@ def test_two_process_train_step_matches_single_process(tmp_path):
             env=penv, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True, cwd=REPO))
 
-    results, orbax_sums = [], []
+    results, orbax_sums, async_sums = [], [], []
     for p in procs:
         out, err = p.communicate(timeout=420)
         assert p.returncode == 0, f'worker failed:\n{err[-3000:]}'
@@ -72,6 +72,8 @@ def test_two_process_train_step_matches_single_process(tmp_path):
         results.append((float(loss), float(checksum)))
         oline = [ln for ln in out.splitlines() if ln.startswith('ORBAX')][-1]
         orbax_sums.append(float(oline.split()[1]))
+        aline = [ln for ln in out.splitlines() if ln.startswith('ASYNC')][-1]
+        async_sums.append(float(aline.split()[1]))
 
     # both processes observe the identical replicated state
     assert results[0] == results[1]
@@ -80,6 +82,11 @@ def test_two_process_train_step_matches_single_process(tmp_path):
     # BOTH processes (multi-process array writes + meta sidecar)
     for osum, (_, checksum) in zip(orbax_sums, results):
         np.testing.assert_allclose(osum, checksum, rtol=1e-6)
+
+    # the ASYNC writer's cross-process rolling save round-trips too
+    # (state2 == state after the identical step, so the same checksum)
+    for asum, (_, checksum) in zip(async_sums, results):
+        np.testing.assert_allclose(asum, checksum, rtol=1e-6)
 
     ref_loss, ref_checksum = _single_process_reference()
     np.testing.assert_allclose(results[0][0], ref_loss, rtol=1e-5)
