@@ -140,3 +140,42 @@ def test_save_torch_prop_checkpoint_roundtrip(tmp_path):
             jax.tree_util.tree_flatten_with_path(back)[0]):
         assert pa == pb
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_export_cli_prop(tmp_path):
+    '''The export CLI turns a native prop checkpoint dir into a reference
+    best_prop_model.pt (save_model layout) that re-imports bit-exactly.'''
+    from bmt_tpu.config import Config, build_parser
+    from bmt_tpu.scripts import export as export_cli
+    from bmt_tpu.train.checkpoint import save_checkpoint
+
+    argv = ['--procedure', 'train_prop', '--d_vid', '20', '--d_aud', '6',
+            '--d_model_audio', '8', '--d_model_video', '12',
+            '--d_model', '16', '--H', '2', '--N', '1',
+            '--use_linear_embedder', '--anchors_num_audio', '2',
+            '--anchors_num_video', '3', '--kernel_sizes_audio', '3', '5',
+            '--kernel_sizes_video', '3', '--conv_layers_audio', '8', '8',
+            '--conv_layers_video', '8', '--pad_audio_feats_up_to', '24',
+            '--pad_video_feats_up_to', '24', '--dont_log']
+    cfg = Config(build_parser().parse_args(argv))
+    dims = PropModelDims.from_config(cfg)
+    params = init_multimodal_proposal_generator(jax.random.PRNGKey(2),
+                                                dims)
+    params['anchors_A'] = jnp.asarray([2.0, 6.0], jnp.float32)
+    params['anchors_V'] = jnp.asarray([3.0, 9.0, 20.0], jnp.float32)
+    ckpt = tmp_path / 'ckpt'
+    save_checkpoint(str(ckpt), params, {'config': cfg.to_dict(),
+                                        'epoch': 7},
+                    name='best_prop_model')
+
+    pt = str(tmp_path / 'best_prop_model.pt')
+    export_cli.main(['--checkpoint', str(ckpt), '--model', 'prop',
+                     '--out', pt])
+    cpt = load_torch_checkpoint(pt)
+    assert cpt['epoch'] == 7 and 'anchors' in cpt
+    back, _ = import_prop_model(cpt)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(params)[0],
+            jax.tree_util.tree_flatten_with_path(back)[0]):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
