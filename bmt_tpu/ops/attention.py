@@ -223,6 +223,13 @@ def self_attention_step(params: dict, q: jnp.ndarray, cache_k: jnp.ndarray,
     ring buffers holding projections of tokens [0, step]. The new token's
     K/V are written at ``step`` and attention runs over positions <= step.
 
+    NB (probed dead end, docs/DESIGN.md §6a): concatenating the Q/K/V
+    weights into one (Dq, 3D) matmul measured SLOWER on-chip (0.94x) and,
+    unlike on CPU, is not bit-identical on TPU — XLA picks a different
+    K-dim tiling for the wider GEMM, changing bf16 accumulation order and
+    flipping near-tie argmaxes. Separate projections are kept for both
+    speed and decode parity.
+
     Returns (out (B, 1, Dq), new_cache_k, new_cache_v).
     '''
     qp = _split_heads(linear(params['q2d'], q), H)    # (B, H, 1, d_k)
