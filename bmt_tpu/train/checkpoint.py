@@ -135,6 +135,26 @@ def load_pytree_npz(path: str, like):
     return tree
 
 
+def _fold_lora_flat(data: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    '''Fold every ``<site>/lora_{a,b,s}`` triple of a flat key->array dict
+    into its ``<site>/w`` (fp32 accumulate, mirroring
+    ops.lora.merge_linear_lora) and drop the adapter keys — the
+    flat-archive analog of ``merge_lora``. No-op on plain archives.'''
+    merged = dict(data)
+    for k in data:
+        site, leaf = k.rsplit(SEP, 1) if SEP in k else ('', k)
+        if leaf != 'lora_a':
+            continue
+        w_key = f'{site}{SEP}w'
+        a = data[k].astype(np.float32)
+        b = data[f'{site}{SEP}lora_b'].astype(np.float32)
+        s = float(data[f'{site}{SEP}lora_s'])
+        merged[w_key] = (merged[w_key].astype(np.float32) + (a @ b) * s
+                         ).astype(data[w_key].dtype)
+    return {k: v for k, v in merged.items()
+            if k.rsplit(SEP, 1)[-1] not in ('lora_a', 'lora_b', 'lora_s')}
+
+
 def load_subtree_npz(path: str, like, subtree: str = 'encoder'):
     '''Restore only the ``subtree`` branch of a FULL-checkpoint archive into
     the structure of ``like`` (which is the subtree itself, not the whole
@@ -142,7 +162,13 @@ def load_subtree_npz(path: str, like, subtree: str = 'encoder'):
     (reference: model/proposal_generator.py:244-246 keeps ``'encoder' in k``
     keys and drops the rest), so archive keys outside the subtree are
     expected and ignored by design; template keys missing from the archive
-    still raise, and shapes are validated.'''
+    still raise, and shapes are validated.
+
+    A LoRA-finetuned source archive is a valid donor: its adapter deltas
+    are folded into the base weights first, so the transplant carries the
+    finetune's EFFECTIVE weights (dropping them silently would hand over
+    the frozen base as if it were the finetune). Any OTHER subtree key the
+    template lacks is an architecture mismatch and raises.'''
     data = dict(np.load(path, allow_pickle=False))
     prefix = subtree + SEP
     sub = {k[len(prefix):]: v for k, v in data.items()
@@ -152,7 +178,15 @@ def load_subtree_npz(path: str, like, subtree: str = 'encoder'):
             f'{path} holds no arrays under {subtree!r}/ — not a checkpoint '
             f'of a model with that submodule (keys start with: '
             f'{sorted({k.split(SEP)[0] for k in data})})')
-    tree, _ = _restore_into(sub, like, f'{path}[{subtree}]')
+    sub = _fold_lora_flat(sub)
+    tree, used = _restore_into(sub, like, f'{path}[{subtree}]')
+    leftover = sorted(set(sub) - used)
+    if leftover:
+        raise KeyError(
+            f'{path}[{subtree}] holds {len(leftover)} arrays absent from '
+            f'the restore template even after folding LoRA adapters '
+            f'(first few: {leftover[:4]}) — written for a different '
+            f'architecture/options than this run configures')
     return tree
 
 
@@ -874,7 +908,15 @@ def export_prop_state_dict(params: dict, data_parallel: bool = False,
     trains the proposal stage single-device (no DataParallel wrap —
     scripts/train_proposal_generator.py:54), so no ``module.`` prefix by
     default. ``dout_p``: whether the receiving model was built with
-    dout_p > 0 (it shifts the heads' Sequential indices).'''
+    dout_p > 0 (it shifts the heads' Sequential indices).
+
+    LoRA adapters (a transplanted finetuned encoder can carry them) are
+    folded into the base weights first, like export_cap_state_dict — the
+    reference model has no adapter slots and silently dropping the deltas
+    would export the wrong model.'''
+    from bmt_tpu.ops.lora import count_lora, merge_lora
+    if count_lora(params)[0]:
+        params = merge_lora(params)
     sd = {}
     if 'emb_A' in params:
         _sd_put_lin(sd, 'emb_A.embedder', params['emb_A']['linear'])
@@ -926,12 +968,19 @@ def save_torch_checkpoint(path: str, params: dict, meta: dict):
 
 
 def save_torch_prop_checkpoint(path: str, params: dict, meta: dict,
-                               dout_p: bool = True):
+                               dout_p: bool = None):
     '''Write a reference-format best_prop_model.pt (the dict layout of
     epoch_loops/proposal_epoch_loops.py:10-25, incl. the top-level anchors
     dict the reference re-loads at inference —
     sample/single_video_prediction.py:103-106) so proposal generators
-    trained here run in the original PyTorch implementation.'''
+    trained here run in the original PyTorch implementation.
+
+    ``dout_p`` shifts the conv heads' Sequential indices; when None it is
+    read from the checkpoint's own config in ``meta`` (a model trained
+    with --dout_p 0 has no Dropout slots), defaulting to True only when
+    the config carries no dout_p at all.'''
+    if dout_p is None:
+        dout_p = bool(meta.get('config', {}).get('dout_p', True))
     if 'heads_A' not in params:
         raise ValueError(
             'save_torch_prop_checkpoint exports the multimodal proposal '
@@ -985,6 +1034,12 @@ def load_pretrained_encoder_native(path: str, encoder_like, stage: str):
     else:
         _, _, full = load_prop_checkpoint(path)
     enc = full['encoder']
+    # a LoRA-finetuned donor (orbax restores WITH adapter leaves): fold the
+    # deltas so the transplant is the finetune's effective encoder — the
+    # same semantics as the npz path's archive-level fold above
+    from bmt_tpu.ops.lora import count_lora, merge_lora
+    if count_lora(enc)[0]:
+        enc = merge_lora(enc)
     got, want = _flatten(enc), _flatten(encoder_like)
     missing = sorted(set(want) - set(got))
     if missing:
@@ -1014,23 +1069,10 @@ def load_pretrained_cap_params(path: str, template):
     round-2 finetuning never silently inherits round-1's adapter config.'''
     def _merged_lora_npz(npz_path):
         '''Archive-level merge: fold each ``<site>/lora_*`` triple into its
-        ``<site>/w``, mirroring merge_linear_lora's numerics, then restore
-        the plain tree into the template's structure.'''
-        data = dict(np.load(npz_path, allow_pickle=False))
-        merged = dict(data)
-        for k in data:
-            site, leaf = k.rsplit(SEP, 1) if SEP in k else ('', k)
-            if leaf != 'lora_a':
-                continue
-            w_key = f'{site}{SEP}w'
-            a = data[k].astype(np.float32)
-            b = data[f'{site}{SEP}lora_b'].astype(np.float32)
-            s = float(data[f'{site}{SEP}lora_s'])
-            merged[w_key] = (merged[w_key].astype(np.float32)
-                             + (a @ b) * s).astype(data[w_key].dtype)
-        merged = {k: v for k, v in merged.items()
-                  if k.rsplit(SEP, 1)[-1] not in ('lora_a', 'lora_b',
-                                                  'lora_s')}
+        ``<site>/w`` (_fold_lora_flat, mirroring merge_linear_lora's
+        numerics), then restore the plain tree into the template's
+        structure.'''
+        merged = _fold_lora_flat(dict(np.load(npz_path, allow_pickle=False)))
         tree, used = _restore_into(merged, template, npz_path)
         leftover = sorted(set(merged) - used)
         if leftover:
