@@ -145,7 +145,20 @@ def _fold_lora_flat(data: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         site, leaf = k.rsplit(SEP, 1) if SEP in k else ('', k)
         if leaf != 'lora_a':
             continue
+        for companion in ('lora_b', 'lora_s'):
+            ck = f'{site}{SEP}{companion}'
+            if ck not in data:
+                raise ValueError(
+                    f'archive holds {k!r} but not its companion {ck!r} — '
+                    f'an incomplete LoRA adapter triple cannot be folded')
         w_key = f'{site}{SEP}w'
+        if w_key not in data:
+            hint = (' (the site is int8-quantized — merge LoRA before '
+                    'quantize_tree_int8, not after)'
+                    if f'{site}{SEP}w_q8' in data else '')
+            raise ValueError(
+                f'archive holds LoRA adapters for site {site!r} but no '
+                f'{w_key!r} base weight to fold them into{hint}')
         a = data[k].astype(np.float32)
         b = data[f'{site}{SEP}lora_b'].astype(np.float32)
         s = float(data[f'{site}{SEP}lora_s'])
@@ -968,7 +981,7 @@ def save_torch_checkpoint(path: str, params: dict, meta: dict):
 
 
 def save_torch_prop_checkpoint(path: str, params: dict, meta: dict,
-                               dout_p: bool = None):
+                               dout_p: 'bool | None' = None):
     '''Write a reference-format best_prop_model.pt (the dict layout of
     epoch_loops/proposal_epoch_loops.py:10-25, incl. the top-level anchors
     dict the reference re-loads at inference —
@@ -1045,6 +1058,15 @@ def load_pretrained_encoder_native(path: str, encoder_like, stage: str):
     if missing:
         raise KeyError(f'{path}: encoder subtree lacks {missing[:4]} — '
                        f'written for a different architecture')
+    # extras beyond the (now-merged) lora_* leaves are an architecture
+    # mismatch, same strictness as the npz path's leftover-keys raise
+    extras = sorted(set(got) - set(want))
+    if extras:
+        raise KeyError(
+            f'{path}: encoder subtree holds {len(extras)} leaves absent '
+            f'from the destination template even after folding LoRA '
+            f'adapters (first few: {extras[:4]}) — written for a '
+            f'different architecture/options than this run configures')
     for k, tpl in want.items():
         if hasattr(tpl, 'shape') and tuple(got[k].shape) != tuple(tpl.shape):
             raise ValueError(

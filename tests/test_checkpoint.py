@@ -605,3 +605,60 @@ def test_async_orbax_propagates_errors(tmp_path):
         # must surface
         w.save(str(blocker), {'w': jnp.ones(3)}, {}, name='x')
         w.close()
+
+
+def test_fold_lora_flat_incomplete_triple_errors():
+    '''An archive carrying a partial LoRA triple, or adapters over a
+    quantized linear (w_q8/scale, no w), gets a descriptive ValueError
+    naming the site and the missing companion — not a raw KeyError
+    (ADVICE r3).'''
+    from bmt_tpu.train.checkpoint import _fold_lora_flat
+    a = np.zeros((4, 2), np.float32)
+    b = np.zeros((2, 4), np.float32)
+    s = np.float32(1.0)
+    w = np.zeros((4, 4), np.float32)
+
+    # missing lora_b companion
+    with pytest.raises(ValueError, match=r'site/lora_b'):
+        _fold_lora_flat({'site/lora_a': a, 'site/lora_s': s, 'site/w': w})
+    # missing lora_s companion
+    with pytest.raises(ValueError, match=r'site/lora_s'):
+        _fold_lora_flat({'site/lora_a': a, 'site/lora_b': b, 'site/w': w})
+    # quantized linear alongside adapters: no w to fold into
+    with pytest.raises(ValueError, match='quantize'):
+        _fold_lora_flat({'site/lora_a': a, 'site/lora_b': b,
+                         'site/lora_s': s,
+                         'site/w_q8': np.zeros((4, 4), np.int8),
+                         'site/scale': np.ones((4,), np.float32)})
+    # plain missing w, not quantized
+    with pytest.raises(ValueError, match='no.*base weight'):
+        _fold_lora_flat({'site/lora_a': a, 'site/lora_b': b,
+                         'site/lora_s': s})
+    # complete triple still folds and drops the adapter keys
+    out = _fold_lora_flat({'site/lora_a': a, 'site/lora_b': b,
+                           'site/lora_s': s, 'site/w': w})
+    assert set(out) == {'site/w'}
+
+
+def test_load_pretrained_encoder_native_orbax_extras_raise(tmp_path,
+                                                           monkeypatch):
+    '''The orbax branch rejects donor encoder leaves the destination
+    template lacks — same strictness as the npz path (ADVICE r3). The
+    stage loader is stubbed so the test pins exactly the new extras
+    check, independent of orbax meta plumbing.'''
+    import bmt_tpu.train.checkpoint as ck
+    params = init_bimodal_transformer(jax.random.PRNGKey(9), SMALL)
+    donor = {'encoder': dict(params['encoder'],
+                             extra_leaf=np.zeros((2, 2), np.float32))}
+    monkeypatch.setattr(
+        ck, 'load_cap_checkpoint',
+        lambda path: (None, None, donor, None))
+    tpl = jax.tree.map(np.zeros_like, params['encoder'])
+    with pytest.raises(KeyError, match='absent from the destination'):
+        ck.load_pretrained_encoder_native(str(tmp_path), tpl, 'cap')
+    # without the extra leaf the same donor loads fine
+    monkeypatch.setattr(
+        ck, 'load_cap_checkpoint',
+        lambda path: (None, None, {'encoder': params['encoder']}, None))
+    enc = ck.load_pretrained_encoder_native(str(tmp_path), tpl, 'cap')
+    _trees_equal(enc, params['encoder'])
