@@ -12,6 +12,7 @@ prefix (reference: single_video_prediction.py:218-229).
 import argparse
 import os
 import shutil
+import struct
 import subprocess
 import sys
 
@@ -136,14 +137,75 @@ def which_ffprobe() -> str:
     return shutil.which('ffprobe') or ''
 
 
+def mp4_duration_mvhd(path) -> float:
+    '''Video duration in seconds from the mp4 ``moov/mvhd`` atom — a
+    pure-Python fallback for hosts without ffprobe (the reference shells
+    out unconditionally, single_video_prediction.py:259-277).
+
+    ISO BMFF layout: boxes are [u32 size][4cc type]; size==1 means a u64
+    largesize follows, size==0 means "to end of file". ``mvhd`` version 0
+    packs creation/modification as u32s so timescale sits at byte 12 and
+    duration (u32) at 16; version 1 widens them to u64s, putting
+    timescale at 20 and duration (u64) at 24. Seconds = duration/timescale.
+    '''
+    with open(path, 'rb') as f:
+        def boxes(end):
+            # yield (type, payload_offset, payload_end) for boxes up to end
+            while True:
+                pos = f.tell()
+                if end is not None and pos >= end:
+                    return
+                hdr = f.read(8)
+                if len(hdr) < 8:
+                    return
+                size, typ = struct.unpack('>I4s', hdr)
+                payload = pos + 8
+                if size == 1:
+                    size = struct.unpack('>Q', f.read(8))[0]
+                    payload = pos + 16
+                box_end = None if size == 0 else pos + size
+                yield typ, payload, box_end
+                if box_end is None:
+                    return
+                f.seek(box_end)
+
+        for typ, payload, box_end in boxes(None):
+            if typ != b'moov':
+                continue
+            f.seek(payload)
+            for t2, p2, e2 in boxes(box_end):
+                if t2 != b'mvhd':
+                    continue
+                f.seek(p2)
+                version = f.read(4)[0]
+                if version == 1:
+                    f.seek(p2 + 20)
+                    timescale, = struct.unpack('>I', f.read(4))
+                    duration, = struct.unpack('>Q', f.read(8))
+                else:
+                    f.seek(p2 + 12)
+                    timescale, duration = struct.unpack('>II', f.read(8))
+                if timescale == 0:
+                    raise ValueError(f'{path}: mvhd timescale is 0')
+                return duration / timescale
+    raise ValueError(f'{path}: no moov/mvhd atom found (not an mp4?)')
+
+
 def get_video_duration(path) -> float:
     '''Video duration in seconds via ffprobe (reference:
     single_video_prediction.py:259-277; used when --duration_in_secs is
-    omitted and --video_path given).'''
+    omitted and --video_path given). On ffprobe-less hosts, falls back
+    to parsing the mp4 mvhd atom directly.'''
     ffprobe = which_ffprobe()
     if not ffprobe:
-        raise SystemExit('ffprobe not found on PATH; pass '
-                         '--duration_in_secs explicitly')
+        try:
+            duration = mp4_duration_mvhd(path)
+        except (OSError, ValueError, struct.error) as e:
+            raise SystemExit(
+                f'ffprobe not found on PATH and mp4 header parse failed '
+                f'({e}); pass --duration_in_secs explicitly')
+        print('Video Duration:', duration)
+        return duration
     # stderr captured SEPARATELY: an ffprobe warning merged into stdout
     # would corrupt the float parse with an unhelpful traceback
     cmd = [ffprobe, '-hide_banner', '-v', 'error',

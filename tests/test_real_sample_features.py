@@ -193,3 +193,66 @@ def test_ffprobe_duration_of_real_mp4():
     from sample.single_video_prediction import get_video_duration
     d = get_video_duration(f'{SAMPLE}/women_long_jump.mp4')
     assert abs(d - DURATION) < 0.2
+
+
+def test_mvhd_duration_of_real_mp4():
+    '''The pure-Python moov/mvhd parse recovers the real sample video's
+    duration (README.md:167 cites ≈35.155 s) — the ffprobe-less fallback
+    for /root/reference/sample/single_video_prediction.py:259-277.'''
+    from sample.single_video_prediction import mp4_duration_mvhd
+    d = mp4_duration_mvhd(f'{SAMPLE}/women_long_jump.mp4')
+    assert abs(d - DURATION) < 0.2
+
+
+def test_get_video_duration_falls_back_without_ffprobe(monkeypatch, capsys):
+    '''get_video_duration uses the mvhd parse when ffprobe is absent, and
+    exits with a helpful message when the file is not an mp4 either.'''
+    import sample.single_video_prediction as svp
+    monkeypatch.setattr(svp, 'which_ffprobe', lambda: '')
+    d = svp.get_video_duration(f'{SAMPLE}/women_long_jump.mp4')
+    assert abs(d - DURATION) < 0.2
+    assert 'Video Duration:' in capsys.readouterr().out
+    with pytest.raises(SystemExit, match='duration_in_secs'):
+        svp.get_video_duration(f'{SAMPLE}/women_long_jump_rgb.npy')
+
+
+def test_ffprobe_subprocess_path_with_scripted_fake(tmp_path, monkeypatch,
+                                                    capsys):
+    '''Drives the ffprobe subprocess branch of get_video_duration against
+    a scripted stand-in (same technique as the fake-java METEOR jar
+    protocol test): command construction, stdout float parse, and the
+    failure branch all execute even on ffprobe-less hosts.'''
+    import sample.single_video_prediction as svp
+    fake = tmp_path / 'ffprobe'
+    fake.write_text('#!/bin/sh\n'
+                    'case "$*" in *missing.mp4*)'
+                    ' echo "missing.mp4: No such file" >&2; exit 1;;'
+                    ' *) echo 35.155000;; esac\n')
+    fake.chmod(0o755)
+    monkeypatch.setattr(svp, 'which_ffprobe', lambda: str(fake))
+    d = svp.get_video_duration(f'{SAMPLE}/women_long_jump.mp4')
+    assert abs(d - DURATION) < 0.2
+    assert 'Video Duration:' in capsys.readouterr().out
+    with pytest.raises(SystemExit, match='No such file'):
+        svp.get_video_duration('missing.mp4')
+
+
+def test_mvhd_parser_synthetic_v1_and_errors(tmp_path):
+    '''Version-1 mvhd (64-bit times) parses; a moov without mvhd raises.'''
+    import struct
+    from sample.single_video_prediction import mp4_duration_mvhd
+
+    def box(typ, payload):
+        return struct.pack('>I4s', 8 + len(payload), typ) + payload
+
+    # v1: version/flags, creation(8), modification(8), timescale, duration(8)
+    mvhd_v1 = (b'\x01\x00\x00\x00' + b'\x00' * 16 +
+               struct.pack('>IQ', 1000, 35155))
+    p = tmp_path / 'v1.mp4'
+    p.write_bytes(box(b'ftyp', b'isom' * 2) + box(b'moov', box(b'mvhd', mvhd_v1)))
+    assert abs(mp4_duration_mvhd(p) - 35.155) < 1e-9
+
+    q = tmp_path / 'nomvhd.mp4'
+    q.write_bytes(box(b'moov', box(b'trak', b'')))
+    with pytest.raises(ValueError, match='mvhd'):
+        mp4_duration_mvhd(q)
