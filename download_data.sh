@@ -15,6 +15,8 @@ fetch_scorers() {
   mkdir -p "$DATA_DIR/scorers"
   local log="$DATA_DIR/scorers/probe.log"
   : > "$log"
+  echo "probe run: $(date -u +%Y-%m-%dT%H:%M:%SZ) on $(hostname)" \
+    | tee -a "$log"
   local jar_urls=(
     "https://github.com/tylin/coco-caption/raw/master/pycocoevalcap/meteor/meteor-1.5.jar"
     "https://raw.githubusercontent.com/salaniz/pycocoevalcap/master/meteor/meteor-1.5.jar"
