@@ -185,11 +185,15 @@ def cross_attention_step(params: dict, q: jnp.ndarray, kv, mask, H: int,
     query rows. The big K/V tensors are then read ONCE per step for all
     beams instead of being tiled (and re-gathered on every beam reorder).
 
-    NB: ``attention_impl='pallas'`` applies only to the plain (unfolded,
-    bf16) case; the beam-folded and int8 paths always use the XLA
-    formulation — at Sq∈{1, K} the fused kernel loses to XLA anyway
-    (docs/DESIGN.md §6), so this is a deliberate, documented fallback.
+    NB: ``attention_impl`` is accepted for API symmetry but the step
+    ALWAYS uses the XLA formulation: at Sq∈{1, K} the cached step is
+    matvec-bound and the fused Pallas kernel's per-call overhead roughly
+    halves decode throughput (measured, docs/DESIGN.md §6 — "never use
+    the fused kernel there"). Auto-dispatching here means
+    ``--attention_impl pallas`` keeps the kernel where it wins (the
+    encoder / teacher-forced forward) without ever paying the Sq=1 loss.
     '''
+    del attention_impl   # see NB above: steps are always matvec-bound
     k0 = kv['k'][0] if isinstance(kv, dict) else kv[0]
     Bm = k0.shape[0]
     qp = _split_heads(linear(params['q2d'], q), H)        # (B, H, Sq, d_k)
@@ -204,9 +208,6 @@ def cross_attention_step(params: dict, q: jnp.ndarray, kv, mask, H: int,
         mask = mask[:, None, :, :]
     if isinstance(kv, dict):
         out = _cross_attention_q8(qp, kv, mask)
-    elif attention_impl == 'pallas' and not folded:
-        from bmt_tpu.ops.pallas_attention import flash_attention
-        out = flash_attention(qp, kv[0], kv[1], mask)
     else:
         out = scaled_dot_attention(qp, kv[0], kv[1], mask)
     if folded:
@@ -244,10 +245,10 @@ def self_attention_step(params: dict, q: jnp.ndarray, cache_k: jnp.ndarray,
     pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, T_max), 3)
     valid = pos <= step                                # (1, 1, 1, T_max)
 
-    if attention_impl == 'pallas':
-        from bmt_tpu.ops.pallas_attention import flash_attention
-        out = flash_attention(qp, cache_k, cache_v,
-                              jnp.broadcast_to(valid, (B, 1, 1, T_max)))
-    else:
-        out = scaled_dot_attention(qp, cache_k, cache_v, valid)
+    # attention_impl is accepted for API symmetry but the Sq=1 cached step
+    # always runs the XLA formulation — the fused kernel's per-call
+    # overhead is a measured ~2x decode loss at this shape (DESIGN §6);
+    # auto-dispatch keeps '--attention_impl pallas' fast end-to-end.
+    del attention_impl, B
+    out = scaled_dot_attention(qp, cache_k, cache_v, valid)
     return linear(params['d2q'], _merge_heads(out)), cache_k, cache_v

@@ -103,6 +103,36 @@ def test_flash_attention_in_cached_decode(rng):
     np.testing.assert_array_equal(pal, xla)
 
 
+def test_cached_steps_never_use_fused_kernel(rng, monkeypatch):
+    '''Auto-dispatch: the Sq=1 KV-cached step variants are matvec-bound and
+    must run the XLA formulation even under attention_impl='pallas'
+    (DESIGN §6: the fused kernel is a measured ~2x loss there). Pinned by
+    making the kernel explode if called.'''
+    from bmt_tpu.ops import pallas_attention as pa
+    from bmt_tpu.ops.attention import (cross_attention_step, init_mha,
+                                       precompute_kv, self_attention_step)
+
+    def boom(*a, **k):
+        raise AssertionError('fused kernel reached from a cached step')
+    monkeypatch.setattr(pa, 'flash_attention', boom)
+
+    D, H, B, Sk = 16, 2, 3, 7
+    params = init_mha(jax.random.PRNGKey(0), D, D, D)
+    q = jnp.asarray(rng.normal(size=(B, 1, D)), jnp.float32)
+    mem = jnp.asarray(rng.normal(size=(B, Sk, D)), jnp.float32)
+    kv = precompute_kv(params, mem, H)
+    for impl in ('xla', 'pallas'):
+        out = cross_attention_step(params, q, kv, None, H,
+                                   attention_impl=impl)
+        assert out.shape == (B, 1, D)
+    cache = jnp.zeros((B, H, 6, D // H), jnp.float32)
+    for impl in ('xla', 'pallas'):
+        out, _, _ = self_attention_step(params, q, cache, cache,
+                                        jnp.int32(0), H,
+                                        attention_impl=impl)
+        assert out.shape == (B, 1, D)
+
+
 # ---------------------------------------------------------------------------
 # tiled online-softmax kernel (forced via block_k)
 # ---------------------------------------------------------------------------
