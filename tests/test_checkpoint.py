@@ -662,3 +662,103 @@ def test_load_pretrained_encoder_native_orbax_extras_raise(tmp_path,
         lambda path: (None, None, {'encoder': params['encoder']}, None))
     enc = ck.load_pretrained_encoder_native(str(tmp_path), tpl, 'cap')
     _trees_equal(enc, params['encoder'])
+
+
+def test_orbax_swap_fault_injection_every_fs_op(tmp_path):
+    '''Pin the async-orbax durability contract: crash the grouped swap
+    transaction (_swap_pair_into_place) after EVERY individual fs op and
+    assert each crash point resolves — through the loaders' .stale
+    fallback — to a LOADABLE params/opt pair that is consistent (both old
+    or both new), except the single documented rename gap between the two
+    phase-2 renames, where params=new/opt=old is the accepted residual
+    torn window (the same one the npz writer has between its params and
+    opt file writes).'''
+    import shutil
+
+    from bmt_tpu.train.checkpoint import (AsyncOrbaxWriter,
+                                          load_checkpoint_orbax,
+                                          save_checkpoint_orbax)
+
+    class Crash(Exception):
+        pass
+
+    p_old = {'w': jnp.full((3,), 1.0)}
+    o_old = {'m': jnp.full((3,), 10.0)}
+    p_new = {'w': jnp.full((3,), 2.0)}
+    o_new = {'m': jnp.full((3,), 20.0)}
+
+    def setup(root):
+        '''Live OLD pair + committed NEW side dirs, as the finalizer sees
+        the tree the moment the swap transaction starts.'''
+        ckpt = root / 'ckpt'
+        save_checkpoint_orbax(str(ckpt), p_old, {'tag': 'old'}, o_old,
+                              name='last_cap_model')
+        scratch = root / 'scratch'
+        save_checkpoint_orbax(str(scratch), p_new, {'tag': 'new'}, o_new,
+                              name='incoming')
+        os.rename(scratch / 'incoming.orbax',
+                  ckpt / 'last_cap_model.orbax.new')
+        os.rename(scratch / 'incoming.opt.orbax',
+                  ckpt / 'last_cap_model.opt.orbax.new')
+        shutil.rmtree(scratch)
+        return ckpt
+
+    def swap_with_crash(ckpt, crash_after):
+        '''Run the swap, raising Crash after `crash_after` fs ops.
+        Returns the total op count of an uninterrupted run.'''
+        finals = [str(ckpt / 'last_cap_model.orbax'),
+                  str(ckpt / 'last_cap_model.opt.orbax')]
+        count = [0]
+        real_rename, real_rmtree = os.rename, shutil.rmtree
+
+        def tick():
+            if count[0] >= crash_after:
+                raise Crash(f'injected after {count[0]} fs ops')
+            count[0] += 1
+
+        def rename(src, dst):
+            tick()
+            return real_rename(src, dst)
+
+        def rmtree(path, **kw):
+            tick()
+            return real_rmtree(path, **kw)
+
+        os.rename, shutil.rmtree = rename, rmtree
+        try:
+            AsyncOrbaxWriter._swap_pair_into_place(finals)
+        finally:
+            os.rename, shutil.rmtree = real_rename, real_rmtree
+        return count[0]
+
+    # uninterrupted run: learn the transaction's total op count
+    ckpt = setup(tmp_path / 'full')
+    total_ops = swap_with_crash(ckpt, crash_after=10 ** 9)
+    assert total_ops >= 6   # 2x(rmtree+rename) + 2 rename + 2 rmtree
+
+    torn_points = []
+    for n in range(total_ops + 1):
+        root = tmp_path / f'crash_{n}'
+        ckpt = setup(root)
+        if n < total_ops:
+            with pytest.raises(Crash):
+                swap_with_crash(ckpt, crash_after=n)
+
+        # every crash point must still LOAD (stale fallback included)
+        params, meta, opt = load_checkpoint_orbax(
+            str(ckpt), {'w': jnp.zeros(3)}, {'m': jnp.zeros(3)},
+            name='last_cap_model')
+        assert opt is not None, f'opt state unloadable after {n} fs ops'
+        got_p = float(np.asarray(params['w'])[0])
+        got_o = float(np.asarray(opt['m'])[0])
+        assert got_p in (1.0, 2.0) and got_o in (10.0, 20.0), (n, got_p,
+                                                               got_o)
+        consistent = (got_p, got_o) in ((1.0, 10.0), (2.0, 20.0))
+        if not consistent:
+            # only the documented direction: params new, opt still old
+            assert (got_p, got_o) == (2.0, 10.0), (n, got_p, got_o)
+            torn_points.append(n)
+
+    # the torn window is EXACTLY the single gap between the two phase-2
+    # renames — no other crash point may produce a mixed pair
+    assert len(torn_points) == 1, torn_points
