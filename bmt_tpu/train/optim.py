@@ -34,7 +34,17 @@ def build_optimizer(cfg, frozen_mask=None,
         # moments for frozen leaves stay zero
         chain.append(optax.masked(optax.set_to_zero(), frozen_mask))
     if getattr(cfg, 'grad_clip', None) is not None:
-        chain.append(optax.clip_by_global_norm(cfg.grad_clip))
+        clip = optax.clip_by_global_norm(cfg.grad_clip)
+        if frozen_mask is not None:
+            # norm over trainable leaves only: frozen gradients are exactly
+            # zero (set_to_zero above + source-level pruning in the steps),
+            # so the clip factor is value-identical — but the masked form
+            # stops XLA from walking 51M frozen zero-leaves per step, and
+            # it is literally what torch's clip_grad_norm_ sees (only
+            # requires_grad=True params are handed to it)
+            not_frozen = jax.tree.map(lambda f: not f, frozen_mask)
+            clip = optax.masked(clip, not_frozen)
+        chain.append(clip)
     wd = getattr(cfg, 'weight_decay', 0.0) or 0.0
     if wd:
         decay = optax.add_decayed_weights(wd)

@@ -102,6 +102,35 @@ def _freeze_prune(frozen_mask):
     return prune
 
 
+def _apply_updates_pruned(params, updates, frozen_mask):
+    '''optax.apply_updates that passes frozen leaves through by IDENTITY.
+
+    The frozen updates are exactly zero (optimizer freeze contract), so
+    `p + 0` is value-identical — but the identity form lets XLA alias the
+    donated input buffer instead of streaming a read+write over every
+    frozen leaf (for LoRA finetuning that is ~51M params x 8 bytes of
+    dead HBM traffic per step).'''
+    if frozen_mask is None or not any(jax.tree.leaves(frozen_mask)):
+        return optax.apply_updates(params, updates)
+    return jax.tree.map(
+        lambda p, u, f: p if f else jnp.asarray(p + u).astype(
+            jnp.asarray(p).dtype),
+        params, updates, frozen_mask)
+
+
+def _trainable_global_norm(grads, frozen_mask):
+    '''Global grad norm over TRAINABLE leaves only. Frozen gradients are
+    exactly zero (source-level pruning + optimizer zeroing), so the value
+    is identical to the all-leaves norm — this just keeps the metric from
+    walking frozen zero-leaves, and matches what torch's clip_grad_norm_
+    reports (it only ever sees requires_grad=True params).'''
+    if frozen_mask is None or not any(jax.tree.leaves(frozen_mask)):
+        return optax.global_norm(grads)
+    leaves = [g for g, f in zip(jax.tree.leaves(grads),
+                                jax.tree.leaves(frozen_mask)) if not f]
+    return optax.global_norm(leaves)
+
+
 def _cap_forward(dims: CapModelDims):
     if dims.modality == 'audio_video':
         return bimodal_transformer_forward
@@ -219,11 +248,12 @@ def make_cap_train_step(dims: CapModelDims, optimizer, smoothing: float,
 
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
-        params = optax.apply_updates(state.params, updates)
+        params = _apply_updates_pruned(state.params, updates, frozen_mask)
         new_state = TrainState(params, opt_state, state.rng, state.step + 1,
                                _ema_update(state.ema, params, ema_decay))
         return new_state, {'loss': loss,
-                           'grad_norm': optax.global_norm(grads)}
+                           'grad_norm': _trainable_global_norm(grads,
+                                                               frozen_mask)}
     return step
 
 
@@ -381,7 +411,7 @@ def make_prop_train_step(dims: PropModelDims, optimizer, pad_idx: int,
 
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
-        params = optax.apply_updates(state.params, updates)
+        params = _apply_updates_pruned(state.params, updates, frozen_mask)
         new_state = TrainState(params, opt_state, state.rng, state.step + 1,
                                _ema_update(state.ema, params, ema_decay))
         metrics = {'loss': loss}
