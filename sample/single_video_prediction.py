@@ -240,6 +240,10 @@ if __name__ == '__main__':
     parser.add_argument('--max_prop_per_vid', type=int, default=5)
     parser.add_argument('--nms_tiou_thresh', type=float)
     parser.add_argument('--train_meta_path', default='./data/train.csv')
+    parser.add_argument('--output_json', default=None,
+                        help='also write the predicted segments as JSON '
+                             '(machine-readable form of the printed list; '
+                             'consumed by bmt_tpu.scripts.acceptance)')
     parser.add_argument('--allow_vocab_drift', action='store_true',
                         help='decode even when the vocabulary rebuilt from '
                              '--train_meta_path differs in size from the '
@@ -283,3 +287,7 @@ if __name__ == '__main__':
     captions = caption_proposals(cap_params, cap_dims, feature_paths, vocab,
                                  cap_cfg, proposals, args.duration_in_secs)
     print(captions)
+    if args.output_json:
+        import json
+        with open(args.output_json, 'w') as f:
+            json.dump(captions, f, indent=1)
