@@ -1,0 +1,176 @@
+'''Serving load benchmark: CaptionEngine throughput and MicroBatcher
+p50/p95/p99 end-to-end latency under concurrent closed-loop load, plus
+the multi-tenant case (2 rank-8 adapters, interleaved clients). The
+numbers in docs/DESIGN.md section 7a come from this script.
+
+    python -m bmt_tpu.scripts.serve_bench
+
+Measures the HOST-UPLOAD path — every request's features ride
+host->device, which bounds throughput on a tunneled bench chip (a
+directly-attached chip uploads ~10x faster and overlaps the upload with
+decode); the device-resident decode ceiling is bench.py's headline.
+Prints one JSON line at the end.
+'''
+import json
+import os
+import statistics
+import sys
+import threading
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from bmt_tpu.utils.misc import enable_compile_cache
+
+enable_compile_cache()
+
+from bmt_tpu.models import CapModelDims, init_bimodal_transformer
+from bmt_tpu.ops.lora import add_lora
+from bmt_tpu.serve import CaptionEngine, MicroBatcher
+from bmt_tpu.train.checkpoint import load_lora_sites
+
+bf16 = jnp.bfloat16
+
+
+def _env_int(name, default):
+    '''Tiny-shape overrides so the CPU smoke test can drive the REAL
+    script (tests/test_serve.py); defaults are the flagship config the
+    DESIGN 7a table was measured with.'''
+    return int(os.environ.get(name, default))
+
+
+VOC = _env_int('SERVE_BENCH_VOC', 10172)
+MAX_LEN = _env_int('SERVE_BENCH_MAX_LEN', 30)
+MAX_BATCH = _env_int('SERVE_BENCH_MAX_BATCH', 32)
+T_LOAD = float(os.environ.get('SERVE_BENCH_T_LOAD', 20.0))
+N_CLIENTS = _env_int('SERVE_BENCH_CLIENTS', 32)
+D_MODEL = _env_int('SERVE_BENCH_DM', 0)   # 0 = flagship CapModelDims
+
+
+def _dims():
+    if not D_MODEL:
+        return CapModelDims(voc_size=VOC)
+    return CapModelDims(voc_size=VOC, d_model_A=D_MODEL, d_model_V=D_MODEL,
+                        d_model_C=D_MODEL, d_model=2 * D_MODEL, H=2, N=1,
+                        d_ff_A=2 * D_MODEL, d_ff_V=2 * D_MODEL,
+                        d_ff_C=2 * D_MODEL, d_vid=D_MODEL, d_aud=D_MODEL)
+
+
+def _stage(msg):
+    print(f'[serve_bench {time.strftime("%H:%M:%S")}] {msg}',
+          file=sys.stderr, flush=True)
+
+
+def adapter_sites(dims, key):
+    base = init_bimodal_transformer(jax.random.PRNGKey(0), dims)
+    adapted = add_lora(base, 8, jax.random.PRNGKey(key), targets='attn_ffn')
+    return load_lora_sites(adapted)
+
+
+def make_crop(rng, dims):
+    sv = int(rng.integers(48, 97))
+    sa = int(rng.integers(128, 257))
+    return {'rgb': rng.normal(size=(sv, dims.d_vid)).astype(np.float32),
+            'flow': rng.normal(size=(sv, dims.d_vid)).astype(np.float32),
+            'audio': rng.normal(size=(sa, dims.d_aud)).astype(np.float32)}
+
+
+def closed_loop(batcher, crops, adapters, t_end, counts, lats, idx):
+    rng = np.random.default_rng(idx)
+    n = 0
+    while time.monotonic() < t_end:
+        crop = crops[int(rng.integers(len(crops)))]
+        adapter = adapters[idx % len(adapters)] if adapters else None
+        t0 = time.monotonic()
+        try:
+            batcher.caption(crop, timeout=120, adapter=adapter)
+        except Exception as e:
+            print(f'client {idx}: {type(e).__name__}: {e}', file=sys.stderr)
+            break
+        lats.append(time.monotonic() - t0)
+        n += 1
+    counts[idx] = n
+
+
+def run_load(engine, crops, adapters, label, out):
+    batcher = MicroBatcher(engine, max_wait_ms=5.0)
+    counts = [0] * N_CLIENTS
+    lats = []
+    t_end = time.monotonic() + T_LOAD
+    threads = [threading.Thread(target=closed_loop,
+                                args=(batcher, crops, adapters, t_end,
+                                      counts, lats, i))
+               for i in range(N_CLIENTS)]
+    t0 = time.monotonic()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.monotonic() - t0
+    batcher.close()
+    done = sum(counts)
+    ls = sorted(lats)
+
+    def pct(p):
+        return round(ls[min(int(p * len(ls)), len(ls) - 1)] * 1e3, 1) \
+            if ls else None
+
+    out[f'{label}_caps_per_sec'] = round(done / wall, 2)
+    out[f'{label}_latency_ms_p50'] = pct(0.50)
+    out[f'{label}_latency_ms_p95'] = pct(0.95)
+    out[f'{label}_latency_ms_p99'] = pct(0.99)
+    out[f'{label}_completed'] = done
+    out[f'{label}_batcher_stats'] = batcher.stats()['latency_ms']
+    _stage(f'{label}: {done} done in {wall:.1f}s '
+           f'({done / wall:.1f} caps/s), p50={pct(0.5)}ms p99={pct(0.99)}ms')
+
+
+def main():
+    dims = _dims()
+    params = init_bimodal_transformer(jax.random.PRNGKey(0), dims)
+    from bmt_tpu.data.vocab import Vocab
+    vocab = Vocab(['<unk>', '<blank>', '<s>', '</s>']
+                  + [f'w{i}' for i in range(4, VOC)])
+    engine = CaptionEngine(params, dims, vocab, max_len=MAX_LEN,
+                           max_batch=MAX_BATCH, compute_dtype=bf16)
+    _stage('adapters')
+    engine.add_adapter('sports', adapter_sites(dims, 7))
+    engine.add_adapter('cooking', adapter_sites(dims, 8))
+    _stage('warmup (compiling the bucket grid; cached across runs)')
+    n = engine.warmup(shapes=((96, 256),))
+    _stage(f'warmup compiled/executed {n} variants')
+
+    rng = np.random.default_rng(0)
+    crops = [make_crop(rng, dims) for _ in range(64)]
+
+    out = {}
+    # -- batch throughput, host-upload path (same as bench.py serving) ----
+    _stage('batch32 host-upload throughput')
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(3):
+            toks = engine.caption_tokens(crops[:MAX_BATCH])
+        np.asarray(toks)
+        ts.append((time.perf_counter() - t0) / 3)
+    out['batch32_caps_per_sec'] = round(MAX_BATCH / min(ts), 2)
+    out['batch32_caps_per_sec_p50'] = round(
+        MAX_BATCH / statistics.median(ts), 2)
+
+    # -- concurrent closed-loop load, base model ---------------------------
+    _stage(f'concurrent load: {N_CLIENTS} clients x {T_LOAD:.0f}s, base')
+    run_load(engine, crops, None, 'concurrent_base', out)
+
+    # -- multi-tenant: clients interleave two adapters ---------------------
+    _stage('concurrent load: multi-tenant (sports/cooking interleaved)')
+    run_load(engine, crops, ['sports', 'cooking'], 'multi_tenant', out)
+
+    out['engine_stats'] = engine.stats()
+    print(json.dumps(out, default=str))
+
+
+if __name__ == '__main__':
+    main()

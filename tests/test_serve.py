@@ -960,3 +960,39 @@ def test_adapter_site_out_of_range_rejected(engine):
     assert deep_site != site
     with pytest.raises(ValueError, match='indexes past'):
         engine.add_adapter('deep', {deep_site: leaves})
+
+
+# ---------------------------------------------------------------------------
+# serve_bench script (the DESIGN §7a load-measurement tool)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_serve_bench_smoke_prints_one_json_line():
+    '''Drive the REAL serving load benchmark as a subprocess with tiny
+    shape overrides on CPU: one JSON line with throughput + latency
+    percentile fields for both the base and the multi-tenant phase.'''
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ,
+               JAX_PLATFORMS='cpu',
+               SERVE_BENCH_VOC='64', SERVE_BENCH_DM='16',
+               SERVE_BENCH_MAX_LEN='4', SERVE_BENCH_MAX_BATCH='4',
+               SERVE_BENCH_T_LOAD='3', SERVE_BENCH_CLIENTS='4')
+    env.pop('PALLAS_AXON_POOL_IPS', None)
+    proc = subprocess.run(
+        [sys.executable, '-m', 'bmt_tpu.scripts.serve_bench'], cwd=repo,
+        env=env, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 1, proc.stdout
+    result = json.loads(lines[0])
+    for key in ('batch32_caps_per_sec', 'concurrent_base_caps_per_sec',
+                'concurrent_base_latency_ms_p99', 'multi_tenant_caps_per_sec',
+                'multi_tenant_latency_ms_p99'):
+        assert key in result, (key, result)
+    assert result['concurrent_base_completed'] > 0
+    assert result['multi_tenant_completed'] > 0
+    assert set(result['engine_stats']['adapters']) == {'cooking', 'sports'}
