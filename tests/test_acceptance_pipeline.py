@@ -121,6 +121,52 @@ def test_acceptance_pipeline_on_standins(mini_data, tmp_path):  # noqa: F811
     assert sm['status'] == 'PASS', sm
     assert report['overall'] == 'PASS'
 
+    # ---- the .pt route: export both stand-ins to reference format and
+    # run the cheap stages against them -------------------------------------
+    from bmt_tpu.scripts.export import main as export_main
+    cap_pt = str(tmp_path / 'best_cap_model.pt')
+    prop_pt = str(tmp_path / 'best_prop_model.pt')
+    export_main(['--checkpoint', cap_cfg.model_checkpoint_path,
+                 '--out', cap_pt])
+    export_main(['--checkpoint', prop_cfg.log_path, '--model', 'prop',
+                 '--out', prop_pt])
+
+    common = [
+        '--procedure', 'evaluate',
+        '--pretrained_cap_model_path', cap_pt,
+        '--pretrained_prop_model_path', prop_pt,
+        '--train_meta_path', str(mini_data / 'train.csv'),
+        '--val_1_meta_path', str(mini_data / 'val_1.csv'),
+        '--val_2_meta_path', str(mini_data / 'val_2.csv'),
+        '--video_features_path', str(mini_data / 'video_npy'),
+        '--audio_features_path', str(mini_data / 'audio_npy'),
+        '--reference_paths', str(mini_data / 'val_1_no_missings.json'),
+        str(mini_data / 'val_2_no_missings.json'),
+        '--avail_mp4_path', str(mini_data / 'available_mp4.txt'),
+        '--d_vid', str(D_VID), '--d_aud', str(D_AUD),
+        '--log_dir', str(tmp_path / 'acc_pt_log'),
+        '--report_path', str(tmp_path / 'pt_report.json'),
+    ]
+    # stand-in .pt files are NOT the published checkpoints: the md5 gate
+    # must FAIL (and fail the overall verdict)
+    rc = acceptance_main(common + ['--acceptance_stages', 'md5'])
+    assert rc == 1
+    with open(tmp_path / 'pt_report.json') as f:
+        assert json.load(f)['stages']['md5']['status'] == 'FAIL'
+
+    # with --skip_md5, the .pt import stage passes and surfaces the
+    # checkpoint-embedded METEOR the gt_val stage would compare against
+    rc = acceptance_main(common + ['--acceptance_stages', 'md5,import',
+                                   '--skip_md5'])
+    assert rc == 0
+    with open(tmp_path / 'pt_report.json') as f:
+        pt_stages = json.load(f)['stages']
+    assert pt_stages['md5']['status'] == 'SKIP'
+    assert pt_stages['import']['status'] == 'PASS'
+    assert pt_stages['import']['cap_params'] > 0
+    assert pt_stages['import']['cap_embedded_avg_meteor'] == pytest.approx(
+        gt['embedded_avg_meteor'])
+
 
 def test_acceptance_stage_selection_and_md5(tmp_path):
     '''Unit-level checks that need no trained models: unknown stage names
