@@ -218,6 +218,36 @@ def main():
         print(f'decode[int8w] failed: {type(e).__name__}: {e}',
               file=sys.stderr)
 
+    # multi-batch decode bundling: K decode batches lax.scan'ed into ONE
+    # dispatch (the eval loop's decode is one dispatch per batch; this
+    # field isolates how much of the per-batch decode cost is the
+    # tunnel's per-dispatch launch floor rather than device work). Same
+    # parity-exact decode — only the dispatch granularity changes.
+    DECODE_K = _env_int('BMT_BENCH_DECODE_BUNDLE_K', 4)
+    if DECODE_K > 1:
+        try:
+            _stage('decode[bundled] compile')
+            stacked_stacks = jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (DECODE_K,) + x.shape), stacks)
+
+            @jax.jit
+            def bundled_decode_fn(p, ss):
+                def body(carry, s):
+                    return carry, greedy_decode_bimodal(
+                        p, dims, s, MAX_LEN, 2, END_IDX, 1)
+                _, toks = jax.lax.scan(body, jnp.int32(0), ss)
+                return toks
+
+            def bundled_decode():
+                return bundled_decode_fn(params_bf16, stacked_stacks)
+            _warmup(bundled_decode)
+            _warmup(bundled_decode)
+            decode_fns['bundled'] = (bundled_decode,
+                                     max(1, ITERS // DECODE_K))
+        except Exception as e:
+            print(f'decode[bundled] failed: {type(e).__name__}: {e}',
+                  file=sys.stderr)
+
     # reference decode algorithm on the same chip: full re-encode of the
     # whole prefix each step, no KV cache (captioning_epoch_loops.py:39-65).
     # Kept fully on-device (no host sync inside the loop) so the baseline
@@ -268,6 +298,14 @@ def main():
             db, dp = dstats[name]
             _RESULT[f'decode_{name}_caps_per_sec'] = round(B / db, 2)
             _RESULT[f'decode_{name}_caps_p50'] = round(B / dp, 2)
+    if 'bundled' in dstats:
+        # one call decodes DECODE_K batches; normalize to per-batch
+        db, dp = (t / DECODE_K for t in dstats['bundled'])
+        _RESULT.update({
+            'decode_bundle_k': DECODE_K,
+            'decode_bundled_caps_per_sec': round(B / db, 2),
+            'decode_bundled_caps_p50': round(B / dp, 2),
+        })
 
     # ---- attention-only tiled-kernel regression guard ----------------------
     # The régime where the Pallas kernel matters: long sequences, where
@@ -434,6 +472,41 @@ def main():
             print(f'lora train bench failed: {type(e).__name__}: {e}',
                   file=sys.stderr)
 
+    # ---- multi-step dispatch bundling (--steps_per_dispatch) --------------
+    # K full optimizer steps scanned inside ONE dispatch (bit-identical to
+    # sequential steps: tests/test_multistep.py). Isolates the per-dispatch
+    # host launch overhead — on the tunnel-attached bench chip that floor
+    # is ~3 ms/call, so the bundled per-step time is the closest this
+    # scoreboard gets to the executable's true device cost. Interleaved
+    # with the single-step variants; per-call time is divided by K after.
+    BUNDLE_K = _env_int('BMT_BENCH_BUNDLE_K', 8)
+    if BUNDLE_K > 1:
+        _stage('train[bundled] compile')
+        try:
+            from bmt_tpu.train.steps import make_multistep
+            bstep = jax.jit(make_multistep(
+                make_cap_train_step(dims, optimizer, 0.7, 1,
+                                    attention_impl='xla',
+                                    compute_dtype=bf16)),
+                donate_argnums=(0,))
+            stacked_batch = jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (BUNDLE_K,) + x.shape),
+                train_batch)
+            bcell = [init_train_state(fresh_params(), optimizer,
+                                      prng_impl='rbg')]
+
+            def bundled_once():
+                new_state, m = bstep(bcell[0], stacked_batch)
+                bcell[0] = new_state
+                return m['loss']
+            _warmup(bundled_once)
+            _warmup(bundled_once)
+            train_fns['bundled'] = (bundled_once,
+                                    max(1, ITERS // BUNDLE_K))
+        except Exception as e:
+            print(f'bundled train bench failed: {type(e).__name__}: {e}',
+                  file=sys.stderr)
+
     _stage(f'train: interleaved timing x{REPS} reps')
     tstats = _time_interleaved(train_fns, REPS)
     impl_stats = {k: v for k, v in tstats.items() if k in impls}
@@ -463,6 +536,21 @@ def main():
             'train_lora_step_ms_p50': round(lp * 1e3, 3),
             # p50/p50 same-window ratio: the spread-robust comparison
             'train_lora_speedup': round(xp / lp, 3),
+        })
+    if 'bundled' in tstats:
+        # one call = BUNDLE_K optimizer steps; normalize to per-step
+        bb, bp = (t / BUNDLE_K for t in tstats['bundled'])
+        bmfu = (train_flops / bb / PEAK_FLOPS if train_flops else None)
+        bmfu_p50 = (train_flops / bp / PEAK_FLOPS if train_flops else None)
+        _RESULT.update({
+            'train_bundled_k': BUNDLE_K,
+            'train_bundled_step_ms': round(bb * 1e3, 3),
+            'train_bundled_step_ms_p50': round(bp * 1e3, 3),
+            'train_bundled_samples_per_sec': round(TB / bb, 2),
+            'train_mfu_bundled': (round(bmfu, 4)
+                                  if bmfu is not None else None),
+            'train_mfu_bundled_p50': (round(bmfu_p50, 4)
+                                      if bmfu_p50 is not None else None),
         })
 
     # ---- proposal-generator train step (stage 2) --------------------------

@@ -169,6 +169,7 @@ class Config:
         self.prng_impl = getattr(args, 'prng_impl', 'rbg')
         self.optim_mu_dtype = getattr(args, 'optim_mu_dtype', 'float32')
         self.grad_accum_steps = getattr(args, 'grad_accum_steps', 1)
+        self.steps_per_dispatch = getattr(args, 'steps_per_dispatch', 1)
         self.moe_experts = getattr(args, 'moe_experts', 0)
         self.moe_capacity_factor = getattr(args, 'moe_capacity_factor', 1.25)
         self.moe_aux_coeff = getattr(args, 'moe_aux_coeff', 0.01)
@@ -418,6 +419,14 @@ def build_parser() -> argparse.ArgumentParser:
                              'memory, both stages — the proposal losses '
                              'use a target-only full-batch cell-count '
                              'pre-pass); B must be divisible by it')
+    parser.add_argument('--steps_per_dispatch', type=int, default=1,
+                        help='bundle this many FULL optimizer steps into '
+                             'one device dispatch (lax.scan over stacked '
+                             'batches) — bit-identical to sequential '
+                             'steps, amortizes the per-dispatch host '
+                             'launch overhead; loss logging and '
+                             'preemption checkpoints coarsen to bundle '
+                             'granularity')
     parser.add_argument('--length_sort_window', type=int, default=100,
                         help='train batching: pool this many batches of '
                              'shuffled rows and sort the pool by feature '

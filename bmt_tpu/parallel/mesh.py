@@ -91,7 +91,7 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch):
+def shard_batch(mesh: Mesh, batch, stacked: bool = False):
     '''Place a pytree of host arrays on the mesh, batch axis sharded over dp.
 
     Scalars / 0-d leaves are replicated. When the mesh carries a live
@@ -99,11 +99,21 @@ def shard_batch(mesh: Mesh, batch):
     divides it are additionally sharded over sp (the sequence-parallel
     input layout; see parallel/seq.py) — other leaves (captions, dense GT
     targets, row-valid flags) stay batch-sharded only.
+
+    stacked=True places a K-STACKED batch (every array leaf carries a
+    leading axis of K host batches, the multi-step-dispatch input of
+    ``train.steps.make_multistep``): the K axis is replicated — lax.scan
+    iterates it — and the batch axis is now axis 1, so every spec gains a
+    leading None and the rank thresholds shift by one.
     '''
-    bsh = batch_sharding(mesh)
+    lead = (None,) if stacked else ()
+    bsh = NamedSharding(mesh, P(*lead, 'dp'))
     rsh = replicate(mesh)
     sp = mesh.shape.get('sp', 1)
-    seq_sh = NamedSharding(mesh, P('dp', 'sp')) if sp > 1 else None
+    seq_sh = (NamedSharding(mesh, P(*lead, 'dp', 'sp')) if sp > 1 else None)
+    feat_rank = 4 if stacked else 3
+    seq_axis = 2 if stacked else 1
+    min_rank = 1 if stacked else 0
     multiproc = jax.process_count() > 1
 
     def place(x, sh):
@@ -121,9 +131,10 @@ def shard_batch(mesh: Mesh, batch):
 
     def put(x):
         x = np.asarray(x)
-        if x.ndim == 0:
+        if x.ndim <= min_rank:
             return place(x, rsh)
-        if seq_sh is not None and x.ndim == 3 and x.shape[1] % sp == 0:
+        if (seq_sh is not None and x.ndim == feat_rank
+                and x.shape[seq_axis] % sp == 0):
             return place(x, seq_sh)
         return place(x, bsh)
 
@@ -171,6 +182,12 @@ class DataParallel:
     def shard(self, batch):
         return shard_batch(self.mesh, batch)
 
+    def shard_stacked(self, batch):
+        '''Place a K-stacked batch (leading scan axis replicated, batch
+        axis 1 dp-sharded) — the input of a multi-step-dispatch bundle
+        (train.steps.make_multistep).'''
+        return shard_batch(self.mesh, batch, stacked=True)
+
     def maybe_shard(self, batch):
         '''Shard when the batch divides the dp axis, else leave as-is —
         the shared gate for eval/decode consumers (train steps size their
@@ -201,7 +218,8 @@ class DataParallel:
             return jax.device_put(x, self.repl_sh)
         return jax.tree.map(put, tree)
 
-    def jit_step(self, fn, donate_state: bool = False, **jit_kwargs):
+    def jit_step(self, fn, donate_state: bool = False, stacked: bool = False,
+                 **jit_kwargs):
         '''jit a (state, batch) -> (state, aux) step: state replicated,
         batch dp-sharded; XLA inserts the grad psum over ICI.
 
@@ -211,19 +229,25 @@ class DataParallel:
         no mp compute split — on every call. With sp > 1 the BATCH
         shardings are inherited too: shard() places feature leaves
         (dp, sp)-sharded and the rest dp-sharded, and pinning them all to
-        P('dp') here would undo the sequence split at the jit boundary.'''
+        P('dp') here would undo the sequence split at the jit boundary.
+
+        stacked=True jits a multi-step bundle (make_multistep): the batch
+        leaves carry a leading scan axis, so the pinned batch sharding
+        gains a leading None (matching shard_stacked's placement).'''
         donate = (0,) if donate_state else ()
+        batch_sh = (NamedSharding(self.mesh, P(None, 'dp')) if stacked
+                    else self.batch_sh)
         if self.n_sp > 1:
             return jax.jit(fn, donate_argnums=donate, **jit_kwargs)
         if self.mesh.shape.get('mp', 1) > 1 or self.n_ep > 1 or self.fsdp:
             return jax.jit(
                 fn,
-                in_shardings=(None, self.batch_sh),
+                in_shardings=(None, batch_sh),
                 donate_argnums=donate,
                 **jit_kwargs)
         return jax.jit(
             fn,
-            in_shardings=(self.repl_sh, self.batch_sh),
+            in_shardings=(self.repl_sh, batch_sh),
             out_shardings=(self.repl_sh, self.repl_sh),
             donate_argnums=donate,
             **jit_kwargs)

@@ -163,13 +163,23 @@ def train_cap(cfg: Config):
     compute_dtype = (jnp.bfloat16 if cfg.compute_dtype == 'bfloat16'
                      else jnp.float32)
     ema_decay = float(getattr(cfg, 'ema_decay', 0.0) or 0.0)
-    train_step = dp.jit_step(make_cap_train_step(
+    raw_step = make_cap_train_step(
         dims, optimizer, cfg.smoothing, train_ds.pad_idx,
         cfg.attention_impl, compute_dtype,
         accum_steps=getattr(cfg, 'grad_accum_steps', 1),
         moe_aux_coeff=getattr(cfg, 'moe_aux_coeff', 0.01),
-        ema_decay=ema_decay, frozen_mask=mask),
-        donate_state=True)
+        ema_decay=ema_decay, frozen_mask=mask)
+    train_step = dp.jit_step(raw_step, donate_state=True)
+    # --steps_per_dispatch > 1: bundle K optimizer steps per dispatch
+    # (lax.scan over K stacked batches; bit-identical to sequential
+    # dispatches — see train/steps.py:make_multistep). Epoch tails
+    # shorter than a bundle run through train_step.
+    steps_per_dispatch = int(getattr(cfg, 'steps_per_dispatch', 1) or 1)
+    multistep = None
+    if steps_per_dispatch > 1:
+        from bmt_tpu.train.steps import make_multistep
+        multistep = dp.jit_step(make_multistep(raw_step),
+                                donate_state=True, stacked=True)
     val_step = jax.jit(make_cap_val_step(
         dims, cfg.smoothing, train_ds.pad_idx, cfg.attention_impl,
         compute_dtype))
@@ -325,7 +335,8 @@ def train_cap(cfg: Config):
             profile_dir=(os.path.join(cfg.log_path, 'profile')
                          if cfg.log_path else None),
             guard=guard,
-            start_batch=(resume_batch if epoch == start_epoch else 0))
+            start_batch=(resume_batch if epoch == start_epoch else 0),
+            multistep=multistep, steps_per_dispatch=steps_per_dispatch)
 
         if guard is not None and guard.requested:
             # mid-epoch: save with last COMPLETED epoch + batch cursor so

@@ -38,9 +38,17 @@ def _pad_batch_to(batch: dict, B: int) -> dict:
     return out
 
 
+def _stack_host_batches(devs):
+    '''Stack K prepared host batches leaf-wise into the leading scan axis
+    of a multi-step-dispatch bundle (train.steps.make_multistep).'''
+    import jax
+    return jax.tree.map(lambda *xs: np.stack(xs), *devs)
+
+
 def train_epoch_cap(train_step, state, dataset, epoch: int, logger=None,
                     dp=None, seed: int = 0, profile_steps: int = 0,
-                    profile_dir=None, guard=None, start_batch: int = 0):
+                    profile_dir=None, guard=None, start_batch: int = 0,
+                    multistep=None, steps_per_dispatch: int = 1):
     '''Teacher-forced training epoch (reference:
     captioning_epoch_loops.py:122-149). Returns (state, mean loss).
 
@@ -48,12 +56,23 @@ def train_epoch_cap(train_step, state, dataset, epoch: int, logger=None,
     first N steps is captured under profile_dir (TensorBoard/Perfetto).
 
     guard: optional utils/preempt.PreemptionGuard — polled after every
-    optimizer step; on request the epoch stops early with
+    dispatch; on request the epoch stops early with
     guard.batch_in_epoch = index of the next unprocessed batch.
     start_batch: skip the first k batches (exact resume of an
-    interrupted epoch; batch order is deterministic per (seed, epoch)).'''
+    interrupted epoch; batch order is deterministic per (seed, epoch)).
+
+    multistep + steps_per_dispatch > 1: bundle that many optimizer steps
+    into one device dispatch (``multistep`` = the jitted
+    ``make_multistep`` wrap of the SAME step; bit-identical to sequential
+    dispatches — tests/test_multistep.py). Epoch tails shorter than a
+    bundle fall back to the single-step ``train_step``. Preemption
+    granularity coarsens to one bundle: the guard is polled between
+    dispatches, so up to steps_per_dispatch-1 extra batches complete
+    after the signal — still an exact-resume point, just a later one.'''
     from bmt_tpu.utils.profiling import trace
     total, n = 0.0, 0
+    bundle_k = steps_per_dispatch if multistep is not None else 1
+    pending = []
     profiling = profile_steps > 0 and epoch == 0 and profile_dir
     ctx = trace(profile_dir) if profiling else None
     if ctx is not None:
@@ -66,6 +85,27 @@ def train_epoch_cap(train_step, state, dataset, epoch: int, logger=None,
     kw = {} if local_rows is None else {'local_rows': local_rows}
     if start_batch:
         kw['start_batch'] = start_batch
+
+    def run_single(dev):
+        nonlocal state, total, n
+        if dp is not None:
+            dev = dp.shard(dev)
+        state, metrics = train_step(state, dev)
+        # keep the loss ON DEVICE: a float() here would block the host
+        # on every step and defeat JAX's async dispatch (the next
+        # batch's shard/device_put should overlap this step's compute)
+        total = total + metrics['loss']
+        n += 1
+
+    def run_bundle(devs):
+        nonlocal state, total, n
+        stacked = _stack_host_batches(devs)
+        if dp is not None:
+            stacked = dp.shard_stacked(stacked)
+        state, metrics = multistep(state, stacked)
+        total = total + metrics['loss'].sum()
+        n += len(devs)
+
     try:
         for batch in dataset.batches(epoch=epoch, seed=seed, **kw):
             # Tail batches are repeat-padded to the compiled batch size and
@@ -77,20 +117,28 @@ def train_epoch_cap(train_step, state, dataset, epoch: int, logger=None,
                 batch = _pad_batch_to(batch, dataset.batch_size)
             dev = _device_batch(batch, ('src', 'caption'))
             dev['row_valid'] = np.arange(dataset.batch_size) < n_valid
-            if dp is not None:
-                dev = dp.shard(dev)
-            state, metrics = train_step(state, dev)
-            # keep the loss ON DEVICE: a float() here would block the host
-            # on every step and defeat JAX's async dispatch (the next
-            # batch's shard/device_put should overlap this step's compute)
-            total = total + metrics['loss']
-            n += 1
+            if bundle_k > 1:
+                pending.append(dev)
+                if len(pending) < bundle_k:
+                    continue
+                run_bundle(pending)
+                pending = []
+            else:
+                run_single(dev)
             if ctx is not None and n >= profile_steps:
                 ctx.__exit__(None, None, None)
                 ctx = None
             if guard is not None and guard.requested:
                 guard.batch_in_epoch = start_batch + n
                 break
+        else:
+            # epoch tail shorter than a bundle: single-step dispatches
+            for dev in pending:
+                run_single(dev)
+                if guard is not None and guard.requested:
+                    guard.batch_in_epoch = start_batch + n
+                    break
+            pending = []
     finally:
         if ctx is not None:
             ctx.__exit__(None, None, None)
@@ -178,10 +226,12 @@ def validation_1by1(cfg, params, decoder_fn, dataset, epoch: int,
     else:
         raise ValueError(phase)
 
-    for batch in dataset.batches(epoch=0, shuffle=False):
-        n_valid = len(batch['video_ids'])
-        padded = _pad_batch_to(batch, dataset.batch_size)
-        ints_stack = np.asarray(decoder_fn(params, padded['src']))[:n_valid]
+    def flush(batch, tokens):
+        # np.asarray here blocks on THIS batch's result only; the next
+        # batch's decode (dispatched before flush is called) keeps running
+        # on device while the host converts sentences — 1-deep software
+        # pipelining of host work against device decode
+        ints_stack = np.asarray(tokens)[:len(batch['video_ids'])]
         for vid, start, end, ints in zip(batch['video_ids'], batch['starts'],
                                          batch['ends'], ints_stack):
             segment = {
@@ -190,6 +240,16 @@ def validation_1by1(cfg, params, decoder_fn, dataset, epoch: int,
                 'timestamp': [float(start), float(end)],
             }
             predictions['results'].setdefault(vid, []).append(segment)
+
+    in_flight = None
+    for batch in dataset.batches(epoch=0, shuffle=False):
+        padded = _pad_batch_to(batch, dataset.batch_size)
+        tokens = decoder_fn(params, padded['src'])   # async dispatch
+        if in_flight is not None:
+            flush(*in_flight)
+        in_flight = (batch, tokens)
+    if in_flight is not None:
+        flush(*in_flight)
 
     # a disabled (--dont_log) or empty log dir must not disable SCORING:
     # the decode work is already paid and best-model/early-stop tracking
@@ -224,33 +284,68 @@ def validation_1by1(cfg, params, decoder_fn, dataset, epoch: int,
 
 def train_epoch_prop(train_step, state, dataset, epoch: int, logger=None,
                      dp=None, seed: int = 0, guard=None,
-                     start_batch: int = 0):
+                     start_batch: int = 0, multistep=None,
+                     steps_per_dispatch: int = 1):
     '''Proposal-generator training epoch (reference:
     proposal_epoch_loops.py:27-63). guard/start_batch: see
-    train_epoch_cap (preemption-exact early stop + resume).'''
+    train_epoch_cap (preemption-exact early stop + resume);
+    multistep/steps_per_dispatch: multi-step dispatch bundling, also as
+    there (stacked metrics sum into the same accumulators).'''
+    from bmt_tpu.utils.proposal_utils import add_dict_to_another_dict
     total, n = 0.0, 0
     acc: dict = {}
+    bundle_k = steps_per_dispatch if multistep is not None else 1
+    pending = []
     # per-host sharded input pipeline (see train_epoch_cap); the fixed
     # proposal pad lengths make batch geometry host-independent trivially
     local_rows = dp.local_rows(dataset.batch_size) if dp is not None else None
     kw = {} if local_rows is None else {'local_rows': local_rows}
     if start_batch:
         kw['start_batch'] = start_batch
-    for batch in dataset.batches(epoch=epoch, seed=seed, **kw):
-        dev = _device_batch(batch, ('src', 'centers', 'lengths', 'valid'))
+
+    def account(metrics, k):
+        # device-side accumulation (no per-step host sync); the shared
+        # loss-dict accumulator works on jax scalars unchanged. Bundled
+        # dispatches return (K,)-stacked metrics — sum them in.
+        nonlocal total, acc, n
+        loss = metrics['loss']
+        total = total + (loss.sum() if k > 1 else loss)
+        rest = {key: (v.sum() if k > 1 else v)
+                for key, v in metrics.items() if key != 'loss'}
+        acc = add_dict_to_another_dict(rest, acc)
+        n += k
+
+    def run_single(dev):
+        nonlocal state
         if dp is not None:
             dev = dp.shard(dev)
         state, metrics = train_step(state, dev)
-        # device-side accumulation (no per-step host sync); the shared
-        # loss-dict accumulator works on jax scalars unchanged
-        from bmt_tpu.utils.proposal_utils import add_dict_to_another_dict
-        total = total + metrics['loss']
-        acc = add_dict_to_another_dict(
-            {k: v for k, v in metrics.items() if k != 'loss'}, acc)
-        n += 1
+        account(metrics, 1)
+
+    for batch in dataset.batches(epoch=epoch, seed=seed, **kw):
+        dev = _device_batch(batch, ('src', 'centers', 'lengths', 'valid'))
+        if bundle_k > 1:
+            pending.append(dev)
+            if len(pending) < bundle_k:
+                continue
+            stacked = _stack_host_batches(pending)
+            if dp is not None:
+                stacked = dp.shard_stacked(stacked)
+            state, metrics = multistep(state, stacked)
+            account(metrics, len(pending))
+            pending = []
+        else:
+            run_single(dev)
         if guard is not None and guard.requested:
             guard.batch_in_epoch = start_batch + n
             break
+    else:
+        for dev in pending:
+            run_single(dev)
+            if guard is not None and guard.requested:
+                guard.batch_in_epoch = start_batch + n
+                break
+        pending = []
     if n == 0 and start_batch == 0:
         import sys
         print(f'WARNING: proposal train epoch {epoch} ran ZERO batches — '

@@ -122,11 +122,18 @@ def train_prop(cfg: Config):
     # only on targets, so a target-only pre-pass supplies the full-batch
     # cell counts to every microbatch (see make_prop_train_step)
     ema_decay = float(getattr(cfg, 'ema_decay', 0.0) or 0.0)
-    train_step = dp.jit_step(make_prop_train_step(
+    raw_step = make_prop_train_step(
         dims, optimizer, pad_idx, cfg.attention_impl, compute_dtype,
         accum_steps=getattr(cfg, 'grad_accum_steps', 1),
-        seq_mesh=seq_mesh, ema_decay=ema_decay, frozen_mask=mask),
-        donate_state=True)
+        seq_mesh=seq_mesh, ema_decay=ema_decay, frozen_mask=mask)
+    train_step = dp.jit_step(raw_step, donate_state=True)
+    # multi-step dispatch bundling (see cap_trainer / steps.make_multistep)
+    steps_per_dispatch = int(getattr(cfg, 'steps_per_dispatch', 1) or 1)
+    multistep = None
+    if steps_per_dispatch > 1:
+        from bmt_tpu.train.steps import make_multistep
+        multistep = dp.jit_step(make_multistep(raw_step),
+                                donate_state=True, stacked=True)
     inference_step = jax.jit(make_prop_inference_step(
         dims, pad_idx, cfg.attention_impl, compute_dtype,
         seq_mesh=seq_mesh))
@@ -244,7 +251,8 @@ def train_prop(cfg: Config):
         state, _ = train_epoch_prop(
             train_step, state, train_ds, epoch, logger, dp, seed,
             guard=guard,
-            start_batch=(resume_batch if epoch == start_epoch else 0))
+            start_batch=(resume_batch if epoch == start_epoch else 0),
+            multistep=multistep, steps_per_dispatch=steps_per_dispatch)
 
         if guard is not None and guard.requested:
             b = guard.batch_in_epoch
