@@ -134,6 +134,33 @@ def test_epoch_loop_bundles_with_tail_fallback():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_multistep_composes_with_accum_and_ema():
+    '''Bundling scans whatever step it is given: a step with grad
+    accumulation (inner scan) and EMA threads through the outer scan
+    unchanged — bundled == sequential bitwise for the composed step.'''
+    rng = np.random.default_rng(1)
+    batches = [_batch(rng) for _ in range(2)]
+    dims = _dims_with_dropout()
+    optimizer = build_optimizer(_Cfg())
+    params = init_bimodal_transformer(jax.random.PRNGKey(0), dims)
+    step = make_cap_train_step(dims, optimizer, 0.7, PAD, accum_steps=2,
+                               ema_decay=0.99)
+    state0 = init_train_state(params, optimizer, ema=True)
+
+    jstep = jax.jit(step)
+    seq_state = state0
+    for b in batches:
+        seq_state, _ = jstep(seq_state, b)
+
+    bun_state, _ = jax.jit(make_multistep(step))(state0, _stacked(batches))
+    for a, b in zip(jax.tree.leaves(seq_state.params),
+                    jax.tree.leaves(bun_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(seq_state.ema),
+                    jax.tree.leaves(bun_state.ema)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 @pytest.mark.slow
 def test_train_cap_steps_per_dispatch(mini_data, tmp_path):  # noqa: F811
     '''--steps_per_dispatch drives the full captioning trainer.'''
