@@ -14,7 +14,8 @@ BASE_URL="https://a3s.fi/swift/v1/AUTH_a235c0f452d648828f745589cde1219a/bmt"
 fetch_scorers() {
   mkdir -p "$DATA_DIR/scorers"
   local log="$DATA_DIR/scorers/probe.log"
-  : > "$log"
+  # append (never truncate): the log is the committed round-over-round
+  # record that the jar/WordNet remain unfetchable from this host
   echo "probe run: $(date -u +%Y-%m-%dT%H:%M:%SZ) on $(hostname)" \
     | tee -a "$log"
   local jar_urls=(
