@@ -28,7 +28,10 @@ gets measured).
 
 One output JSON line: {"metric", "value", "unit", "vs_baseline", ...}
 with per-section fields (decode_*, train_*, prop_*, attn_*, serving_*),
-each with a `_p50` companion where timed.
+each with a `_p50` companion where timed. Non-greedy decoders (beam K=4,
+temperature sampling, top-p) get their own fields, and a final
+`warnings` list turns the recorded guard ratios into actual floors —
+non-empty whenever a headline ratio regressed below its floor.
 '''
 import json
 import os
@@ -218,6 +221,52 @@ def main():
         print(f'decode[int8w] failed: {type(e).__name__}: {e}',
               file=sys.stderr)
 
+    # beam (K=4) and sampling decoders: round-over-round regression fields
+    # for the non-greedy decode paths (decode/beam.py's cross-KV sharing,
+    # decode/sample.py's filtered sampling) — a silent regression there
+    # would otherwise never show in the scoreboard. BMT_BENCH_ALTDECODE=0
+    # skips both.
+    if os.environ.get('BMT_BENCH_ALTDECODE', '1') != '0':
+        try:
+            _stage('decode[beam4] compile')
+            from bmt_tpu.decode import beam_search_bimodal
+
+            def beam_decode():
+                return beam_search_bimodal(params_bf16, dims, stacks,
+                                           MAX_LEN, 2, END_IDX, 1,
+                                           beam_size=4)[0]
+            _warmup(beam_decode)
+            _warmup(beam_decode)
+            decode_fns['beam4'] = (beam_decode, max(1, ITERS // 3))
+        except Exception as e:
+            print(f'decode[beam4] failed: {type(e).__name__}: {e}',
+                  file=sys.stderr)
+        try:
+            _stage('decode[sample] compile')
+            from bmt_tpu.decode import sample_decode_bimodal
+            skey = jax.random.key(11, impl='rbg')
+
+            def sample_decode():
+                return sample_decode_bimodal(params_bf16, dims, stacks,
+                                             skey, MAX_LEN, 2, END_IDX, 1,
+                                             temperature=1.0)
+
+            def sample_topp_decode():
+                # top-p 0.9: the expensive variant (per-step vocab sort)
+                return sample_decode_bimodal(params_bf16, dims, stacks,
+                                             skey, MAX_LEN, 2, END_IDX, 1,
+                                             temperature=1.0, top_p=0.9)
+            _warmup(sample_decode)
+            _warmup(sample_decode)
+            decode_fns['sample'] = (sample_decode, max(1, ITERS // 2))
+            _warmup(sample_topp_decode)
+            _warmup(sample_topp_decode)
+            decode_fns['sample_topp'] = (sample_topp_decode,
+                                         max(1, ITERS // 2))
+        except Exception as e:
+            print(f'decode[sample] failed: {type(e).__name__}: {e}',
+                  file=sys.stderr)
+
     # multi-batch decode bundling: K decode batches lax.scan'ed into ONE
     # dispatch (the eval loop's decode is one dispatch per batch; this
     # field isolates how much of the per-batch decode cost is the
@@ -293,7 +342,7 @@ def main():
         'baseline_uncached_caps_per_sec': round(B / base_best, 2),
         'partial': True,
     })
-    for name in ('int8kv', 'int8w'):
+    for name in ('int8kv', 'int8w', 'beam4', 'sample', 'sample_topp'):
         if name in dstats:
             db, dp = dstats[name]
             _RESULT[f'decode_{name}_caps_per_sec'] = round(B / db, 2)
@@ -399,12 +448,14 @@ def main():
         return jax.tree.map(jnp.copy, params)
 
     train_fns, train_flops = {}, None
+    step_fns = {}
     for impl in impls:
         _stage(f'train[{impl}] compile')
         step_fn = jax.jit(make_cap_train_step(dims, optimizer, 0.7, 1,
                                               attention_impl=impl,
                                               compute_dtype=bf16),
                           donate_argnums=(0,))
+        step_fns[impl] = step_fn
         # rbg = the trainers' default dropout PRNG (hardware RNG on TPU)
         state = init_train_state(fresh_params(), optimizer, prng_impl='rbg')
         try:
@@ -503,6 +554,39 @@ def main():
             _warmup(bundled_once)
             train_fns['bundled'] = (bundled_once,
                                     max(1, ITERS // BUNDLE_K))
+
+            # the scenario bundling exists for (train/steps.py:
+            # make_multistep): an epoch loop that READS the loss to host
+            # every step (per-step logging, nonfinite guards — the
+            # reference's own loop pattern, captioning_epoch_loops.py:
+            # 145-147). Unbundled, that read puts a host->device round
+            # trip on the critical path once per STEP; bundled, once per
+            # K steps. These two fns time that pattern both ways in the
+            # same interleaved window; the back-to-back async-dispatch
+            # pattern above is the other bound (where bundling only has
+            # to beat the scan's own overhead).
+            xla_step = step_fns.get('xla')
+            if xla_step is not None:
+                scell = [init_train_state(fresh_params(), optimizer,
+                                          prng_impl='rbg')]
+
+                def sync_once():
+                    new_state, m = xla_step(scell[0], train_batch)
+                    scell[0] = new_state
+                    return float(m['loss'])   # host sync EVERY step
+                bscell = [init_train_state(fresh_params(), optimizer,
+                                           prng_impl='rbg')]
+
+                def bundled_sync_once():
+                    new_state, m = bstep(bscell[0], stacked_batch)
+                    bscell[0] = new_state
+                    # one host sync for all K per-step losses
+                    return np.asarray(m['loss'])[-1]
+                sync_once()
+                bundled_sync_once()
+                train_fns['sync'] = (sync_once, ITERS)
+                train_fns['bundled_sync'] = (bundled_sync_once,
+                                             max(1, ITERS // BUNDLE_K))
         except Exception as e:
             print(f'bundled train bench failed: {type(e).__name__}: {e}',
                   file=sys.stderr)
@@ -551,6 +635,18 @@ def main():
                                   if bmfu is not None else None),
             'train_mfu_bundled_p50': (round(bmfu_p50, 4)
                                       if bmfu_p50 is not None else None),
+        })
+    if 'sync' in tstats and 'bundled_sync' in tstats:
+        sb, sp = tstats['sync']
+        bsb, bsp = (t / BUNDLE_K for t in tstats['bundled_sync'])
+        _RESULT.update({
+            'train_syncloop_step_ms': round(sb * 1e3, 3),
+            'train_syncloop_step_ms_p50': round(sp * 1e3, 3),
+            'train_bundled_syncloop_step_ms': round(bsb * 1e3, 3),
+            'train_bundled_syncloop_step_ms_p50': round(bsp * 1e3, 3),
+            # p50/p50: the same-window per-step speedup of bundling in
+            # the sync-per-step loop it was built for
+            'train_bundled_syncloop_speedup': round(sp / bsp, 3),
         })
 
     # ---- proposal-generator train step (stage 2) --------------------------
@@ -674,6 +770,26 @@ def main():
         except Exception as e:
             print(f'serving bench failed: {type(e).__name__}: {e}',
                   file=sys.stderr)
+
+    # ---- regression floors ------------------------------------------------
+    # The guard stages above RECORD; this makes them GUARD: any headline
+    # ratio below its floor lands in a non-empty `warnings` field (and on
+    # stderr), so a silent kernel/decode regression cannot ship in a
+    # clean-looking scoreboard. Floors are p50-based (spread-robust) and
+    # deliberately below the measured round-4 values (4096: 2.71 measured,
+    # floor 2.0; 2048: 1.22 measured, floor 1.0; decode vs_baseline: 13.1
+    # measured, north-star floor 10).
+    floors = {
+        'vs_baseline_p50': 10.0,
+        'attn_pallas_speedup_s4096': 2.0,
+        'attn_pallas_speedup_s2048': 1.0,
+    }
+    warns = [f'{k}={_RESULT[k]} below floor {floor}'
+             for k, floor in floors.items()
+             if _RESULT.get(k) is not None and _RESULT[k] < floor]
+    for w in warns:
+        print(f'bench REGRESSION: {w}', file=sys.stderr)
+    _RESULT['warnings'] = warns
 
     _RESULT.pop('partial', None)
     _DONE.set()   # full run: the watchdog must not also print
