@@ -41,6 +41,11 @@ def build_parser():
                    help='admission-queue bound; past it requests get 503 '
                         '(load sheds at the edge instead of buffering '
                         'unboundedly)')
+    p.add_argument('--deadline_ms', type=float, default=None,
+                   help='queue-age deadline: requests older than this at '
+                        'drain time are shed with 504 instead of decoded, '
+                        'bounding p99 by policy (deadline + one decode) '
+                        'rather than by queue growth')
     p.add_argument('--attention_impl', default='xla',
                    choices=['xla', 'pallas'])
     p.add_argument('--kv_cache_int8', action='store_true')
@@ -164,7 +169,8 @@ def main(argv=None, block=True):
 
     server = CaptionHTTPServer((args.host, args.port), engine,
                                max_wait_ms=args.max_wait_ms,
-                               pipeline=pipeline, max_queue=args.max_queue)
+                               pipeline=pipeline, max_queue=args.max_queue,
+                               deadline_ms=args.deadline_ms)
     print(f'serving on http://{args.host}:{server.server_address[1]}')
     if not block:
         return server

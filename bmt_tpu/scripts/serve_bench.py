@@ -9,6 +9,15 @@ Measures the HOST-UPLOAD path — every request's features ride
 host->device, which bounds throughput on a tunneled bench chip (a
 directly-attached chip uploads ~10x faster and overlaps the upload with
 decode); the device-resident decode ceiling is bench.py's headline.
+
+Statistics, same discipline as bench.py: every load scenario runs
+SERVE_BENCH_WINDOWS (default 3) separate windows, INTERLEAVED
+base/multi-tenant so both scenarios sample the same tunnel weather; the
+summary reports best-of-windows and the median window, plus pooled
+latency percentiles. Tail policy: the batcher runs with a
+SERVE_BENCH_DEADLINE_MS queue-age deadline (default 1000) and a
+2*max_batch queue cap, so p99 is bounded by policy (deadline + one
+decode) rather than by queue growth; shed counts are reported.
 Prints one JSON line at the end.
 '''
 import json
@@ -45,9 +54,11 @@ def _env_int(name, default):
 VOC = _env_int('SERVE_BENCH_VOC', 10172)
 MAX_LEN = _env_int('SERVE_BENCH_MAX_LEN', 30)
 MAX_BATCH = _env_int('SERVE_BENCH_MAX_BATCH', 32)
-T_LOAD = float(os.environ.get('SERVE_BENCH_T_LOAD', 20.0))
+T_LOAD = float(os.environ.get('SERVE_BENCH_T_LOAD', 12.0))
 N_CLIENTS = _env_int('SERVE_BENCH_CLIENTS', 32)
 D_MODEL = _env_int('SERVE_BENCH_DM', 0)   # 0 = flagship CapModelDims
+WINDOWS = _env_int('SERVE_BENCH_WINDOWS', 3)
+DEADLINE_MS = float(os.environ.get('SERVE_BENCH_DEADLINE_MS', 1000.0))
 
 
 def _dims():
@@ -78,31 +89,43 @@ def make_crop(rng, dims):
             'audio': rng.normal(size=(sa, dims.d_aud)).astype(np.float32)}
 
 
-def closed_loop(batcher, crops, adapters, t_end, counts, lats, idx):
+def closed_loop(batcher, crops, adapters, t_end, counts, lats, sheds, idx):
+    from bmt_tpu.serve import DeadlineExceeded, QueueFull
     rng = np.random.default_rng(idx)
-    n = 0
+    n = shed = 0
     while time.monotonic() < t_end:
         crop = crops[int(rng.integers(len(crops)))]
         adapter = adapters[idx % len(adapters)] if adapters else None
         t0 = time.monotonic()
         try:
             batcher.caption(crop, timeout=120, adapter=adapter)
+        except (QueueFull, DeadlineExceeded):
+            # load shed by policy: back off briefly and keep offering
+            # load (a broken-out client would understate the demand)
+            shed += 1
+            time.sleep(0.02)
+            continue
         except Exception as e:
             print(f'client {idx}: {type(e).__name__}: {e}', file=sys.stderr)
             break
         lats.append(time.monotonic() - t0)
         n += 1
     counts[idx] = n
+    sheds[idx] = shed
 
 
-def run_load(engine, crops, adapters, label, out):
-    batcher = MicroBatcher(engine, max_wait_ms=5.0)
+def run_window(engine, crops, adapters, t_load):
+    '''One closed-loop load window; returns (caps/sec, lats, shed).'''
+    batcher = MicroBatcher(engine, max_wait_ms=5.0,
+                           max_queue=2 * engine.max_batch,
+                           deadline_ms=DEADLINE_MS)
     counts = [0] * N_CLIENTS
+    sheds = [0] * N_CLIENTS
     lats = []
-    t_end = time.monotonic() + T_LOAD
+    t_end = time.monotonic() + t_load
     threads = [threading.Thread(target=closed_loop,
                                 args=(batcher, crops, adapters, t_end,
-                                      counts, lats, i))
+                                      counts, lats, sheds, i))
                for i in range(N_CLIENTS)]
     t0 = time.monotonic()
     for t in threads:
@@ -111,21 +134,33 @@ def run_load(engine, crops, adapters, label, out):
         t.join()
     wall = time.monotonic() - t0
     batcher.close()
-    done = sum(counts)
-    ls = sorted(lats)
+    # clients observe every shed (QueueFull at submit, DeadlineExceeded
+    # from the future), so the client-side count is the total
+    return sum(counts) / wall, lats, sum(sheds)
+
+
+def summarize(label, windows, out):
+    '''windows: [(caps_per_sec, lats, shed), ...] for one scenario.'''
+    rates = [w[0] for w in windows]
+    ls = sorted(l for w in windows for l in w[1])
+    shed = sum(w[2] for w in windows)
+    done = sum(len(w[1]) for w in windows)
 
     def pct(p):
         return round(ls[min(int(p * len(ls)), len(ls) - 1)] * 1e3, 1) \
             if ls else None
 
-    out[f'{label}_caps_per_sec'] = round(done / wall, 2)
+    out[f'{label}_caps_per_sec'] = round(max(rates), 2)
+    out[f'{label}_caps_per_sec_p50'] = round(
+        statistics.median(rates), 2)
+    out[f'{label}_caps_per_sec_windows'] = [round(r, 2) for r in rates]
     out[f'{label}_latency_ms_p50'] = pct(0.50)
     out[f'{label}_latency_ms_p95'] = pct(0.95)
     out[f'{label}_latency_ms_p99'] = pct(0.99)
     out[f'{label}_completed'] = done
-    out[f'{label}_batcher_stats'] = batcher.stats()['latency_ms']
-    _stage(f'{label}: {done} done in {wall:.1f}s '
-           f'({done / wall:.1f} caps/s), p50={pct(0.5)}ms p99={pct(0.99)}ms')
+    out[f'{label}_shed'] = shed
+    _stage(f'{label}: windows {[f"{r:.1f}" for r in rates]} caps/s, '
+           f'p50={pct(0.5)}ms p99={pct(0.99)}ms shed={shed}')
 
 
 def main():
@@ -160,13 +195,26 @@ def main():
     out['batch32_caps_per_sec_p50'] = round(
         MAX_BATCH / statistics.median(ts), 2)
 
-    # -- concurrent closed-loop load, base model ---------------------------
-    _stage(f'concurrent load: {N_CLIENTS} clients x {T_LOAD:.0f}s, base')
-    run_load(engine, crops, None, 'concurrent_base', out)
-
-    # -- multi-tenant: clients interleave two adapters ---------------------
-    _stage('concurrent load: multi-tenant (sports/cooking interleaved)')
-    run_load(engine, crops, ['sports', 'cooking'], 'multi_tenant', out)
+    # -- concurrent closed-loop load: WINDOWS x (base, multi-tenant),
+    # interleaved so the base/multi-tenant comparison shares tunnel
+    # weather within every round — the scenario ordering is then a
+    # per-window paired comparison, not two disjoint time slices
+    scenarios = {'concurrent_base': None,
+                 'multi_tenant': ['sports', 'cooking']}
+    windows = {label: [] for label in scenarios}
+    for w in range(WINDOWS):
+        for label, adapters in scenarios.items():
+            _stage(f'window {w + 1}/{WINDOWS}: {label} '
+                   f'({N_CLIENTS} clients x {T_LOAD:.0f}s, '
+                   f'deadline {DEADLINE_MS:.0f}ms)')
+            windows[label].append(run_window(engine, crops, adapters,
+                                             T_LOAD))
+    for label in scenarios:
+        summarize(label, windows[label], out)
+    # per-window paired ordering: how often base out-rated multi-tenant
+    out['base_faster_windows'] = sum(
+        b[0] > m[0] for b, m in zip(windows['concurrent_base'],
+                                    windows['multi_tenant']))
 
     out['engine_stats'] = engine.stats()
     print(json.dumps(out, default=str))

@@ -54,6 +54,14 @@ class QueueFull(RuntimeError):
     capacity; the HTTP layer maps it to 503.'''
 
 
+class DeadlineExceeded(RuntimeError):
+    '''Raised into a request's Future when it aged past the batcher's
+    ``deadline_ms`` before reaching the device (deadline-aware load
+    shedding); the HTTP layer maps it to 504. Shedding at drain time
+    bounds tail latency by POLICY — p99 <= deadline + one decode —
+    instead of by queue growth.'''
+
+
 class CaptionEngine:
     '''Batched, bucket-compiled greedy captioning over feature crops.
 
@@ -363,14 +371,25 @@ class MicroBatcher:
     '''
 
     def __init__(self, engine: CaptionEngine, max_wait_ms: float = 5.0,
-                 max_queue: int = 1024):
+                 max_queue: int = 1024,
+                 deadline_ms: Optional[float] = None):
         '''``max_queue`` bounds the admission queue: past it, submit()
         raises QueueFull (HTTP maps it to 503) instead of buffering
         unboundedly while the device falls behind — load sheds at the
-        edge, where the client can retry against a replica.'''
+        edge, where the client can retry against a replica.
+
+        ``deadline_ms`` bounds each request's QUEUE age: at every drain,
+        requests older than the deadline fail with DeadlineExceeded (HTTP
+        504) instead of being decoded. Together they bound the tail by
+        policy: a request either reaches the device within
+        ``deadline_ms`` or is shed, so p99 <= deadline + one decode
+        regardless of overload depth. None (default) keeps the
+        queue-cap-only behavior.'''
         self.engine = engine
         self.max_wait = max_wait_ms / 1e3
         self.max_queue = max_queue
+        self.deadline = deadline_ms / 1e3 if deadline_ms else None
+        self.n_shed = 0
         self._pending: List[tuple] = []
         self._mu = threading.Condition()
         self._closed = False
@@ -421,6 +440,24 @@ class MicroBatcher:
                 # work on answers nobody is waiting for
                 self._pending = [e for e in self._pending
                                  if not e[1].cancelled()]
+                # deadline-aware shedding: fail requests that aged past
+                # deadline_ms in the queue — they would otherwise blow
+                # the tail for themselves AND delay everything behind
+                # them by a decode they no longer have time for
+                if self.deadline is not None:
+                    now = time.monotonic()
+                    live, dead = [], []
+                    for e in self._pending:
+                        (dead if now - e[2] > self.deadline
+                         else live).append(e)
+                    self._pending = live
+                    self.n_shed += len(dead)
+                    for _, fut, t0, _ in dead:
+                        if not fut.done():
+                            fut.set_exception(DeadlineExceeded(
+                                f'queued {(now - t0) * 1e3:.0f} ms > '
+                                f'deadline {self.deadline * 1e3:.0f} ms; '
+                                f'retry against a replica'))
                 # admit at most one device batch. A batch decodes with ONE
                 # adapter (params are a single tree per dispatch), so take
                 # the OLDEST request's adapter and coalesce only its
@@ -479,7 +516,8 @@ class MicroBatcher:
         return {'queue_depth': depth,
                 'latency_ms': {'p50': pct(0.50), 'p95': pct(0.95),
                                'p99': pct(0.99)},
-                'latency_samples': len(lats)}
+                'latency_samples': len(lats),
+                'shed': self.n_shed}
 
     def close(self):
         with self._mu:
@@ -644,6 +682,11 @@ class _CaptionHandler(BaseHTTPRequestHandler):
             self._reply(504, {'error': 'request timed out in queue; '
                                        'retry against a replica'})
             return
+        except DeadlineExceeded as e:
+            # deadline-shed by the batcher (policy-bounded tail): same
+            # retry semantics as a queue timeout
+            self._reply(504, {'error': str(e)})
+            return
         except (ValueError, KeyError, TypeError) as e:
             # anything raised while interpreting client values is a client
             # error (wrong nesting, ragged rows, non-numeric, missing keys)
@@ -694,11 +737,13 @@ class CaptionHTTPServer(ThreadingHTTPServer):
     def __init__(self, addr, engine: CaptionEngine,
                  max_wait_ms: float = 5.0, request_timeout: float = 120.0,
                  pipeline: Optional[VideoPipeline] = None,
-                 max_queue: int = 1024):
+                 max_queue: int = 1024,
+                 deadline_ms: Optional[float] = None):
         super().__init__(addr, _CaptionHandler)
         self.engine = engine
         self.batcher = MicroBatcher(engine, max_wait_ms,
-                                    max_queue=max_queue)
+                                    max_queue=max_queue,
+                                    deadline_ms=deadline_ms)
         self.request_timeout = request_timeout
         self.pipeline = pipeline
 

@@ -603,6 +603,50 @@ def test_backpressure_queue_full(engine):
         server.shutdown()
 
 
+def test_deadline_shedding_bounds_queue_age(engine):
+    """deadline_ms: a request older than the deadline at drain time is
+    shed with DeadlineExceeded (HTTP 504) instead of decoded — the tail
+    is bounded by policy, not queue growth."""
+    from bmt_tpu.serve import DeadlineExceeded
+    rng = np.random.default_rng(17)
+    crop = _crop(rng, 4, 4)
+
+    # the worker drains max_wait_ms after the first submit, by which time
+    # the request has aged far past the (tiny) deadline -> shed
+    batcher = MicroBatcher(engine, max_wait_ms=100.0, deadline_ms=1.0)
+    try:
+        fut = batcher.submit(crop)
+        with pytest.raises(DeadlineExceeded):
+            fut.result(timeout=30)
+        assert batcher.stats()['shed'] == 1
+    finally:
+        batcher.close()
+
+    # generous deadline: nothing sheds, requests resolve normally
+    batcher = MicroBatcher(engine, max_wait_ms=1.0, deadline_ms=60_000.0)
+    try:
+        assert isinstance(batcher.caption(crop, timeout=60), str)
+        assert batcher.stats()['shed'] == 0
+    finally:
+        batcher.close()
+
+    server = CaptionHTTPServer(('127.0.0.1', 0), engine,
+                               max_wait_ms=100.0, deadline_ms=1.0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        body = json.dumps(
+            {'features': {k: v.tolist() for k, v in crop.items()}}).encode()
+        req = urllib.request.Request(
+            f'http://127.0.0.1:{port}/caption', data=body,
+            headers={'Content-Type': 'application/json'})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 504
+    finally:
+        server.shutdown()
+
+
 def test_flow_length_mismatch_rejected(engine):
     '''A flow stream longer than rgb must be rejected (engine API and
     HTTP), not silently truncated to the rgb-derived bucket.'''
@@ -980,7 +1024,9 @@ def test_serve_bench_smoke_prints_one_json_line():
                JAX_PLATFORMS='cpu',
                SERVE_BENCH_VOC='64', SERVE_BENCH_DM='16',
                SERVE_BENCH_MAX_LEN='4', SERVE_BENCH_MAX_BATCH='4',
-               SERVE_BENCH_T_LOAD='3', SERVE_BENCH_CLIENTS='4')
+               SERVE_BENCH_T_LOAD='2', SERVE_BENCH_CLIENTS='4',
+               SERVE_BENCH_WINDOWS='2',
+               SERVE_BENCH_DEADLINE_MS='60000')
     env.pop('PALLAS_AXON_POOL_IPS', None)
     proc = subprocess.run(
         [sys.executable, '-m', 'bmt_tpu.scripts.serve_bench'], cwd=repo,
@@ -990,9 +1036,13 @@ def test_serve_bench_smoke_prints_one_json_line():
     assert len(lines) == 1, proc.stdout
     result = json.loads(lines[0])
     for key in ('batch32_caps_per_sec', 'concurrent_base_caps_per_sec',
+                'concurrent_base_caps_per_sec_p50',
                 'concurrent_base_latency_ms_p99', 'multi_tenant_caps_per_sec',
-                'multi_tenant_latency_ms_p99'):
+                'multi_tenant_latency_ms_p50',
+                'multi_tenant_latency_ms_p99', 'concurrent_base_shed',
+                'base_faster_windows'):
         assert key in result, (key, result)
+    assert len(result['concurrent_base_caps_per_sec_windows']) == 2
     assert result['concurrent_base_completed'] > 0
     assert result['multi_tenant_completed'] > 0
     assert set(result['engine_stats']['adapters']) == {'cooking', 'sports'}
