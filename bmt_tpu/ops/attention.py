@@ -26,9 +26,34 @@ import math
 import jax
 import jax.numpy as jnp
 
-from bmt_tpu.ops.layers import dropout, init_linear, linear
+from bmt_tpu.ops.layers import dropout, init_linear, linear, linear_base
 
 _NEG_INF = float('-inf')
+
+
+def _project_qkv(params: dict, q, k, v):
+    '''q2d/k2d/v2d projections, with shared-input LoRA fusion.
+
+    The base GEMMs are always the three separate projections (bit-parity
+    with the non-adapted model — see the probed fused-QKV dead end in
+    ``self_attention_step``). When adapters are present and inputs are
+    the SAME array (self-attention q=k=v, cross-attention k=v), their
+    skinny A-side GEMMs — each of which pads rank 8 to the MXU's 128
+    lanes — are concatenated into one (ops/lora.py:shared_lora_deltas),
+    recovering most of the adapter forward overhead.'''
+    sites = (params['q2d'], params['k2d'], params['v2d'])
+    has = ['lora_a' in s for s in sites]
+    if q is k and k is v and all(has):
+        from bmt_tpu.ops.lora import apply_shared_lora
+        return apply_shared_lora(sites, q,
+                                 [linear_base(s, q) for s in sites])
+    if k is v and has[1] and has[2]:
+        from bmt_tpu.ops.lora import apply_shared_lora
+        kv = apply_shared_lora(sites[1:], k,
+                               [linear_base(s, k) for s in sites[1:]])
+        return [linear(params['q2d'], q)] + kv
+    return [linear(params['q2d'], q), linear(params['k2d'], k),
+            linear(params['v2d'], v)]
 
 
 def init_mha(key, d_model_Q: int, d_model_K: int, d_model_V: int,
@@ -84,9 +109,10 @@ def multi_head_attention(params: dict, q: jnp.ndarray, k: jnp.ndarray,
     q: (B, Sq, Dq), k: (B, Sk, Dk), v: (B, Sk, Dv); mask: (B, 1, Sk) padding
     or (B, Sq, Sk) causal+padding, or None. Returns (B, Sq, Dq).
     '''
-    qp = _split_heads(linear(params['q2d'], q), H)
-    kp = _split_heads(linear(params['k2d'], k), H)
-    vp = _split_heads(linear(params['v2d'], v), H)
+    qy, ky, vy = _project_qkv(params, q, k, v)
+    qp = _split_heads(qy, H)
+    kp = _split_heads(ky, H)
+    vp = _split_heads(vy, H)
 
     if mask is not None:
         mask = mask[:, None, :, :]  # same mask for all heads -> (B, 1, *, Sk)
@@ -123,8 +149,16 @@ def precompute_kv(params: dict, memory: jnp.ndarray, H: int,
     quantizing: padded positions are zeroed first so they cannot inflate the
     per-channel amax and waste int8 resolution on keys the softmax masks out
     anyway.'''
-    k = _split_heads(linear(params['k2d'], memory), H)
-    v = _split_heads(linear(params['v2d'], memory), H)
+    if 'lora_a' in params['k2d'] and 'lora_a' in params['v2d']:
+        from bmt_tpu.ops.lora import apply_shared_lora
+        sites = (params['k2d'], params['v2d'])
+        ky, vy = apply_shared_lora(
+            sites, memory, [linear_base(s, memory) for s in sites])
+    else:
+        ky = linear(params['k2d'], memory)
+        vy = linear(params['v2d'], memory)
+    k = _split_heads(ky, H)
+    v = _split_heads(vy, H)
     if not quantize:
         return k, v
     if mask is not None:
@@ -233,9 +267,10 @@ def self_attention_step(params: dict, q: jnp.ndarray, cache_k: jnp.ndarray,
 
     Returns (out (B, 1, Dq), new_cache_k, new_cache_v).
     '''
-    qp = _split_heads(linear(params['q2d'], q), H)    # (B, H, 1, d_k)
-    kp = _split_heads(linear(params['k2d'], q), H)
-    vp = _split_heads(linear(params['v2d'], q), H)
+    qy, ky, vy = _project_qkv(params, q, q, q)
+    qp = _split_heads(qy, H)    # (B, H, 1, d_k)
+    kp = _split_heads(ky, H)
+    vp = _split_heads(vy, H)
 
     cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, kp, step, axis=2)
     cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, vp, step, axis=2)

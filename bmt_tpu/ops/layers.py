@@ -43,16 +43,22 @@ def init_linear(key, d_in: int, d_out: int, dtype=jnp.float32) -> dict:
     }
 
 
-def linear(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+def linear_base(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    '''The base affine map only — no LoRA delta. Callers that fuse
+    adapter deltas across sites (ops/lora.py:shared_lora_deltas) apply
+    them on top of this.'''
     if 'w_q' in params:
         # weight-only int8 leaf (ops/quant.py): every linear in the model
         # funnels through here, so quantizing a param subtree transparently
         # switches MHA projections, FFNs, bridges, adapters and the LM head
         # to the int8 MXU path — no call-site changes
         from bmt_tpu.ops.quant import qlinear
-        y = qlinear(params, x)
-    else:
-        y = x @ params['w'] + params['b']
+        return qlinear(params, x)
+    return x @ params['w'] + params['b']
+
+
+def linear(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    y = linear_base(params, x)
     if 'lora_a' in params:
         # LoRA leaf (ops/lora.py): frozen base + rank-r trainable delta,
         # two skinny matmuls fused by XLA next to the base GEMM
@@ -79,11 +85,25 @@ def layer_norm(params: dict, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def dropout(x: jnp.ndarray, rate: float, rng, deterministic: bool) -> jnp.ndarray:
-    '''Inverted dropout. No-op when deterministic or rate == 0.'''
+    '''Inverted dropout. No-op when deterministic or rate == 0.
+
+    Masks are 16-bit integer-threshold draws rather than
+    ``jax.random.bernoulli``: bernoulli materializes a uint32 bit tensor
+    per site (and, at the flagship train shapes, a same-size layout copy
+    of it on the way into its float-uniform compare) — measured as the
+    train forward's single largest HBM line item (~470 MB of u32 writes
+    per step, docs/DESIGN.md §6b; the step is bandwidth-bound, so those
+    bytes are wall-clock). u16 bits halve the materialized bytes and
+    skip the float conversion. The realized keep probability is
+    ``round(keep * 2^16) / 2^16`` — within 8e-6 absolute of the
+    requested rate (torch's own float32-uniform comparison is quantized
+    too, at 2^-24), and the TPU hardware RNG ('rbg', the trainers'
+    default) emits u16 natively so generation cost is unchanged.'''
     if deterministic or rate == 0.0 or rng is None:
         return x
     keep = 1.0 - rate
-    mask_ = jax.random.bernoulli(rng, keep, x.shape)
+    bits = jax.random.bits(rng, x.shape, jnp.uint16)
+    mask_ = bits < jnp.uint16(min(round(keep * 65536.0), 65535))
     return jnp.where(mask_, x / keep, 0.0).astype(x.dtype)
 
 

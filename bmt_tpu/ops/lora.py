@@ -89,6 +89,41 @@ def add_lora(params, rank: int, key, alpha: float | None = None,
     return {k2: adapt(v, k2) for k2, v in params.items()}
 
 
+def shared_lora_deltas(sites, x):
+    '''Adapter deltas for several linears that share the SAME input, with
+    ONE concatenated A-side GEMM.
+
+    Why: a rank-8 ``x @ A`` pads its 8-wide output dim to the MXU's 128
+    lanes, so each per-site A GEMM costs ~16x its useful FLOPs. Where
+    sites share an input (self-attention q2d/k2d/v2d on x, cross
+    attention / KV-precompute k2d/v2d on the memory, the cached decode
+    step's q/k/v), concatenating the A matrices runs one GEMM in the
+    same padded footprint as one site's — measured to recover most of
+    the LoRA forward overhead (docs/DESIGN.md 6b). Per-column math is
+    unchanged (each output column is the same K-length dot product);
+    only the GEMM's tiling may differ in the last ulp of the DELTA,
+    never of the frozen base path, and the zero-init equivalence
+    (lora_b == 0 -> delta exactly 0) is preserved bitwise.
+
+    ``sites``: list of adapted linear dicts (each with lora_a/lora_b/
+    lora_s); ``x``: the shared input. Returns one delta per site.
+    '''
+    ranks = [s['lora_a'].shape[1] for s in sites]
+    u = x @ jnp.concatenate([s['lora_a'] for s in sites], axis=1)
+    deltas, off = [], 0
+    for s, r in zip(sites, ranks):
+        deltas.append((u[..., off:off + r] @ s['lora_b']) * s['lora_s'])
+        off += r
+    return deltas
+
+
+def apply_shared_lora(sites, x, ys):
+    '''``ys[i] + delta_i`` for sites sharing input ``x`` (see
+    shared_lora_deltas); dtypes follow each base output.'''
+    return [y + d.astype(y.dtype)
+            for y, d in zip(ys, shared_lora_deltas(sites, x))]
+
+
 def merge_linear_lora(node: dict) -> dict:
     '''Fold one linear's adapter into its base weight (fp32 accumulate).'''
     w = jnp.asarray(node['w'], jnp.float32)

@@ -316,3 +316,50 @@ def test_lora_rank_rejected_for_train_prop():
         ['--procedure', 'train_prop', '--lora_rank', '4', '--dont_log'])
     with pytest.raises(ValueError, match='train_cap only'):
         Config(args)
+
+
+def test_shared_lora_fusion_matches_per_site_deltas():
+    '''The shared-input A-side fusion (ops/lora.py:shared_lora_deltas,
+    dispatched in ops/attention.py:_project_qkv for self-attn q=k=v and
+    cross-attn k=v) computes the same deltas as three independent
+    per-site ``((x @ A) @ B) * s`` applications: each output column of
+    ``x @ concat(A)`` is the same K-length contraction, so only GEMM
+    tiling may differ (tight tolerance, and exact on CPU).'''
+    from bmt_tpu.ops.lora import shared_lora_deltas
+    rng = np.random.default_rng(3)
+    _, adapted = _adapted(rank=4, targets='attn')
+
+    # give every adapter a NONZERO B so deltas actually flow
+    def fill_b(node):
+        if isinstance(node, dict):
+            if 'lora_b' in node:
+                node = dict(node)
+                node['lora_b'] = jnp.asarray(
+                    rng.normal(size=node['lora_b'].shape) * 0.3,
+                    jnp.float32)
+                return node
+            return {k: fill_b(v) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(fill_b(v) for v in node)
+        return node
+    adapted = fill_b(adapted)
+
+    # unit check: fused vs per-site deltas on one site triple
+    site = adapted['decoder']['layers'][0]['self_att']
+    sites = [site['q2d'], site['k2d'], site['v2d']]
+    x = jnp.asarray(rng.normal(size=(4, 6, site['q2d']['w'].shape[0])),
+                    jnp.float32)
+    fused = shared_lora_deltas(sites, x)
+    for d, s in zip(fused, sites):
+        ref = ((x @ s['lora_a']) @ s['lora_b']) * s['lora_s']
+        np.testing.assert_allclose(np.asarray(d), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+
+    # end-to-end: the adapted forward (which routes through _project_qkv)
+    # matches a merge_lora'd base forward — the fused path must not
+    # change WHAT is computed, only how the skinny GEMMs are batched
+    batch = _batch(rng)
+    out_adapted = _forward(adapted, batch)
+    out_merged = _forward(merge_lora(adapted), batch)
+    np.testing.assert_allclose(out_adapted, out_merged,
+                               rtol=2e-4, atol=2e-4)
