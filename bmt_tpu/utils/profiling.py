@@ -49,3 +49,87 @@ class StepTimer:
 def annotate(name: str):
     '''Named trace region (shows up in the profiler timeline).'''
     return jax.profiler.TraceAnnotation(name)
+
+
+# ---------------------------------------------------------------------------
+# HLO traffic census
+# ---------------------------------------------------------------------------
+
+_HLO_DTYPE_BYTES = {
+    'f64': 8, 'u64': 8, 's64': 8, 'f32': 4, 's32': 4, 'u32': 4,
+    'bf16': 2, 'f16': 2, 'u16': 2, 's16': 2, 's8': 1, 'u8': 1, 'pred': 1,
+}
+# ops whose "output" is bookkeeping, not a materialized HBM buffer
+_HLO_FREE_OPS = frozenset({'parameter', 'constant', 'get-tuple-element',
+                           'tuple', 'bitcast', 'after-all'})
+
+
+def hlo_traffic_census(compiled_or_text, top: int = 15) -> dict:
+    '''Rank a compiled program's materialized buffers by bytes.
+
+    This is the tool behind docs/DESIGN.md §6b's bandwidth accounting:
+    on a memory-bound step, "where do the bytes go" IS the profile, and
+    the optimized HLO names every buffer with the source line that
+    produced it. It caught dropout's unfused uint32 bit tensors (+ their
+    layout copies) as the train forward's largest line item — invisible
+    to both FLOP counting and isolated microbenchmarks (in isolation the
+    rng chain fuses; in the full program it materializes).
+
+    Takes a ``jax.stages.Compiled`` (``jit_fn.lower(*args).compile()``)
+    or an optimized-HLO string. Returns {'total_bytes', 'by_op',
+    'by_source', 'top'} where by_op/by_source map op-kind / "file:line"
+    to summed output bytes of the ENTRY computation's materialized
+    instructions, and 'top' lists the ``top`` largest single buffers as
+    (bytes, op, source, name).
+    '''
+    import re
+
+    text = (compiled_or_text if isinstance(compiled_or_text, str)
+            else compiled_or_text.as_text())
+    shape_re = re.compile(
+        r'\b(' + '|'.join(_HLO_DTYPE_BYTES) + r')\[([0-9,]*)\]')
+    inst_re = re.compile(r'^\s+(?:ROOT )?%([\w\.\-]+) = (.*?) (\w[\w\-]*)\(')
+    meta_re = re.compile(r'source_file="([^"]+)" source_line=(\d+)')
+
+    def nbytes(shapes: str) -> int:
+        total = 0
+        for dt, ds in shape_re.findall(shapes):
+            n = 1
+            for d in ds.split(','):
+                if d:
+                    n *= int(d)
+            total += n * _HLO_DTYPE_BYTES[dt]
+        return total
+
+    lines = text.splitlines()
+    try:
+        start = next(i for i, ln in enumerate(lines)
+                     if ln.startswith('ENTRY'))
+    except StopIteration:
+        raise ValueError('no ENTRY computation in HLO text') from None
+    rows = []
+    for ln in lines[start + 1:]:
+        if ln.startswith('}'):
+            break
+        m = inst_re.match(ln)
+        if not m:
+            continue
+        name, shapes, op = m.groups()
+        if op in _HLO_FREE_OPS:
+            continue
+        mm = meta_re.search(ln)
+        src = (f'{mm.group(1).rsplit("/", 1)[-1]}:{mm.group(2)}'
+               if mm else '?')
+        rows.append((nbytes(shapes), op, src, name))
+    by_op: dict = {}
+    by_source: dict = {}
+    for b, op, src, _ in rows:
+        by_op[op] = by_op.get(op, 0) + b
+        by_source[src] = by_source.get(src, 0) + b
+    rows.sort(reverse=True)
+    return {
+        'total_bytes': sum(r[0] for r in rows),
+        'by_op': dict(sorted(by_op.items(), key=lambda kv: -kv[1])),
+        'by_source': dict(sorted(by_source.items(), key=lambda kv: -kv[1])),
+        'top': rows[:top],
+    }

@@ -69,3 +69,34 @@ def test_step_timer_counts_and_syncs():
         t.stop(out)
     assert t.count == 4
     assert t.mean_ms >= 0.0
+
+
+def test_hlo_traffic_census_ranks_buffers():
+    '''hlo_traffic_census (the DESIGN 6b bandwidth-accounting tool) parses
+    a compiled program's ENTRY computation, attributes materialized bytes
+    to op kinds and source lines, and ranks the largest buffers.'''
+    import jax
+    import jax.numpy as jnp
+
+    from bmt_tpu.utils.profiling import hlo_traffic_census
+
+    def f(x, w):
+        h = jnp.tanh(x @ w)          # materialized activation
+        return h @ w.T
+
+    c = jax.jit(f).lower(jnp.ones((32, 64), jnp.float32),
+                         jnp.ones((64, 64), jnp.float32)).compile()
+    census = hlo_traffic_census(c, top=5)
+    assert census['total_bytes'] > 0
+    assert census['by_op'] and census['by_source']
+    # totals are consistent
+    assert sum(census['by_op'].values()) == census['total_bytes']
+    assert sum(census['by_source'].values()) == census['total_bytes']
+    assert len(census['top']) <= 5
+    b, op, src, name = census['top'][0]
+    assert b > 0 and isinstance(op, str) and isinstance(name, str)
+    # free ops (parameters, tuples, bitcasts) never counted
+    assert not set(census['by_op']) & {'parameter', 'tuple', 'bitcast'}
+    # text input works too
+    census2 = hlo_traffic_census(c.as_text())
+    assert census2['total_bytes'] == census['total_bytes']
