@@ -105,6 +105,13 @@ def shared_lora_deltas(sites, x):
     never of the frozen base path, and the zero-init equivalence
     (lora_b == 0 -> delta exactly 0) is preserved bitwise.
 
+    The B side deliberately stays per-site: folding the group's
+    ``lora_b`` into one block-diagonal GEMM was probed and measured
+    SLOWER end-to-end (+0.54 vs +0.48 ms forward overhead) — the
+    block-diagonal assembly and, on the training path, the backward's
+    scatter of d(B_blk) back into per-site trainable leaves cost more
+    than the saved GEMM dispatches.
+
     ``sites``: list of adapted linear dicts (each with lora_a/lora_b/
     lora_s); ``x``: the shared input. Returns one delta per site.
     '''
