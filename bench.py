@@ -122,12 +122,22 @@ def _time_interleaved(fns: dict, reps: int) -> dict:
     '''Round-robin reps across named (fn, iters) pairs so every variant
     samples the SAME tunnel window — ratios between them are then
     insensitive to slow drift in the shared chip's load. All fns must be
-    compiled (warmed) before entry. Returns {name: (best, p50)} seconds.'''
+    compiled (warmed) before entry. Returns {name: (best, p50, samples)}
+    seconds, where samples is the per-rep list (for paired ratios).'''
     times = {k: [] for k in fns}
     for _ in range(reps):
         for name, (fn, iters) in fns.items():
             times[name].append(_time_once(fn, iters))
-    return {k: _stats(v) for k, v in times.items()}
+    return {k: _stats(v) + (v,) for k, v in times.items()}
+
+
+def _paired_ratio(stats, num: str, den: str) -> float:
+    '''Median of per-rep ratios num/den — each rep times both variants
+    back-to-back, so the ratio cancels whatever the tunnel was doing in
+    that second. Far more drift-robust than a ratio of medians (two
+    medians can come from different reps' weather).'''
+    ns, ds = stats[num][2], stats[den][2]
+    return statistics.median(n / d for n, d in zip(ns, ds))
 
 
 def main():
@@ -326,16 +336,21 @@ def main():
 
     _stage(f'decode: interleaved timing x{REPS} reps')
     dstats = _time_interleaved(decode_fns, REPS)
-    best_s, p50_s = dstats['xla']
+    best_s, p50_s = dstats['xla'][:2]
     captions_per_sec = B / best_s
     captions_p50 = B / p50_s
-    base_best, base_p50 = dstats['uncached']
+    base_best = dstats['uncached'][0]
     _RESULT.update({
         'metric': 'greedy_decode_captions_per_sec_per_chip',
         'value': round(captions_per_sec, 2), 'unit': 'captions/sec',
         'value_p50': round(captions_p50, 2),
         'vs_baseline': round(base_best / best_s, 2),
-        'vs_baseline_p50': round(base_p50 / p50_s, 2),
+        # median of PER-REP ratios: each rep times both algorithms
+        # back-to-back, so the ratio is immune to drift between reps
+        # (a ratio of two medians is not — they can pair different
+        # reps' tunnel weather)
+        'vs_baseline_p50': round(_paired_ratio(dstats, 'uncached', 'xla'),
+                                 2),
         'decode_impl': 'xla',   # steps auto-dispatch; see module docstring
         'decode_xla_caps_per_sec': round(captions_per_sec, 2),
         'decode_xla_caps_p50': round(captions_p50, 2),
@@ -344,12 +359,12 @@ def main():
     })
     for name in ('int8kv', 'int8w', 'beam4', 'sample', 'sample_topp'):
         if name in dstats:
-            db, dp = dstats[name]
+            db, dp = dstats[name][:2]
             _RESULT[f'decode_{name}_caps_per_sec'] = round(B / db, 2)
             _RESULT[f'decode_{name}_caps_p50'] = round(B / dp, 2)
     if 'bundled' in dstats:
         # one call decodes DECODE_K batches; normalize to per-batch
-        db, dp = (t / DECODE_K for t in dstats['bundled'])
+        db, dp = (t / DECODE_K for t in dstats['bundled'][:2])
         _RESULT.update({
             'decode_bundle_k': DECODE_K,
             'decode_bundled_caps_per_sec': round(B / db, 2),
@@ -394,16 +409,17 @@ def main():
                     'xla': (lambda: xla_fn(qa, ka, va, ma), ITERS),
                     'pallas': (lambda: pal_fn(qa, ka, va, ma), ITERS),
                 }, REPS)
-                xb, xp = astats['xla']
-                pb, pp = astats['pallas']
+                xb, xp = astats['xla'][:2]
+                pb, pp = astats['pallas'][:2]
                 _RESULT.update({
                     f'attn_s{S}_xla_ms': round(xb * 1e3, 3),
                     f'attn_s{S}_pallas_ms': round(pb * 1e3, 3),
                     f'attn_s{S}_xla_ms_p50': round(xp * 1e3, 3),
                     f'attn_s{S}_pallas_ms_p50': round(pp * 1e3, 3),
-                    # p50/p50: the regression-guard ratio (best/best can
-                    # pair two different windows' luck)
-                    f'attn_pallas_speedup_s{S}': round(xp / pp, 3),
+                    # the regression-guard ratio: median of per-rep
+                    # ratios (paired same-second comparison)
+                    f'attn_pallas_speedup_s{S}': round(
+                        _paired_ratio(astats, 'xla', 'pallas'), 3),
                 })
             except Exception as e:
                 print(f'attn guard S={S} failed: {type(e).__name__}: {e}',
@@ -595,7 +611,7 @@ def main():
     tstats = _time_interleaved(train_fns, REPS)
     impl_stats = {k: v for k, v in tstats.items() if k in impls}
     train_impl = min(impl_stats, key=lambda k: impl_stats[k][0])
-    step_best, step_p50 = tstats[train_impl]
+    step_best, step_p50 = tstats[train_impl][:2]
     step_ms, step_ms_p50 = step_best * 1e3, step_p50 * 1e3
     mfu = (train_flops / step_best / PEAK_FLOPS if train_flops else None)
     mfu_p50 = (train_flops / step_p50 / PEAK_FLOPS if train_flops else None)
@@ -613,17 +629,18 @@ def main():
             _RESULT[f'train_{impl}_ms'] = round(tstats[impl][0] * 1e3, 3)
             _RESULT[f'train_{impl}_ms_p50'] = round(tstats[impl][1] * 1e3, 3)
     if 'lora' in tstats:
-        lb, lp = tstats['lora']
-        xb, xp = tstats.get('xla', (step_best, step_p50))
+        lb, lp = tstats['lora'][:2]
         _RESULT.update({
             'train_lora_step_ms': round(lb * 1e3, 3),
             'train_lora_step_ms_p50': round(lp * 1e3, 3),
-            # p50/p50 same-window ratio: the spread-robust comparison
-            'train_lora_speedup': round(xp / lp, 3),
+            # median of per-rep full/lora ratios (paired same-second)
+            'train_lora_speedup': round(
+                _paired_ratio(tstats, 'xla', 'lora'), 3)
+            if 'xla' in tstats else round(step_p50 / lp, 3),
         })
     if 'bundled' in tstats:
         # one call = BUNDLE_K optimizer steps; normalize to per-step
-        bb, bp = (t / BUNDLE_K for t in tstats['bundled'])
+        bb, bp = (t / BUNDLE_K for t in tstats['bundled'][:2])
         bmfu = (train_flops / bb / PEAK_FLOPS if train_flops else None)
         bmfu_p50 = (train_flops / bp / PEAK_FLOPS if train_flops else None)
         _RESULT.update({
@@ -637,16 +654,18 @@ def main():
                                       if bmfu_p50 is not None else None),
         })
     if 'sync' in tstats and 'bundled_sync' in tstats:
-        sb, sp = tstats['sync']
-        bsb, bsp = (t / BUNDLE_K for t in tstats['bundled_sync'])
+        sb, sp = tstats['sync'][:2]
+        bsb, bsp = (t / BUNDLE_K for t in tstats['bundled_sync'][:2])
         _RESULT.update({
             'train_syncloop_step_ms': round(sb * 1e3, 3),
             'train_syncloop_step_ms_p50': round(sp * 1e3, 3),
             'train_bundled_syncloop_step_ms': round(bsb * 1e3, 3),
             'train_bundled_syncloop_step_ms_p50': round(bsp * 1e3, 3),
-            # p50/p50: the same-window per-step speedup of bundling in
-            # the sync-per-step loop it was built for
-            'train_bundled_syncloop_speedup': round(sp / bsp, 3),
+            # per-step speedup of bundling in the sync-per-step loop it
+            # was built for: median of per-rep paired ratios, scaled by K
+            'train_bundled_syncloop_speedup': round(
+                _paired_ratio(tstats, 'sync', 'bundled_sync') * BUNDLE_K,
+                3),
         })
 
     # ---- proposal-generator train step (stage 2) --------------------------

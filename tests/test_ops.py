@@ -159,3 +159,33 @@ def test_make_masks_subs_modality_without_captions():
     assert masks['A_mask'].shape == (B, 1, 6)
     assert masks['S_mask'].shape == (B, 1, 4)
     assert 'C_mask' not in masks
+
+
+def test_dropout_u16_mask_statistics_and_determinism():
+    '''The u16 integer-threshold dropout (DESIGN 6b: halves the mask HBM
+    traffic vs bernoulli) must still BE dropout: keep rate within
+    sampling noise of 1-rate, survivors scaled by 1/keep, zeros
+    elsewhere, and the draw deterministic per key.'''
+    import jax
+    import jax.numpy as jnp
+
+    from bmt_tpu.ops.layers import dropout
+
+    key = jax.random.PRNGKey(3)
+    x = jnp.ones((256, 257), jnp.float32)
+    y = np.asarray(dropout(x, 0.1, key, deterministic=False))
+    kept = y != 0.0
+    # E[kept] = round(0.9*2^16)/2^16 within 8e-6; n=65792 draws
+    # -> std of the mean ~0.0012, assert 5 sigma
+    assert abs(kept.mean() - 0.9) < 6e-3, kept.mean()
+    np.testing.assert_allclose(y[kept], 1.0 / 0.9, rtol=1e-6)
+    # deterministic per key; different keys differ
+    y2 = np.asarray(dropout(x, 0.1, key, deterministic=False))
+    np.testing.assert_array_equal(y, y2)
+    y3 = np.asarray(dropout(x, 0.1, jax.random.PRNGKey(4), False))
+    assert (y != y3).any()
+    # no-op contracts
+    np.testing.assert_array_equal(
+        np.asarray(dropout(x, 0.0, key, False)), np.asarray(x))
+    np.testing.assert_array_equal(
+        np.asarray(dropout(x, 0.5, key, True)), np.asarray(x))
