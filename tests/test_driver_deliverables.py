@@ -102,3 +102,28 @@ time.sleep(60)
                           capture_output=True, text=True, timeout=60)
     assert proc.returncode == 3
     assert proc.stdout.strip() == ''
+
+
+def test_bench_paired_ratio_is_drift_robust():
+    '''_paired_ratio must take the median of per-rep ratios — robust to a
+    drifting window where a ratio of medians pairs different reps.'''
+    import bench
+
+    # variant b is exactly 2x a in every rep, but the window drifts 10x:
+    # per-rep pairing recovers 2.0 regardless
+    a = [1.0, 2.0, 10.0, 4.0, 0.5]
+    b = [2.0, 4.0, 20.0, 8.0, 1.0]
+    stats = {'a': (min(a), 2.0, a), 'b': (min(b), 4.0, b)}
+    assert bench._paired_ratio(stats, 'b', 'a') == 2.0
+
+    # _time_interleaved returns (best, p50, samples) triples
+    calls = iter(range(100))
+
+    def fake(_=calls):
+        return 0
+
+    out = bench._time_interleaved({'x': (fake, 1), 'y': (fake, 1)}, 3)
+    for name in ('x', 'y'):
+        best, p50, samples = out[name]
+        assert len(samples) == 3
+        assert best == min(samples) and p50 == sorted(samples)[1]
