@@ -77,6 +77,8 @@ def run_step(dp=None):
 def main():
     import jax
     jax.config.update('jax_platforms', 'cpu')
+    from bmt_tpu.utils.misc import enable_compile_cache
+    enable_compile_cache()   # workers share the repo's persistent cache
     from bmt_tpu.parallel.mesh import maybe_init_distributed
     maybe_init_distributed()
     assert jax.process_count() == 2, jax.process_count()
