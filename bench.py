@@ -668,6 +668,42 @@ def main():
                 3),
         })
 
+    # ---- device-time train MFU (jax.profiler trace) -----------------------
+    # The wall-based train_mfu above includes the bench tunnel's
+    # time-sharing duty cycle (~25% inflation measured round 5). A short
+    # profiler trace of the shipped step isolates the executable's true
+    # DEVICE cost — on a directly-attached chip, wall ≈ device and THIS
+    # is the number the host would measure. (DESIGN §6b; the round-5
+    # trace decomposed it as fwd 2.76 + bwd 5.15 + opt 2.59 ms.)
+    # BMT_BENCH_DEVICE_TRACE=0 skips.
+    if on_tpu and os.environ.get('BMT_BENCH_DEVICE_TRACE', '1') != '0' \
+            and 'xla' in train_fns:
+        try:
+            _stage('train device-time trace')
+            import shutil
+            import tempfile
+            from bmt_tpu.utils.profiling import (trace,
+                                                 trace_device_ms_per_exec)
+            tdir = tempfile.mkdtemp(prefix='bmt_bench_trace_')
+            try:
+                fn = train_fns['xla'][0]
+                NT = 3
+                with trace(tdir):
+                    out = None
+                    for _ in range(NT):
+                        out = fn()
+                    np.asarray(out)
+                dev_ms = trace_device_ms_per_exec(tdir, NT)
+                _RESULT['train_device_step_ms'] = round(dev_ms, 3)
+                if train_flops:
+                    _RESULT['train_mfu_device'] = round(
+                        train_flops / (dev_ms / 1e3) / PEAK_FLOPS, 4)
+            finally:
+                shutil.rmtree(tdir, ignore_errors=True)
+        except Exception as e:
+            print(f'device trace failed: {type(e).__name__}: {e}',
+                  file=sys.stderr)
+
     # ---- proposal-generator train step (stage 2) --------------------------
     # Flagship prop shapes: B=16, padded 800 audio / 300 video rows, all 20
     # conv heads (reference: scripts/train_proposal_generator.py defaults).
@@ -802,6 +838,10 @@ def main():
         'vs_baseline_p50': 10.0,
         'attn_pallas_speedup_s4096': 2.0,
         'attn_pallas_speedup_s2048': 1.0,
+        # trace-measured device MFU (round 5: 0.467, reproducible to
+        # ~0.3% — tunnel weather does not touch it); a drop below 0.40
+        # means the EXECUTABLE regressed, not the window
+        'train_mfu_device': 0.40,
     }
     warns = [f'{k}={_RESULT[k]} below floor {floor}'
              for k, floor in floors.items()

@@ -133,3 +133,32 @@ def hlo_traffic_census(compiled_or_text, top: int = 15) -> dict:
         'by_source': dict(sorted(by_source.items(), key=lambda kv: -kv[1])),
         'top': rows[:top],
     }
+
+
+def trace_device_ms_per_exec(trace_dir: str, n_execs: int) -> float:
+    '''Parse a ``trace(trace_dir)`` capture: summed duration of the
+    jit-program envelope events / ``n_execs`` -> DEVICE milliseconds per
+    execution. This separates the executable's true cost from host and
+    tunnel overhead (wall / device = the host's duty-cycle factor) — the
+    instrument behind docs/DESIGN.md §6b's device table and bench.py's
+    ``train_device_step_ms`` / ``train_mfu_device`` fields. Raises if
+    the trace holds no program events (e.g. profiling unsupported).'''
+    import collections
+    import glob
+    import gzip
+    import json
+
+    files = sorted(glob.glob(trace_dir + '/**/*.trace.json.gz',
+                             recursive=True))
+    if not files:
+        raise FileNotFoundError(f'no trace.json.gz under {trace_dir}')
+    data = json.loads(gzip.open(files[-1]).read())
+    envs: dict = collections.Counter()
+    for e in data.get('traceEvents', []):
+        name = e.get('name', '')
+        if e.get('ph') == 'X' and (name.startswith('jit_')
+                                   or name.startswith('jit(')):
+            envs[name] += e.get('dur', 0)
+    if not envs:
+        raise ValueError(f'no jit program events in {files[-1]}')
+    return max(envs.values()) / 1e3 / n_execs

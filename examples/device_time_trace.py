@@ -11,10 +11,6 @@ Writes traces under tmp/trace_* (TensorBoard/Perfetto-viewable) and
 prints one line per program.
 '''
 import argparse
-import collections
-import glob
-import gzip
-import json
 import os
 import shutil
 import sys
@@ -34,21 +30,9 @@ from bmt_tpu.train.optim import build_optimizer
 from bmt_tpu.train.steps import (cast_tree, init_train_state,
                                  make_cap_train_step)
 from bmt_tpu.utils.misc import enable_compile_cache
-from bmt_tpu.utils.profiling import trace
+from bmt_tpu.utils.profiling import trace, trace_device_ms_per_exec
 
 
-def device_ms_per_exec(trace_dir: str, n_execs: int) -> float:
-    '''Parse the trace's jit-program envelope events -> device ms/exec.'''
-    f = sorted(glob.glob(trace_dir + '/**/*.trace.json.gz',
-                         recursive=True))[-1]
-    data = json.loads(gzip.open(f).read())
-    envs = collections.Counter()
-    for e in data.get('traceEvents', []):
-        name = e.get('name', '')
-        if e.get('ph') == 'X' and (name.startswith('jit_')
-                                   or name.startswith('jit(')):
-            envs[name] += e.get('dur', 0)
-    return (max(envs.values()) / 1e3 / n_execs) if envs else float('nan')
 
 
 def main(argv=None):
@@ -131,7 +115,7 @@ def main(argv=None):
             for _ in range(args.reps):
                 out = fn()
             np.asarray(jax.tree.leaves(out)[0])
-        print(f'{name:6s} device {device_ms_per_exec(d, args.reps):8.3f} '
+        print(f'{name:6s} device {trace_device_ms_per_exec(d, args.reps):8.3f} '
               f'ms/exec  (trace: {d})')
 
 

@@ -1,9 +1,11 @@
 '''Bandwidth accounting for any jitted step: where do the bytes go?
 
-On a memory-bound program (the BMT train step runs at ~98% of its HBM
-roofline — docs/DESIGN.md §6b), "the profile" is not a FLOP table but a
-byte table: which buffers materialize, how large, and which source line
-produced them. This example compiles the flagship captioning train
+On a memory-bound program (the BMT train step's DEVICE time sits at the
+HBM roofline — docs/DESIGN.md §6b), "the profile" is not a FLOP table
+but a byte table: which buffers materialize, how large, and which
+source line produced them. (Caveat: the census RANKS buffers reliably;
+its absolute total overcounts fused reuse ~2×, so pair it with
+`examples/device_time_trace.py` for true device cost.) This example compiles the flagship captioning train
 forward/backward and prints the optimized-HLO buffer census
 (``bmt_tpu.utils.profiling.hlo_traffic_census``) — the tool that found
 dropout's unfused uint32 bit tensors (the round-5 u16-mask optimization)
