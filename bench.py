@@ -371,6 +371,36 @@ def main():
             'decode_bundled_caps_p50': round(B / dp, 2),
         })
 
+    # ---- decode device-time trace -----------------------------------------
+    # Same instrument as the train stage below: the headline caps/sec is
+    # wall-clock behind a time-shared tunnel; the traced DEVICE time is
+    # what a directly-attached host would measure (round 5: 12.3 ms/batch
+    # = ~5200 caps/s, at the decode's cross-KV read roofline, DESIGN §6a).
+    if on_tpu and os.environ.get('BMT_BENCH_DEVICE_TRACE', '1') != '0':
+        try:
+            _stage('decode device-time trace')
+            import shutil
+            import tempfile
+            from bmt_tpu.utils.profiling import (trace,
+                                                 trace_device_ms_per_exec)
+            tdir = tempfile.mkdtemp(prefix='bmt_bench_dtrace_')
+            try:
+                ND = 3
+                with trace(tdir):
+                    out = None
+                    for _ in range(ND):
+                        out = cached_decode()
+                    np.asarray(out)
+                ddev_ms = trace_device_ms_per_exec(tdir, ND)
+                _RESULT['decode_device_batch_ms'] = round(ddev_ms, 3)
+                _RESULT['decode_device_caps_per_sec'] = round(
+                    B / (ddev_ms / 1e3), 2)
+            finally:
+                shutil.rmtree(tdir, ignore_errors=True)
+        except Exception as e:
+            print(f'decode device trace failed: {type(e).__name__}: {e}',
+                  file=sys.stderr)
+
     # ---- attention-only tiled-kernel regression guard ----------------------
     # The régime where the Pallas kernel matters: long sequences, where
     # XLA round-trips the (Sq, Sk) logits through HBM and the tiled
