@@ -100,3 +100,38 @@ def test_hlo_traffic_census_ranks_buffers():
     # text input works too
     census2 = hlo_traffic_census(c.as_text())
     assert census2['total_bytes'] == census['total_bytes']
+
+
+def test_trace_device_ms_per_exec_parses_envelope(tmp_path):
+    '''trace_device_ms_per_exec: picks the largest jit-program envelope
+    from a trace capture and divides by exec count; raises cleanly on
+    empty/missing traces.'''
+    import gzip
+    import json
+
+    import pytest
+
+    from bmt_tpu.utils.profiling import trace_device_ms_per_exec
+
+    d = tmp_path / 'plugins' / 'profile' / 'run1'
+    d.mkdir(parents=True)
+    events = [
+        {'ph': 'X', 'name': 'jit_step(123)', 'dur': 9000},   # us
+        {'ph': 'X', 'name': 'jit_step(123)', 'dur': 9000},
+        {'ph': 'X', 'name': 'jit_helper(9)', 'dur': 100},
+        {'ph': 'X', 'name': '$host_frame', 'dur': 99999},    # ignored
+        {'ph': 'M', 'name': 'jit_step(123)'},                # not X
+    ]
+    with gzip.open(d / 'vm.trace.json.gz', 'wt') as f:
+        json.dump({'traceEvents': events}, f)
+    # two execs of 9 ms each -> 9.0 ms/exec (the helper is not the max)
+    assert trace_device_ms_per_exec(str(tmp_path), 2) == 9.0
+
+    with pytest.raises(FileNotFoundError):
+        trace_device_ms_per_exec(str(tmp_path / 'nope'), 1)
+    empty = tmp_path / 'empty' / 'p'
+    empty.mkdir(parents=True)
+    with gzip.open(empty / 'x.trace.json.gz', 'wt') as f:
+        json.dump({'traceEvents': [{'ph': 'X', 'name': '$h', 'dur': 5}]}, f)
+    with pytest.raises(ValueError):
+        trace_device_ms_per_exec(str(tmp_path / 'empty'), 1)
