@@ -406,8 +406,8 @@ def main():
     # XLA round-trips the (Sq, Sk) logits through HBM and the tiled
     # online-softmax kernel streams them through VMEM (DESIGN §6:
     # 1.2x @2048, 2.65x @4096 measured round 4). S=1024 is deliberately
-    # NOT guarded: both impls sit at the tunnel's ~3 ms dispatch floor
-    # there, so the ratio is window noise. TPU-only: in interpreter mode
+    # NOT guarded: both impls take only ~1 ms of device time there, so
+    # the wall ratio is dominated by per-call overhead / window noise. TPU-only: in interpreter mode
     # the kernel is orders of magnitude slower and the guard would be
     # meaningless. BMT_BENCH_ATTN=0 skips.
     if on_tpu and os.environ.get('BMT_BENCH_ATTN', '1') != '0':
@@ -571,11 +571,13 @@ def main():
 
     # ---- multi-step dispatch bundling (--steps_per_dispatch) --------------
     # K full optimizer steps scanned inside ONE dispatch (bit-identical to
-    # sequential steps: tests/test_multistep.py). Isolates the per-dispatch
-    # host launch overhead — on the tunnel-attached bench chip that floor
-    # is ~3 ms/call, so the bundled per-step time is the closest this
-    # scoreboard gets to the executable's true device cost. Interleaved
-    # with the single-step variants; per-call time is divided by K after.
+    # sequential steps: tests/test_multistep.py). In THIS async timing
+    # pattern expect ≈parity (dispatches pipeline; the scan adds no
+    # device time — trace-verified, DESIGN §6b); the executable's true
+    # device cost is the train_device_* trace fields, and bundling's
+    # real win is the sync-per-step scenario measured right below.
+    # Interleaved with the single-step variants; per-call time divided
+    # by K after.
     BUNDLE_K = _env_int('BMT_BENCH_BUNDLE_K', 8)
     if BUNDLE_K > 1:
         _stage('train[bundled] compile')

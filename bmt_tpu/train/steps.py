@@ -274,13 +274,19 @@ def make_multistep(step_fn):
     tests/test_multistep.py. Works for any (state, batch) -> (state,
     metrics) step — captioning and proposal alike.
 
-    Why this exists: a dispatch has a fixed host-side cost (~3 ms on the
-    benched tunnel-attached chip; tens of us locally) that is pure
-    overhead against a ~14 ms step. Scanning K steps amortizes it to
-    1/K per step. The trade-offs are K batches of input resident on
-    device at once (for BMT's B=32 bf16 batches, ~13 MB each — noise
-    next to the 51M-param state) and loss/guard visibility at K-step
-    granularity (the epoch loop accounts for both).
+    Why this exists (scoped by round-5 measurement, docs/DESIGN.md
+    §6b): in an ASYNC dispatch loop — one that never reads device
+    values mid-stream, like this repo's epoch loops — jit dispatches
+    already pipeline and bundling is ≈parity (the scan itself adds no
+    device time; trace-verified). The win is the SYNC-per-step loop: a
+    loop that reads the loss to host every step (per-step logging /
+    guard checks, the reference's own loop shape) pays a host↔device
+    round trip per step, and the bundle amortizes it to 1/K — measured
+    ~3× per-step behind the bench tunnel (`train_bundled_syncloop_*`).
+    The trade-offs are K batches of input resident on device at once
+    (for BMT's B=32 bf16 batches, ~13 MB each — noise next to the
+    51M-param state) and loss/guard visibility at K-step granularity
+    (the epoch loop accounts for both).
     '''
     def multistep(state: TrainState, stacked_batch):
         return jax.lax.scan(step_fn, state, stacked_batch)
