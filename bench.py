@@ -397,6 +397,24 @@ def main():
                     B / (ddev_ms / 1e3), 2)
             finally:
                 shutil.rmtree(tdir, ignore_errors=True)
+            if 'int8kv' in decode_fns:
+                # the int8-KV variant's device time too, so DESIGN §6a's
+                # quantization arithmetic stays scoreboard-verifiable
+                tdir8 = tempfile.mkdtemp(prefix='bmt_bench_dtrace8_')
+                try:
+                    q8_fn = decode_fns['int8kv'][0]
+                    with trace(tdir8):
+                        out = None
+                        for _ in range(ND):
+                            out = q8_fn()
+                        np.asarray(out)
+                    qdev_ms = trace_device_ms_per_exec(tdir8, ND)
+                    _RESULT['decode_int8kv_device_batch_ms'] = round(
+                        qdev_ms, 3)
+                    _RESULT['decode_int8kv_device_caps_per_sec'] = round(
+                        B / (qdev_ms / 1e3), 2)
+                finally:
+                    shutil.rmtree(tdir8, ignore_errors=True)
         except Exception as e:
             print(f'decode device trace failed: {type(e).__name__}: {e}',
                   file=sys.stderr)
