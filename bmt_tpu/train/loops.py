@@ -77,6 +77,26 @@ def train_epoch_cap(train_step, state, dataset, epoch: int, logger=None,
     ctx = trace(profile_dir) if profiling else None
     if ctx is not None:
         ctx.__enter__()
+
+    def close_trace():
+        '''Exit the profiler and print the traced DEVICE ms/step — the
+        number to hold against the roofline (the wall−device gap is
+        host/tunnel overhead, docs/DESIGN.md §6b). Best-effort: a trace
+        the backend could not annotate just skips the summary.'''
+        nonlocal ctx
+        ctx.__exit__(None, None, None)
+        ctx = None
+        try:
+            import sys
+            from bmt_tpu.utils.profiling import trace_device_ms_per_exec
+            total_ms = trace_device_ms_per_exec(str(profile_dir), 1)
+            print(f'[profile] traced device time: '
+                  f'{total_ms / max(n, 1):.3f} ms/step over {n} steps '
+                  f'({profile_dir})', file=sys.stderr)
+        except Exception as e:
+            import sys
+            print(f'[profile] trace summary unavailable: '
+                  f'{type(e).__name__}: {e}', file=sys.stderr)
     # per-host sharded input pipeline: on a multi-host pod each process
     # loads feature files only for its own dp row block (None single-host;
     # the kwarg is only passed when live so duck-typed datasets without
@@ -126,8 +146,7 @@ def train_epoch_cap(train_step, state, dataset, epoch: int, logger=None,
             else:
                 run_single(dev)
             if ctx is not None and n >= profile_steps:
-                ctx.__exit__(None, None, None)
-                ctx = None
+                close_trace()
             if guard is not None and guard.requested:
                 guard.batch_in_epoch = start_batch + n
                 break
@@ -141,7 +160,7 @@ def train_epoch_cap(train_step, state, dataset, epoch: int, logger=None,
             pending = []
     finally:
         if ctx is not None:
-            ctx.__exit__(None, None, None)
+            close_trace()
     mean = float(total) / max(n, 1)
     if logger is not None:
         logger.add_scalar('debug/train_loss_epoch', mean, epoch)

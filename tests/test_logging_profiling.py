@@ -135,3 +135,46 @@ def test_trace_device_ms_per_exec_parses_envelope(tmp_path):
         json.dump({'traceEvents': [{'ph': 'X', 'name': '$h', 'dur': 5}]}, f)
     with pytest.raises(ValueError):
         trace_device_ms_per_exec(str(tmp_path / 'empty'), 1)
+
+
+def test_epoch_loop_profile_writes_trace_and_device_summary(tmp_path,
+                                                           capfd):
+    '''--profile_steps: the cap epoch loop captures a jax trace of the
+    first N steps and prints a traced-device-ms summary (best-effort;
+    on backends whose traces lack program events it says so instead of
+    failing the epoch).'''
+    import jax
+    import numpy as np
+
+    from tests.test_grad_accum import PAD, _batch
+    from tests.test_multistep import _Cfg, _dims_with_dropout
+    from bmt_tpu.models import init_bimodal_transformer
+    from bmt_tpu.train.loops import train_epoch_cap
+    from bmt_tpu.train.optim import build_optimizer
+    from bmt_tpu.train.steps import init_train_state, make_cap_train_step
+
+    rng = np.random.default_rng(0)
+    batches = [_batch(rng) for _ in range(3)]
+    dims = _dims_with_dropout()
+    optimizer = build_optimizer(_Cfg())
+    params = init_bimodal_transformer(jax.random.PRNGKey(0), dims)
+    step = jax.jit(make_cap_train_step(dims, optimizer, 0.7, PAD))
+    state = init_train_state(params, optimizer)
+
+    class FakeDataset:
+        batch_size = 8
+
+        def batches(self, epoch=0, seed=0, **kw):
+            for i, b in enumerate(batches):
+                yield dict(b, video_ids=[f'v{i}_{r}' for r in range(8)])
+
+    prof_dir = tmp_path / 'prof'
+    state, loss = train_epoch_cap(step, state, FakeDataset(), epoch=0,
+                                  profile_steps=2,
+                                  profile_dir=str(prof_dir))
+    assert np.isfinite(loss)
+    # a capture landed on disk
+    assert any(prof_dir.rglob('*.xplane.pb')) or \
+        any(prof_dir.rglob('*.trace.json.gz')), list(prof_dir.rglob('*'))
+    err = capfd.readouterr().err
+    assert '[profile]' in err, err
