@@ -13,8 +13,12 @@ Statistics: every timed section reports best-of-reps AND the median rep
 bench chip sits behind a time-shared tunnel with large run-to-run
 variance, and a best-only number can't be told apart from a lucky
 window. Competing variants (cached vs uncached decode; xla vs pallas vs
-LoRA train) are timed INTERLEAVED rep-by-rep in one window, so their
-ratios see the same tunnel weather.
+LoRA train) are timed INTERLEAVED rep-by-rep in one window, and every
+ratio field is the MEDIAN OF PER-REP PAIRED RATIOS (_paired_ratio) so
+drift between reps cancels. `*_device_*` fields come from jax-profiler
+traces of the same executables — the device truth a directly-attached
+host would measure, reproducible to ~0.3% regardless of tunnel weather
+(docs/SCOREBOARD.md documents every field).
 
 The Sq=1 cached decode steps auto-dispatch to the XLA formulation even
 under --attention_impl pallas (ops/attention.py; a measured ~2x loss for
