@@ -45,6 +45,45 @@ def _stack_host_batches(devs):
     return jax.tree.map(lambda *xs: np.stack(xs), *devs)
 
 
+class _EpochProfiler:
+    '''First-N-steps jax trace of an epoch (epoch 0 only, both stages'
+    ``--profile_steps``); on close, prints the traced DEVICE ms/step —
+    the number to hold against the roofline (the wall−device gap is
+    host/tunnel overhead, docs/DESIGN.md §6b). Best-effort: a trace the
+    backend cannot annotate skips the summary, never the epoch.'''
+
+    def __init__(self, profile_steps: int, epoch: int, profile_dir):
+        from bmt_tpu.utils.profiling import trace
+        self.n_target = profile_steps
+        self.dir = profile_dir
+        self.ctx = (trace(profile_dir)
+                    if profile_steps > 0 and epoch == 0 and profile_dir
+                    else None)
+        if self.ctx is not None:
+            self.ctx.__enter__()
+
+    def step(self, n: int):
+        '''Call after every dispatch; closes once n reaches the target.'''
+        if self.ctx is not None and n >= self.n_target:
+            self.close(n)
+
+    def close(self, n: int):
+        if self.ctx is None:
+            return
+        ctx, self.ctx = self.ctx, None
+        ctx.__exit__(None, None, None)
+        import sys
+        try:
+            from bmt_tpu.utils.profiling import trace_device_ms_per_exec
+            total_ms = trace_device_ms_per_exec(str(self.dir), 1)
+            print(f'[profile] traced device time: '
+                  f'{total_ms / max(n, 1):.3f} ms/step over {n} steps '
+                  f'({self.dir})', file=sys.stderr)
+        except Exception as e:
+            print(f'[profile] trace summary unavailable: '
+                  f'{type(e).__name__}: {e}', file=sys.stderr)
+
+
 def train_epoch_cap(train_step, state, dataset, epoch: int, logger=None,
                     dp=None, seed: int = 0, profile_steps: int = 0,
                     profile_dir=None, guard=None, start_batch: int = 0,
@@ -69,34 +108,10 @@ def train_epoch_cap(train_step, state, dataset, epoch: int, logger=None,
     granularity coarsens to one bundle: the guard is polled between
     dispatches, so up to steps_per_dispatch-1 extra batches complete
     after the signal — still an exact-resume point, just a later one.'''
-    from bmt_tpu.utils.profiling import trace
     total, n = 0.0, 0
     bundle_k = steps_per_dispatch if multistep is not None else 1
     pending = []
-    profiling = profile_steps > 0 and epoch == 0 and profile_dir
-    ctx = trace(profile_dir) if profiling else None
-    if ctx is not None:
-        ctx.__enter__()
-
-    def close_trace():
-        '''Exit the profiler and print the traced DEVICE ms/step — the
-        number to hold against the roofline (the wall−device gap is
-        host/tunnel overhead, docs/DESIGN.md §6b). Best-effort: a trace
-        the backend could not annotate just skips the summary.'''
-        nonlocal ctx
-        ctx.__exit__(None, None, None)
-        ctx = None
-        try:
-            import sys
-            from bmt_tpu.utils.profiling import trace_device_ms_per_exec
-            total_ms = trace_device_ms_per_exec(str(profile_dir), 1)
-            print(f'[profile] traced device time: '
-                  f'{total_ms / max(n, 1):.3f} ms/step over {n} steps '
-                  f'({profile_dir})', file=sys.stderr)
-        except Exception as e:
-            import sys
-            print(f'[profile] trace summary unavailable: '
-                  f'{type(e).__name__}: {e}', file=sys.stderr)
+    prof = _EpochProfiler(profile_steps, epoch, profile_dir)
     # per-host sharded input pipeline: on a multi-host pod each process
     # loads feature files only for its own dp row block (None single-host;
     # the kwarg is only passed when live so duck-typed datasets without
@@ -145,8 +160,7 @@ def train_epoch_cap(train_step, state, dataset, epoch: int, logger=None,
                 pending = []
             else:
                 run_single(dev)
-            if ctx is not None and n >= profile_steps:
-                close_trace()
+            prof.step(n)
             if guard is not None and guard.requested:
                 guard.batch_in_epoch = start_batch + n
                 break
@@ -159,8 +173,7 @@ def train_epoch_cap(train_step, state, dataset, epoch: int, logger=None,
                     break
             pending = []
     finally:
-        if ctx is not None:
-            close_trace()
+        prof.close(n)
     mean = float(total) / max(n, 1)
     if logger is not None:
         logger.add_scalar('debug/train_loss_epoch', mean, epoch)
@@ -304,17 +317,21 @@ def validation_1by1(cfg, params, decoder_fn, dataset, epoch: int,
 def train_epoch_prop(train_step, state, dataset, epoch: int, logger=None,
                      dp=None, seed: int = 0, guard=None,
                      start_batch: int = 0, multistep=None,
-                     steps_per_dispatch: int = 1):
+                     steps_per_dispatch: int = 1, profile_steps: int = 0,
+                     profile_dir=None):
     '''Proposal-generator training epoch (reference:
     proposal_epoch_loops.py:27-63). guard/start_batch: see
     train_epoch_cap (preemption-exact early stop + resume);
     multistep/steps_per_dispatch: multi-step dispatch bundling, also as
-    there (stacked metrics sum into the same accumulators).'''
+    there (stacked metrics sum into the same accumulators);
+    profile_steps/profile_dir: first-N-steps jax trace + traced
+    device-ms summary, also as there.'''
     from bmt_tpu.utils.proposal_utils import add_dict_to_another_dict
     total, n = 0.0, 0
     acc: dict = {}
     bundle_k = steps_per_dispatch if multistep is not None else 1
     pending = []
+    prof = _EpochProfiler(profile_steps, epoch, profile_dir)
     # per-host sharded input pipeline (see train_epoch_cap); the fixed
     # proposal pad lengths make batch geometry host-independent trivially
     local_rows = dp.local_rows(dataset.batch_size) if dp is not None else None
@@ -355,6 +372,7 @@ def train_epoch_prop(train_step, state, dataset, epoch: int, logger=None,
             pending = []
         else:
             run_single(dev)
+        prof.step(n)
         if guard is not None and guard.requested:
             guard.batch_in_epoch = start_batch + n
             break
@@ -365,6 +383,7 @@ def train_epoch_prop(train_step, state, dataset, epoch: int, logger=None,
                 guard.batch_in_epoch = start_batch + n
                 break
         pending = []
+    prof.close(n)
     if n == 0 and start_batch == 0:
         import sys
         print(f'WARNING: proposal train epoch {epoch} ran ZERO batches — '

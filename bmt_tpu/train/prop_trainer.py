@@ -5,6 +5,8 @@ checkpoint (frozen unless --finetune_cap_encoder), best-by-avg-F1
 checkpointing.'''
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -252,7 +254,10 @@ def train_prop(cfg: Config):
             train_step, state, train_ds, epoch, logger, dp, seed,
             guard=guard,
             start_batch=(resume_batch if epoch == start_epoch else 0),
-            multistep=multistep, steps_per_dispatch=steps_per_dispatch)
+            multistep=multistep, steps_per_dispatch=steps_per_dispatch,
+            profile_steps=getattr(cfg, 'profile_steps', 0),
+            profile_dir=(os.path.join(cfg.log_path, 'profile')
+                         if cfg.log_path else None))
 
         if guard is not None and guard.requested:
             b = guard.batch_in_epoch
