@@ -514,7 +514,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument('--profile_steps', type=int, default=0,
                         help='capture a jax.profiler trace of this many '
                              'training steps at the start of epoch 0 '
-                             '(written under the log dir)')
+                             '(both stages; written under the log dir, '
+                             'and the traced DEVICE ms/step is printed '
+                             'when the capture closes)')
     parser.add_argument('--max_events_per_video', type=int, default=32)
     parser.add_argument('--glove_path', type=str, default=None,
                         help='path to glove .txt vectors (optional)')
