@@ -127,3 +127,28 @@ def test_bench_paired_ratio_is_drift_robust():
         best, p50, samples = out[name]
         assert len(samples) == 3
         assert best == min(samples) and p50 == sorted(samples)[1]
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(os.environ.get('BMT_TEST_DRYRUN', '0') != '1',
+                    reason='opt-in (BMT_TEST_DRYRUN=1): ~3-6 min of CPU '
+                           'compiles; the round driver runs the dryrun '
+                           'directly every round')
+def test_dryrun_multichip_subprocess_smoke():
+    '''Drive the REAL dryrun deliverable end-to-end in a subprocess
+    (4 virtual devices -> dp1 x sp2 x mp2 + the 2-process multihost
+    section) and check its OK line.'''
+    import subprocess
+    import sys
+
+    env = dict(os.environ,
+               JAX_PLATFORMS='cpu',
+               XLA_FLAGS='--xla_force_host_platform_device_count=4')
+    env.pop('PALLAS_AXON_POOL_IPS', None)
+    proc = subprocess.run(
+        [sys.executable, '-c',
+         'import __graft_entry__ as g; g.dryrun_multichip(4)'],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert 'dryrun_multichip(4) OK' in proc.stdout, proc.stdout
+    assert 'multihost=2proc-dp4' in proc.stdout, proc.stdout
