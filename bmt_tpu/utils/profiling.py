@@ -162,3 +162,52 @@ def trace_device_ms_per_exec(trace_dir: str, n_execs: int) -> float:
     if not envs:
         raise ValueError(f'no jit program events in {files[-1]}')
     return max(envs.values()) / 1e3 / n_execs
+
+
+def trace_device_ms_by_source(trace_dir: str, compiled_or_text) -> dict:
+    '''Join a profiler trace's per-fusion device durations with the
+    compiled program's HLO source metadata: {source "file:line": device
+    ms} — a device-TIME flame view to pair with ``hlo_traffic_census``'s
+    byte view (bytes say what SHOULD dominate a bandwidth-bound program;
+    this says what DID). Instructions whose HLO carries no metadata
+    (rng, layout copies, runtime staging) aggregate under '?'.
+
+    ``compiled_or_text``: the SAME program the trace captured
+    (``jit_fn.lower(...).compile()`` or its ``as_text()``); fusion names
+    are matched exactly, so a recompiled/different program yields mostly
+    unmatched names (returned under '?<unmatched>').'''
+    import collections
+    import glob
+    import gzip
+    import json
+    import re
+
+    text = (compiled_or_text if isinstance(compiled_or_text, str)
+            else compiled_or_text.as_text())
+    src_of = {}
+    meta_re = re.compile(r'source_file="([^"]+)" source_line=(\d+)')
+    inst_re = re.compile(r'^\s+(?:ROOT )?%([\w\.\-]+) = ')
+    for ln in text.splitlines():
+        m = inst_re.match(ln)
+        if not m:
+            continue
+        mm = meta_re.search(ln)
+        src_of[m.group(1)] = (
+            f'{mm.group(1).rsplit("/", 1)[-1]}:{mm.group(2)}'
+            if mm else '?')
+
+    files = sorted(glob.glob(trace_dir + '/**/*.trace.json.gz',
+                             recursive=True))
+    if not files:
+        raise FileNotFoundError(f'no trace.json.gz under {trace_dir}')
+    data = json.loads(gzip.open(files[-1]).read())
+    by_src: dict = collections.Counter()
+    for e in data.get('traceEvents', []):
+        name = e.get('name', '')
+        # device op events carry the bare HLO instruction name; exact
+        # match against the program's instruction table is the filter
+        # (host frames, program envelopes, runtime markers don't match)
+        if e.get('ph') == 'X' and name in src_of:
+            by_src[src_of[name]] += e.get('dur', 0)
+    return {k: v / 1e3
+            for k, v in sorted(by_src.items(), key=lambda kv: -kv[1])}

@@ -117,6 +117,14 @@ def main(argv=None):
             np.asarray(jax.tree.leaves(out)[0])
         print(f'{name:6s} device {trace_device_ms_per_exec(d, args.reps):8.3f} '
               f'ms/exec  (trace: {d})')
+        if name == 'step':
+            # device-time flame by source line (99% coverage measured):
+            # pair with examples/traffic_census.py's byte view
+            from bmt_tpu.utils.profiling import trace_device_ms_by_source
+            compiled = step.lower(cell[0], batch).compile().as_text()
+            by = trace_device_ms_by_source(d, compiled)
+            for src, ms in list(by.items())[:10]:
+                print(f'         {ms / args.reps:7.3f} ms/step  {src}')
 
 
 if __name__ == '__main__':
