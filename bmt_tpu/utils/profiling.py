@@ -169,13 +169,15 @@ def trace_device_ms_by_source(trace_dir: str, compiled_or_text) -> dict:
     compiled program's HLO source metadata: {source "file:line": device
     ms} — a device-TIME flame view to pair with ``hlo_traffic_census``'s
     byte view (bytes say what SHOULD dominate a bandwidth-bound program;
-    this says what DID). Instructions whose HLO carries no metadata
-    (rng, layout copies, runtime staging) aggregate under '?'.
+    this says what DID). Instructions whose HLO carries no source
+    metadata (rng, layout copies, runtime staging) bucket by opcode
+    instead: '?:rng-bit-generator', '?:copy', '?:fusion', ...
 
     ``compiled_or_text``: the SAME program the trace captured
-    (``jit_fn.lower(...).compile()`` or its ``as_text()``); fusion names
-    are matched exactly, so a recompiled/different program yields mostly
-    unmatched names (returned under '?<unmatched>').'''
+    (``jit_fn.lower(...).compile()`` or its ``as_text()``); instruction
+    names are matched exactly, so a recompiled/different program simply
+    attributes little — check coverage against
+    ``trace_device_ms_per_exec``.'''
     import collections
     import glob
     import gzip
@@ -186,15 +188,17 @@ def trace_device_ms_by_source(trace_dir: str, compiled_or_text) -> dict:
             else compiled_or_text.as_text())
     src_of = {}
     meta_re = re.compile(r'source_file="([^"]+)" source_line=(\d+)')
-    inst_re = re.compile(r'^\s+(?:ROOT )?%([\w\.\-]+) = ')
+    inst_re = re.compile(r'^\s+(?:ROOT )?%([\w\.\-]+) = .*?\]\S* (\w[\w\-]*)\(')
     for ln in text.splitlines():
         m = inst_re.match(ln)
         if not m:
             continue
         mm = meta_re.search(ln)
+        # metadata-less instructions bucket by HLO opcode ('?:copy',
+        # '?:rng-bit-generator', ...) so the residue is still named
         src_of[m.group(1)] = (
             f'{mm.group(1).rsplit("/", 1)[-1]}:{mm.group(2)}'
-            if mm else '?')
+            if mm else f'?:{m.group(2)}')
 
     files = sorted(glob.glob(trace_dir + '/**/*.trace.json.gz',
                              recursive=True))

@@ -213,6 +213,7 @@ def test_trace_device_ms_by_source_joins_hlo_metadata(tmp_path):
     with gzip.open(d / 'vm.trace.json.gz', 'wt') as f:
         json.dump({'traceEvents': events}, f)
     by = trace_device_ms_by_source(str(tmp_path), hlo)
-    assert by == {'layers.py:57': 6.0, 'attention.py:89': 1.0, '?': 0.5}
+    assert by == {'layers.py:57': 6.0, 'attention.py:89': 1.0,
+                  '?:copy': 0.5}
     # ordering: largest first
-    assert list(by) == ['layers.py:57', 'attention.py:89', '?']
+    assert list(by) == ['layers.py:57', 'attention.py:89', '?:copy']
